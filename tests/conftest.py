@@ -1,0 +1,27 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+No TPU is needed in CI — sharding/pjit paths are validated against
+``--xla_force_host_platform_device_count=8`` exactly as the driver's
+multi-chip dry-run does.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

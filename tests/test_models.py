@@ -1,0 +1,269 @@
+"""Forward-pass parity of the JAX models vs torch oracles built to the
+reference architecture (SURVEY §2: encoders.py / decoders.py / vae.py /
+directional_vae.py / directional_ae.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as tnn
+
+from vae_los_angeles_tpu.models import (
+    dna2rna_ae_apply,
+    dna2rna_ae_init,
+    dna2rna_vae_apply,
+    dna2rna_vae_init,
+    multimodal_vae_apply,
+    multimodal_vae_init,
+    reparameterize,
+    rna2dna_ae_apply,
+    rna2dna_ae_init,
+    rna2dna_vae_apply,
+    rna2dna_vae_init,
+)
+from vae_los_angeles_tpu.models.decoders import (
+    decoder_a_apply,
+    decoder_b_apply,
+    decoder_c_apply,
+)
+from vae_los_angeles_tpu.models.encoders import (
+    encoder_a_apply,
+    encoder_b_apply,
+    encoder_c_apply,
+)
+
+DIM_A, DIM_B, N_SITES, LATENT, EMBED = 23, 37, 5, 6, 8
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def _copy_linear(torch_linear, params):
+    with torch.no_grad():
+        torch_linear.weight.copy_(_t(params["w"]).T)
+        torch_linear.bias.copy_(_t(params["b"]))
+
+
+class TorchEncoderA(tnn.Module):
+    def __init__(self, input_dim, latent_dim):
+        super().__init__()
+        self.fc = tnn.Sequential(
+            tnn.Linear(input_dim, 128), tnn.BatchNorm1d(128), tnn.ReLU(), tnn.Dropout(0.1)
+        )
+        self.fc_mu = tnn.Linear(128, latent_dim)
+        self.fc_logvar = tnn.Linear(128, latent_dim)
+
+    def forward(self, x):
+        h = self.fc(x)
+        return self.fc_mu(h), self.fc_logvar(h)
+
+
+class TorchEncoderB(tnn.Module):
+    def __init__(self, input_dim, latent_dim):
+        super().__init__()
+        self.fc = tnn.Sequential(
+            tnn.Linear(input_dim, 512),
+            tnn.BatchNorm1d(512),
+            tnn.ReLU(),
+            tnn.Dropout(0.1),
+            tnn.Linear(512, 256),
+            tnn.BatchNorm1d(256),
+            tnn.ReLU(),
+            tnn.Dropout(0.1),
+        )
+        self.fc_mu = tnn.Linear(256, latent_dim)
+        self.fc_logvar = tnn.Linear(256, latent_dim)
+
+    def forward(self, x):
+        h = self.fc(x.view(x.size(0), -1))
+        return self.fc_mu(h), self.fc_logvar(h)
+
+
+def test_encoder_a_parity(rng):
+    from vae_los_angeles_tpu.models.encoders import encoder_a_init
+
+    params, state = encoder_a_init(jax.random.PRNGKey(0), DIM_A, LATENT)
+    t = TorchEncoderA(DIM_A, LATENT).eval()
+    _copy_linear(t.fc[0], params["fc"])
+    with torch.no_grad():
+        t.fc[1].weight.copy_(_t(params["bn"]["gamma"]))
+        t.fc[1].bias.copy_(_t(params["bn"]["beta"]))
+    _copy_linear(t.fc_mu, params["mu"])
+    _copy_linear(t.fc_logvar, params["logvar"])
+
+    x = rng.normal(size=(9, DIM_A)).astype(np.float32)
+    mu, logvar, _ = encoder_a_apply(params, state, jnp.asarray(x), train=False)
+    tmu, tlogvar = t(_t(x))
+    np.testing.assert_allclose(np.asarray(mu), tmu.detach().numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(logvar), tlogvar.detach().numpy(), atol=2e-5)
+
+
+def test_encoder_b_parity(rng):
+    from vae_los_angeles_tpu.models.encoders import encoder_b_init
+
+    params, state = encoder_b_init(jax.random.PRNGKey(1), DIM_B, LATENT)
+    t = TorchEncoderB(DIM_B, LATENT).eval()
+    _copy_linear(t.fc[0], params["fc1"])
+    _copy_linear(t.fc[4], params["fc2"])
+    with torch.no_grad():
+        t.fc[1].weight.copy_(_t(params["bn1"]["gamma"]))
+        t.fc[1].bias.copy_(_t(params["bn1"]["beta"]))
+        t.fc[5].weight.copy_(_t(params["bn2"]["gamma"]))
+        t.fc[5].bias.copy_(_t(params["bn2"]["beta"]))
+    _copy_linear(t.fc_mu, params["mu"])
+    _copy_linear(t.fc_logvar, params["logvar"])
+
+    x = rng.normal(size=(9, DIM_B)).astype(np.float32)
+    mu, logvar, _ = encoder_b_apply(params, state, jnp.asarray(x), train=False)
+    tmu, tlogvar = t(_t(x))
+    np.testing.assert_allclose(np.asarray(mu), tmu.detach().numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(logvar), tlogvar.detach().numpy(), atol=2e-5)
+
+
+def test_decoders_parity(rng):
+    from vae_los_angeles_tpu.models.decoders import (
+        decoder_a_init,
+        decoder_b_init,
+        decoder_c_init,
+    )
+
+    z = rng.normal(size=(9, LATENT)).astype(np.float32)
+
+    pa = decoder_a_init(jax.random.PRNGKey(2), LATENT, DIM_A)
+    ta = tnn.Sequential(tnn.Linear(LATENT, 128), tnn.ReLU(), tnn.Linear(128, DIM_A))
+    _copy_linear(ta[0], pa["fc1"])
+    _copy_linear(ta[2], pa["fc2"])
+    np.testing.assert_allclose(
+        np.asarray(decoder_a_apply(pa, jnp.asarray(z))),
+        ta(_t(z)).detach().numpy(),
+        atol=2e-5,
+    )
+
+    pb = decoder_b_init(jax.random.PRNGKey(3), LATENT, DIM_B)
+    tb = tnn.Sequential(
+        tnn.Linear(LATENT, 256),
+        tnn.ReLU(),
+        tnn.Linear(256, 512),
+        tnn.ReLU(),
+        tnn.Linear(512, DIM_B),
+        tnn.Sigmoid(),
+    )
+    _copy_linear(tb[0], pb["fc1"])
+    _copy_linear(tb[2], pb["fc2"])
+    _copy_linear(tb[4], pb["fc3"])
+    np.testing.assert_allclose(
+        np.asarray(decoder_b_apply(pb, jnp.asarray(z))),
+        tb(_t(z)).detach().numpy(),
+        atol=2e-5,
+    )
+
+    pc = decoder_c_init(jax.random.PRNGKey(4), LATENT, N_SITES)
+    tc = tnn.Sequential(tnn.Linear(LATENT, 64), tnn.ReLU(), tnn.Linear(64, N_SITES))
+    _copy_linear(tc[0], pc["fc1"])
+    _copy_linear(tc[2], pc["fc2"])
+    np.testing.assert_allclose(
+        np.asarray(decoder_c_apply(pc, jnp.asarray(z))),
+        tc(_t(z)).detach().numpy(),
+        atol=2e-5,
+    )
+
+
+def test_reparameterize_stats():
+    key = jax.random.PRNGKey(0)
+    mu = jnp.full((20000, 4), 2.0)
+    logvar = jnp.full((20000, 4), np.log(0.25))  # std = 0.5
+    z = reparameterize(key, mu, logvar)
+    z_np = np.asarray(z)
+    assert np.isclose(z_np.mean(), 2.0, atol=0.02)
+    assert np.isclose(z_np.std(), 0.5, atol=0.02)
+
+
+def test_multimodal_vae_modality_subsets(rng):
+    params, state = multimodal_vae_init(
+        jax.random.PRNGKey(5), DIM_A, DIM_B, N_SITES, LATENT, EMBED
+    )
+    a = jnp.asarray(rng.normal(size=(4, DIM_A)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(4, DIM_B)).astype(np.float32))
+    site = jnp.asarray(rng.integers(0, N_SITES, size=(4,)))
+    key = jax.random.PRNGKey(6)
+    for kwargs in (
+        dict(a=a),
+        dict(b=b),
+        dict(site=site),
+        dict(a=a, b=b),
+        dict(a=a, site=site),
+        dict(b=b, site=site),
+        dict(a=a, b=b, site=site),
+    ):
+        out = multimodal_vae_apply(params, state, key, **kwargs)
+        assert out.out_a.shape == (4, DIM_A)
+        assert out.out_b.shape == (4, DIM_B)
+        assert out.out_c.shape == (4, N_SITES)
+        assert out.mu.shape == (4, LATENT)
+        assert np.all(np.isfinite(np.asarray(out.out_b)))
+        assert np.asarray(out.out_b).min() >= 0 and np.asarray(out.out_b).max() <= 1
+
+
+def test_posterior_fusion_is_arithmetic_mean(rng):
+    """Fused mu of (a, site) must equal mean of the single-modality mus."""
+    params, state = multimodal_vae_init(
+        jax.random.PRNGKey(7), DIM_A, DIM_B, N_SITES, LATENT, EMBED
+    )
+    a = jnp.asarray(rng.normal(size=(4, DIM_A)).astype(np.float32))
+    site = jnp.asarray(rng.integers(0, N_SITES, size=(4,)))
+    key = jax.random.PRNGKey(8)
+    mu_a = multimodal_vae_apply(params, state, key, a=a).mu
+    mu_c = multimodal_vae_apply(params, state, key, site=site).mu
+    mu_both = multimodal_vae_apply(params, state, key, a=a, site=site).mu
+    np.testing.assert_allclose(
+        np.asarray(mu_both), (np.asarray(mu_a) + np.asarray(mu_c)) / 2, atol=1e-6
+    )
+
+
+def test_directional_models_shapes(rng):
+    rna = jnp.asarray(rng.normal(size=(4, DIM_A)).astype(np.float32))
+    dna = jnp.asarray(rng.uniform(size=(4, DIM_B)).astype(np.float32))
+    site = jnp.asarray(rng.integers(0, N_SITES, size=(4,)))
+    key = jax.random.PRNGKey(9)
+
+    p, s = rna2dna_vae_init(jax.random.PRNGKey(10), DIM_A, DIM_B, N_SITES, LATENT)
+    out = rna2dna_vae_apply(p, s, key, rna=rna, site=site)
+    assert out.recon.shape == (4, DIM_B)
+    out_nosite = rna2dna_vae_apply(p, s, key, rna=rna)  # site=None path
+    assert out_nosite.recon.shape == (4, DIM_B)
+
+    p, s = dna2rna_vae_init(jax.random.PRNGKey(11), DIM_A, DIM_B, N_SITES, LATENT)
+    out = dna2rna_vae_apply(p, s, key, dna=dna, site=site)
+    assert out.recon.shape == (4, DIM_A)
+    out_nosite = dna2rna_vae_apply(p, s, key, dna=dna)
+    assert out_nosite.recon.shape == (4, DIM_A)
+
+    p, s = rna2dna_ae_init(jax.random.PRNGKey(12), DIM_A, DIM_B, N_SITES, LATENT)
+    out = rna2dna_ae_apply(p, s, key, rna=rna, site=site)
+    assert out.recon.shape == (4, DIM_B)
+    assert out.latent.shape == (4, LATENT)
+
+    p, s = dna2rna_ae_init(jax.random.PRNGKey(13), DIM_A, DIM_B, N_SITES, LATENT)
+    out = dna2rna_ae_apply(p, s, key, dna=dna, site=site)
+    assert out.recon.shape == (4, DIM_A)
+
+
+def test_models_vmap_over_params(rng):
+    """Fold/trial-level vmap: a population of models applies in one call."""
+    n_pop = 3
+    keys = jax.random.split(jax.random.PRNGKey(14), n_pop)
+    init = jax.vmap(
+        lambda k: rna2dna_vae_init(k, DIM_A, DIM_B, N_SITES, LATENT)
+    )
+    params, state = init(keys)
+    rna = jnp.asarray(rng.normal(size=(4, DIM_A)).astype(np.float32))
+    site = jnp.asarray(rng.integers(0, N_SITES, size=(4,)))
+
+    def fwd(p, s, k):
+        return rna2dna_vae_apply(p, s, k, rna=rna, site=site).recon
+
+    recons = jax.vmap(fwd)(params, state, jax.random.split(jax.random.PRNGKey(15), n_pop))
+    assert recons.shape == (n_pop, 4, DIM_B)
+    # different params → different outputs
+    assert not np.allclose(np.asarray(recons[0]), np.asarray(recons[1]))

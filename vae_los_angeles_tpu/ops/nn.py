@@ -1,0 +1,130 @@
+"""Pure-functional NN primitives with PyTorch-parity initialization/semantics.
+
+These are the building blocks for every model in the framework. Each layer is
+a pair of pure functions — ``*_init(key, ...) -> params`` and an apply fn —
+operating on plain dict pytrees, which makes them trivially composable with
+``jit`` / ``grad`` / ``vmap`` (vmapped CV folds and HPO trial populations
+carry independent parameter AND BatchNorm-state pytrees).
+
+Initialization matches torch defaults so that optimization trajectories land
+in the same quality basin as the reference (BASELINE.json requires Pearson-r
+parity within 0.01):
+  * ``nn.Linear``: weight, bias ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    (kaiming_uniform_(a=sqrt(5)) reduces to exactly this bound).
+  * ``nn.Embedding``: N(0, 1).
+  * ``nn.BatchNorm1d``: gamma=1, beta=0, running_mean=0, running_var=1,
+    eps=1e-5, momentum=0.1; train-mode normalizes with biased batch variance
+    but updates running_var with the UNBIASED estimate (torch semantics).
+  * ``nn.Dropout(p)``: zero with prob p, scale kept activations by 1/(1-p).
+
+All matmuls request ``preferred_element_type=float32`` so XLA keeps MXU
+accumulation in fp32 regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Linear
+# ---------------------------------------------------------------------------
+
+
+def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32):
+    """Init a dense layer the way ``torch.nn.Linear`` does.
+
+    Weight is stored as (in_dim, out_dim) — transposed vs torch — so the
+    forward pass is a plain ``x @ w`` that maps directly onto the MXU with the
+    contraction over the lane dimension.
+    """
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(jnp.asarray(in_dim, dtype=jnp.float32))
+    w = jax.random.uniform(wkey, (in_dim, out_dim), dtype, -bound, bound)
+    b = jax.random.uniform(bkey, (out_dim,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def linear_apply(params, x):
+    return (
+        jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding
+# ---------------------------------------------------------------------------
+
+
+def embedding_init(key, num_embeddings: int, embed_dim: int, dtype=jnp.float32):
+    """``torch.nn.Embedding`` default init: N(0, 1)."""
+    return {"table": jax.random.normal(key, (num_embeddings, embed_dim), dtype)}
+
+
+def embedding_apply(params, idx):
+    return jnp.take(params["table"], idx, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm1d
+# ---------------------------------------------------------------------------
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+def batchnorm_init(dim: int, dtype=jnp.float32):
+    """Returns (params, state): learnable scale/shift and running stats."""
+    params = {"gamma": jnp.ones((dim,), dtype), "beta": jnp.zeros((dim,), dtype)}
+    state = {"mean": jnp.zeros((dim,), dtype), "var": jnp.ones((dim,), dtype)}
+    return params, state
+
+
+def batchnorm_apply(params, state, x, *, train: bool):
+    """BatchNorm1d forward.
+
+    Returns (y, new_state). In eval mode state passes through unchanged.
+    ``train`` must be a static Python bool (it selects the traced graph).
+    """
+    if train:
+        mean = jnp.mean(x, axis=0)
+        var = jnp.var(x, axis=0)  # biased — used for normalization
+        n = x.shape[0]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1.0 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
+            "var": (1.0 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    y = (x - mean) * inv * params["gamma"] + params["beta"]
+    return y, new_state
+
+
+# ---------------------------------------------------------------------------
+# Dropout
+# ---------------------------------------------------------------------------
+
+
+def dropout_apply(key, x, rate: float, *, train: bool):
+    """Inverted dropout matching ``torch.nn.Dropout``. No-op in eval mode."""
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Activations (thin wrappers so model code reads uniformly)
+# ---------------------------------------------------------------------------
+
+
+def relu(x):
+    return jnp.maximum(x, 0.0)
+
+
+def sigmoid(x):
+    return jax.nn.sigmoid(x)

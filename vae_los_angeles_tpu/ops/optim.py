@@ -1,0 +1,122 @@
+"""Optimizer + scheduler state machines as pure functions.
+
+Hand-rolled (rather than optax) for two reasons:
+  1. the learning rate must be a *traced* carry value so that torch's
+     ReduceLROnPlateau semantics (reference train_rna2dna.py:190-195) can run
+     entirely inside the fused `lax.scan` training loop, and
+  2. hyperparameters (lr, weight-decay, beta1/2) stay plain scalars, so a
+     population of HPO trials vmaps over them with zero ceremony
+     (`parallel/vmap_meta.py`).
+
+AdamW replicates ``torch.optim.AdamW`` exactly (decoupled decay applied
+multiplicatively BEFORE the Adam update; bias-corrected moments; eps added
+after sqrt). Defaults betas=(0.9,0.999), eps=1e-8
+(reference train_rna2dna.py:185-189 uses lr=5e-4, weight_decay=1e-5).
+
+The plateau scheduler replicates torch defaults: mode='min',
+threshold=1e-4 (relative), cooldown=0, min_lr=0 — LR is multiplied by
+``factor`` when the monitored value fails to improve for > ``patience``
+consecutive epochs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-8
+PLATEAU_THRESHOLD = 1e-4  # torch default, threshold_mode='rel'
+
+
+def adamw_init(params):
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return {
+        "step": jnp.zeros((), jnp.int32),
+        "m": zeros,
+        "v": jax.tree.map(jnp.zeros_like, params),
+    }
+
+
+def adamw_update(params, grads, state, lr, weight_decay):
+    """One AdamW step. ``lr`` may be a traced scalar (plateau-scheduled)."""
+    step = state["step"] + 1
+    t = step.astype(jnp.float32)
+    bc1 = 1.0 - ADAM_B1**t
+    bc2 = 1.0 - ADAM_B2**t
+
+    def leaf(p, g, m, v):
+        m = ADAM_B1 * m + (1.0 - ADAM_B1) * g
+        v = ADAM_B2 * v + (1.0 - ADAM_B2) * jnp.square(g)
+        # torch order: decay p first, then apply bias-corrected Adam step.
+        p = p * (1.0 - lr * weight_decay)
+        p = p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + ADAM_EPS)
+        return p, m, v
+
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(state["m"])
+    flat_v = treedef.flatten_up_to(state["v"])
+    out = [leaf(p, g, m, v) for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+    new_p = treedef.unflatten([o[0] for o in out])
+    new_m = treedef.unflatten([o[1] for o in out])
+    new_v = treedef.unflatten([o[2] for o in out])
+    return new_p, {"step": step, "m": new_m, "v": new_v}
+
+
+# ---------------------------------------------------------------------------
+# ReduceLROnPlateau (min mode) as a scan-friendly state transition
+# ---------------------------------------------------------------------------
+
+
+def plateau_init(lr):
+    return {
+        "lr": jnp.asarray(lr, jnp.float32),
+        "best": jnp.asarray(jnp.inf, jnp.float32),
+        "bad_epochs": jnp.zeros((), jnp.int32),
+    }
+
+
+def plateau_step(state, metric, factor, patience):
+    """Returns updated state; state['lr'] is the LR for the NEXT epoch."""
+    improved = metric < state["best"] * (1.0 - PLATEAU_THRESHOLD)
+    best = jnp.where(improved, metric, state["best"])
+    bad = jnp.where(improved, 0, state["bad_epochs"] + 1)
+    reduce_now = bad > patience
+    lr = jnp.where(reduce_now, state["lr"] * factor, state["lr"])
+    bad = jnp.where(reduce_now, 0, bad)
+    return {"lr": lr, "best": best, "bad_epochs": bad}
+
+
+# ---------------------------------------------------------------------------
+# Early stopping (strict-improvement, reference train_rna2dna.py:225-237)
+# ---------------------------------------------------------------------------
+
+
+def early_stop_init():
+    return {
+        "best_val": jnp.asarray(jnp.inf, jnp.float32),
+        "trigger": jnp.zeros((), jnp.int32),
+        "stopped": jnp.zeros((), jnp.bool_),
+        "best_epoch": jnp.zeros((), jnp.int32),
+    }
+
+
+def early_stop_step(state, val_loss, epoch, patience):
+    """Returns (new_state, take_snapshot) — snapshot is True on improvement
+    (the fused trainer then copies current params into best-params slots)."""
+    improved = jnp.logical_and(val_loss < state["best_val"], ~state["stopped"])
+    best_val = jnp.where(improved, val_loss, state["best_val"])
+    trigger = jnp.where(improved, 0, state["trigger"] + 1)
+    stopped = jnp.logical_or(state["stopped"], trigger >= patience)
+    best_epoch = jnp.where(improved, epoch, state["best_epoch"])
+    return (
+        {
+            "best_val": best_val,
+            "trigger": trigger,
+            "stopped": stopped,
+            "best_epoch": best_epoch,
+        },
+        improved,
+    )
