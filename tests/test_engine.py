@@ -1,0 +1,137 @@
+"""End-to-end smoke tests of the fused training engine on synthetic data
+(SURVEY §4 implication (c): smoke training on the real schema)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_los_angeles_tpu.config import Config
+from vae_los_angeles_tpu.data.dataset import MultiModalArrays
+from vae_los_angeles_tpu.data.splits import train_val_indices
+from vae_los_angeles_tpu.data.synthetic import generate_synthetic_arrays
+from vae_los_angeles_tpu.ops.metrics import compute_imputation_metrics
+from vae_los_angeles_tpu.training import engine
+
+DIM_A, DIM_B, N_SITES = 33, 45, 5
+
+
+@pytest.fixture(scope="module")
+def small_data():
+    tpm, beta, site = generate_synthetic_arrays(
+        n_samples=256, dim_a=DIM_A, dim_b=DIM_B, n_sites=N_SITES, seed=3
+    )
+    tr, va = train_val_indices(len(site))
+    arrays = MultiModalArrays(jnp.asarray(tpm), jnp.asarray(beta), jnp.asarray(site))
+    return arrays.take(tr), arrays.take(va)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(
+        input_dim_a=DIM_A,
+        input_dim_b=DIM_B,
+        latent_dim=8,
+        batch_size=32,
+        num_epochs=30,
+    )
+
+
+def test_fit_rna2dna_learns(small_data, cfg):
+    train, val = small_data
+    res = engine.fit(
+        "rna2dna", cfg, train, val, jax.random.PRNGKey(0), N_SITES, num_epochs=30
+    )
+    train_losses = np.asarray(res.train_losses)
+    val_losses = np.asarray(res.val_losses)
+    ran = ~np.isnan(val_losses)
+    assert ran[0]
+    # loss decreases over training
+    assert val_losses[ran][-1] < val_losses[0]
+    assert float(res.best_val_loss) <= np.nanmin(val_losses) + 1e-4
+    # β-warmup schedule: epoch0 → 0, grows toward beta_start
+    betas = np.asarray(res.betas)
+    assert betas[0] == 0.0
+    assert betas[ran][-1] <= cfg.beta_start + 1e-9
+
+    # prediction beats the mean baseline (reference's oracle strategy)
+    pred = np.asarray(
+        engine.predict("rna2dna", res.params, res.state, val)
+    )
+    mean_pred = np.tile(
+        np.asarray(train.beta).mean(axis=0), (len(val), 1)
+    )
+    m_vae = compute_imputation_metrics(np.asarray(val.beta), pred)
+    m_mean = compute_imputation_metrics(np.asarray(val.beta), mean_pred)
+    assert m_vae["MSE"] < m_mean["MSE"]
+    assert m_vae["PearsonMean"] > m_mean["PearsonMean"]
+
+
+@pytest.mark.parametrize("task", ["dna2rna", "rna2dna_ae", "dna2rna_ae"])
+def test_fit_other_tasks_smoke(small_data, cfg, task):
+    train, val = small_data
+    res = engine.fit(
+        task, cfg, train, val, jax.random.PRNGKey(1), N_SITES, num_epochs=8
+    )
+    val_losses = np.asarray(res.val_losses)
+    assert np.isfinite(val_losses[0])
+    assert val_losses[7] < val_losses[0]
+
+
+def test_fit_multimodal_with_class_weights(small_data, cfg):
+    train, val = small_data
+    cw = np.ones(N_SITES, np.float32)
+    res = engine.fit(
+        "multimodal",
+        cfg,
+        train,
+        val,
+        jax.random.PRNGKey(2),
+        N_SITES,
+        num_epochs=8,
+        class_weights=cw,
+    )
+    assert np.isfinite(np.asarray(res.val_losses)[:8]).all()
+
+
+def test_early_stopping_freezes_best(small_data, cfg):
+    """With tiny patience the run stops early and best snapshot is kept."""
+    train, val = small_data
+    cfg2 = cfg.replace(patience=2, num_epochs=40)
+    res = engine.fit(
+        "rna2dna", cfg2, train, val, jax.random.PRNGKey(3), N_SITES, num_epochs=40
+    )
+    val_losses = np.asarray(res.val_losses)
+    if bool(res.stopped):
+        # NaN tail after the stop epoch
+        ran = ~np.isnan(val_losses)
+        stop_at = int(ran.sum())
+        assert stop_at < 40
+        assert np.isnan(val_losses[stop_at:]).all()
+        best = float(res.best_val_loss)
+        np.testing.assert_allclose(best, np.nanmin(val_losses), rtol=1e-6)
+
+
+def test_drop_last_false_uses_remainder(small_data, cfg):
+    """CV inner loops keep the partial batch (vae_cross_modality_cv.py:121)."""
+    train, val = small_data
+    res = engine.fit(
+        "rna2dna",
+        cfg,
+        train,
+        val,
+        jax.random.PRNGKey(4),
+        N_SITES,
+        num_epochs=3,
+        drop_last=False,
+    )
+    assert np.isfinite(np.asarray(res.val_losses)[:3]).all()
+
+
+def test_fit_deterministic(small_data, cfg):
+    train, val = small_data
+    r1 = engine.fit("rna2dna", cfg, train, val, jax.random.PRNGKey(7), N_SITES, num_epochs=5)
+    r2 = engine.fit("rna2dna", cfg, train, val, jax.random.PRNGKey(7), N_SITES, num_epochs=5)
+    np.testing.assert_allclose(
+        np.asarray(r1.val_losses)[:5], np.asarray(r2.val_losses)[:5], rtol=1e-6
+    )

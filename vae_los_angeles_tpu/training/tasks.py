@@ -1,0 +1,191 @@
+"""Task registry: binds each model family to its init / loss / predict fns.
+
+A Task packages everything the fused training engine needs, with a uniform
+batch convention — every batch is the (tpm, beta, site) triple from
+`data.dataset.MultiModalArrays`; the task decides which fields are inputs
+vs target. This mirrors how the reference's five training paths differ only
+in the forward call + loss (train_rna2dna.py:86-92, train_dna2rna.py:86-92,
+optimize_hyperparameters.py:105-110, vae_cross_modality_cv.py:145-155/234-244).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+
+from vae_los_angeles_tpu.models import directional_ae, directional_vae, vae
+from vae_los_angeles_tpu.ops import losses
+
+
+class Task(NamedTuple):
+    name: str
+    # init(key, cfg, n_sites) -> (params, bn_state)
+    init: Callable
+    # loss(params, state, key, batch, beta_kl, gamma, class_weights, train)
+    #   -> (loss_sum, new_state)
+    loss: Callable
+    # predict(params, state, key, batch) -> imputed target array (eval mode)
+    predict: Callable
+    # target(batch) -> ground-truth array for the prediction
+    target: Callable
+    uses_kl_warmup: bool
+
+
+def _rna2dna_init(key, cfg, n_sites):
+    return directional_vae.rna2dna_vae_init(
+        key, cfg.input_dim_a, cfg.input_dim_b, n_sites, cfg.latent_dim, cfg.embed_dim
+    )
+
+
+def _rna2dna_loss(params, state, key, batch, beta_kl, gamma, class_weights, train):
+    out = directional_vae.rna2dna_vae_apply(
+        params, state, key, rna=batch.tpm, site=batch.site, train=train
+    )
+    total, _ = losses.rna2dna_loss(
+        out.recon_logits, batch.beta, out.mu, out.logvar, beta=beta_kl
+    )
+    return total, out.state
+
+
+def _rna2dna_predict(params, state, key, batch):
+    return directional_vae.rna2dna_vae_apply(
+        params, state, key, rna=batch.tpm, site=batch.site, train=False
+    ).recon
+
+
+def _dna2rna_init(key, cfg, n_sites):
+    return directional_vae.dna2rna_vae_init(
+        key, cfg.input_dim_a, cfg.input_dim_b, n_sites, cfg.latent_dim, cfg.embed_dim
+    )
+
+
+def _dna2rna_loss(params, state, key, batch, beta_kl, gamma, class_weights, train):
+    out = directional_vae.dna2rna_vae_apply(
+        params, state, key, dna=batch.beta, site=batch.site, train=train
+    )
+    total, _ = losses.dna2rna_loss(
+        out.recon, batch.tpm, out.mu, out.logvar, beta=beta_kl
+    )
+    return total, out.state
+
+
+def _dna2rna_predict(params, state, key, batch):
+    return directional_vae.dna2rna_vae_apply(
+        params, state, key, dna=batch.beta, site=batch.site, train=False
+    ).recon
+
+
+def _rna2dna_ae_init(key, cfg, n_sites):
+    return directional_ae.rna2dna_ae_init(
+        key, cfg.input_dim_a, cfg.input_dim_b, n_sites, cfg.latent_dim, cfg.embed_dim
+    )
+
+
+def _rna2dna_ae_loss(params, state, key, batch, beta_kl, gamma, class_weights, train):
+    out = directional_ae.rna2dna_ae_apply(
+        params, state, key, rna=batch.tpm, site=batch.site, train=train
+    )
+    total, _ = losses.rna2dna_ae_loss(out.recon_logits, batch.beta)
+    return total, out.state
+
+
+def _rna2dna_ae_predict(params, state, key, batch):
+    return directional_ae.rna2dna_ae_apply(
+        params, state, key, rna=batch.tpm, site=batch.site, train=False
+    ).recon
+
+
+def _dna2rna_ae_init(key, cfg, n_sites):
+    return directional_ae.dna2rna_ae_init(
+        key, cfg.input_dim_a, cfg.input_dim_b, n_sites, cfg.latent_dim, cfg.embed_dim
+    )
+
+
+def _dna2rna_ae_loss(params, state, key, batch, beta_kl, gamma, class_weights, train):
+    out = directional_ae.dna2rna_ae_apply(
+        params, state, key, dna=batch.beta, site=batch.site, train=train
+    )
+    total, _ = losses.dna2rna_ae_loss(out.recon, batch.tpm)
+    return total, out.state
+
+
+def _dna2rna_ae_predict(params, state, key, batch):
+    return directional_ae.dna2rna_ae_apply(
+        params, state, key, dna=batch.beta, site=batch.site, train=False
+    ).recon
+
+
+def _multimodal_init(key, cfg, n_sites):
+    return vae.multimodal_vae_init(
+        key, cfg.input_dim_a, cfg.input_dim_b, n_sites, cfg.latent_dim, cfg.embed_dim
+    )
+
+
+def _multimodal_loss(params, state, key, batch, beta_kl, gamma, class_weights, train):
+    out = vae.multimodal_vae_apply(
+        params, state, key, a=batch.tpm, b=batch.beta, site=batch.site, train=train
+    )
+    total, _ = losses.vae_loss(
+        out.out_a,
+        batch.tpm,
+        out.out_b_logits,
+        batch.beta,
+        out.out_c,
+        batch.site,
+        out.mu,
+        out.logvar,
+        beta=beta_kl,
+        gamma=gamma,
+        class_weights=class_weights,
+    )
+    return total, out.state
+
+
+def _multimodal_predict(params, state, key, batch):
+    """Cross-modal imputation of DNA from RNA alone (downstream_task.py:32)."""
+    return vae.multimodal_vae_apply(params, state, key, a=batch.tpm, train=False).out_b
+
+
+TASKS = {
+    "rna2dna": Task(
+        "rna2dna",
+        _rna2dna_init,
+        _rna2dna_loss,
+        _rna2dna_predict,
+        lambda b: b.beta,
+        True,
+    ),
+    "dna2rna": Task(
+        "dna2rna",
+        _dna2rna_init,
+        _dna2rna_loss,
+        _dna2rna_predict,
+        lambda b: b.tpm,
+        True,
+    ),
+    "rna2dna_ae": Task(
+        "rna2dna_ae",
+        _rna2dna_ae_init,
+        _rna2dna_ae_loss,
+        _rna2dna_ae_predict,
+        lambda b: b.beta,
+        False,
+    ),
+    "dna2rna_ae": Task(
+        "dna2rna_ae",
+        _dna2rna_ae_init,
+        _dna2rna_ae_loss,
+        _dna2rna_ae_predict,
+        lambda b: b.tpm,
+        False,
+    ),
+    "multimodal": Task(
+        "multimodal",
+        _multimodal_init,
+        _multimodal_loss,
+        _multimodal_predict,
+        lambda b: b.beta,
+        True,
+    ),
+}
