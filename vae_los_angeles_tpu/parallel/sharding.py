@@ -1,0 +1,161 @@
+"""Multi-chip scaling: device mesh, sharding layouts, sharded train step.
+
+The reference is strictly single-device (SURVEY §2.3: no DP/TP/PP/SP/EP, no
+comms backend anywhere). The TPU-native replacement is declarative SPMD:
+pick a ``jax.sharding.Mesh`` over ("data", "model") axes, annotate array
+shardings with NamedSharding/PartitionSpec, and let XLA's GSPMD partitioner
+insert the ICI collectives (psum for gradient reduction across "data",
+all-gather/reduce-scatter around the "model"-sharded matmuls).
+
+Layout policy for this model family:
+  * batch axis of every modality array → "data" (pure data parallelism);
+  * the wide hidden layers — EncoderB's in→512 / 512→256 and DecoderB's
+    256→512 / 512→out matmuls, the largest weights at ~dim_b×512 — are
+    column/row-sharded over "model" (tensor parallelism), alternating
+    column-then-row so consecutive layers need only one psum at the block
+    boundary (Megatron-style, expressed purely as PartitionSpecs);
+  * everything small (latent heads, embeddings, BN params) is replicated.
+
+At the reference's default scale a single v5e chip is already far from
+saturated, so the mesh defaults to data-parallel-only; the "model" axis
+exists for wide-configuration runs and is exercised by the multi-chip
+dry-run (`__graft_entry__.dryrun_multichip`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vae_los_angeles_tpu.data.dataset import MultiModalArrays
+from vae_los_angeles_tpu.ops import optim
+from vae_los_angeles_tpu.training.tasks import TASKS
+
+
+def make_mesh(n_devices=None, model_parallel: int = 1, devices=None) -> Mesh:
+    """Mesh over ("data", "model"). model_parallel must divide n_devices."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"model_parallel={model_parallel} must divide {n} devices")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-axis sharding for (n, features) and (n,) arrays."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_arrays(arrays: MultiModalArrays, mesh: Mesh) -> MultiModalArrays:
+    s = data_sharding(mesh)
+    return MultiModalArrays(
+        tpm=jax.device_put(arrays.tpm, s),
+        beta=jax.device_put(arrays.beta, s),
+        site=jax.device_put(arrays.site, s),
+    )
+
+
+# Wide layers worth tensor-sharding, keyed by (module, layer): True = shard
+# the OUTPUT dim (column parallel), False = shard the INPUT dim (row
+# parallel). Pairs are arranged column→row so activations only need a psum
+# at the pair boundary.
+_COL = True
+_ROW = False
+_TP_LAYERS = {
+    ("encoder_b", "fc1"): _COL,  # dim_b → 512, shard 512
+    ("encoder_b", "fc2"): _ROW,  # 512 → 256, shard 512 (contraction)
+    ("encoder_dna", "fc1"): _COL,
+    ("encoder_dna", "fc2"): _ROW,
+    ("enc_fc1",): _COL,  # DNA2RNAAE encoder
+    ("enc_fc2",): _ROW,
+    ("decoder_b", "fc2"): _COL,  # 256 → 512, shard 512
+    ("decoder_b", "fc3"): _ROW,  # 512 → dim_b, shard 512 (contraction)
+    ("decoder_dna", "fc2"): _COL,
+    ("decoder_dna", "fc3"): _ROW,
+}
+
+
+def param_specs(params) -> dict:
+    """PartitionSpec tree for a model's parameter pytree.
+
+    Tensor-shards the wide 512-unit layers over "model"; replicates the rest.
+    BN params tied to column-sharded activations stay replicated (cheap, and
+    BN reduces over batch, not features).
+    """
+
+    def walk(tree, path):
+        if isinstance(tree, dict) and "w" in tree and "b" in tree:
+            for tp_path, col in _TP_LAYERS.items():
+                if path[-len(tp_path) :] == tp_path:
+                    if col:
+                        return {"w": P(None, "model"), "b": P("model")}
+                    return {"w": P("model", None), "b": P()}
+            return {"w": P(), "b": P()}
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        return P()
+
+    return walk(params, ())
+
+
+def shard_params(params, mesh: Mesh):
+    specs = param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def build_sharded_train_step(task_name: str, has_class_weights: bool = False):
+    """One fused forward+backward+AdamW step, jittable over a mesh.
+
+    All sharding is carried by the committed input arrays; GSPMD propagates
+    it through the gradient computation and inserts the psum over "data" for
+    gradient reduction plus the TP collectives around "model"-sharded
+    matmuls.
+    """
+    task = TASKS[task_name]
+
+    def loss_fn(params, state, key, batch, beta_kl, gamma, class_weights):
+        return task.loss(
+            params, state, key, batch, beta_kl, gamma, class_weights, True
+        )
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def train_step(params, state, opt, batch, key, lr, weight_decay, beta_kl,
+                   gamma, class_weights=None):
+        (loss, new_state), grads = grad_fn(
+            params, state, key, batch, beta_kl, gamma, class_weights
+        )
+        params, opt = optim.adamw_update(params, grads, opt, lr, weight_decay)
+        return params, new_state, opt, loss
+
+    return train_step
+
+
+def sharded_train_step(task_name: str):
+    return build_sharded_train_step(task_name)
+
+
+def make_sharded_train_state(task_name: str, cfg, n_sites: int, mesh: Mesh, key):
+    """Initialize params/BN/opt state laid out on the mesh."""
+    task = TASKS[task_name]
+    params, state = task.init(key, cfg, n_sites)
+    params = shard_params(params, mesh)
+    replicated = NamedSharding(mesh, P())
+    state = jax.tree.map(lambda x: jax.device_put(x, replicated), state)
+    opt = optim.adamw_init(params)
+    return params, state, opt

@@ -1,0 +1,144 @@
+"""Batched meta-loops: CV folds and HPO trials as vmapped populations.
+
+The reference runs `folds × directions` full VAE trainings sequentially
+(vae_cross_modality_cv.py:314, SURVEY §3.4 — its wall-clock hot spot) and
+sequential Optuna trials (optimize_hyperparameters.py:140). Both collapse
+here into a single compiled program: `jax.vmap` over the pure fused-fit
+function gives one XLA computation that trains the whole population
+simultaneously, batching every matmul across the population axis on the MXU.
+
+Shape discipline (SURVEY hard-part #4):
+  * folds are grouped by (train-size, val-size) — KFold yields at most two
+    distinct sizes, so at most two compiled executables, each vmapping the
+    folds of identical shape. No masking, exact per-fold reference semantics.
+  * trials vmap over the shape-free hyperparameters (lr, weight-decay,
+    beta_start, gamma). Shape-carrying ones (latent_dim, embed_dim) select
+    the executable; trials sharing them batch together.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_los_angeles_tpu.config import Config
+from vae_los_angeles_tpu.data.dataset import MultiModalArrays
+from vae_los_angeles_tpu.training import engine
+from vae_los_angeles_tpu.training.tasks import TASKS
+
+
+def _stack_arrays(list_of_arrays: Sequence[MultiModalArrays]) -> MultiModalArrays:
+    return MultiModalArrays(
+        tpm=jnp.stack([a.tpm for a in list_of_arrays]),
+        beta=jnp.stack([a.beta for a in list_of_arrays]),
+        site=jnp.stack([a.site for a in list_of_arrays]),
+    )
+
+
+_VMAP_FIT_CACHE: dict = {}
+
+
+def _vmapped_fit(task_name, num_epochs, batch_size, n_train, n_val, drop_last,
+                 has_cw, data_axis, hp_axis):
+    """jit(vmap(fit)) with configurable in_axes, cached per static config."""
+    cache_key = (task_name, num_epochs, batch_size, n_train, n_val, drop_last,
+                 has_cw, data_axis, hp_axis)
+    if cache_key not in _VMAP_FIT_CACHE:
+        fit_fn = engine.build_fit_fn(
+            task_name, num_epochs, batch_size, n_train, n_val, drop_last, has_cw
+        )
+        in_axes = (0, 0, data_axis, data_axis, hp_axis, None, 0)
+        # hp_axis 0 maps every hyperparameter leaf over the trial axis
+        _VMAP_FIT_CACHE[cache_key] = jax.jit(jax.vmap(fit_fn, in_axes=in_axes))
+    return _VMAP_FIT_CACHE[cache_key]
+
+
+def fit_folds(
+    task_name: str,
+    cfg: Config,
+    fold_train: Sequence[MultiModalArrays],
+    fold_val: Sequence[MultiModalArrays],
+    key,
+    n_sites: int,
+    *,
+    num_epochs=None,
+    drop_last: bool = False,
+) -> List[engine.FitResult]:
+    """Train one model per CV fold, folds of equal shape batched via vmap.
+
+    Returns a list of per-fold FitResults in the input order. ``drop_last``
+    defaults False to match the CV inner loaders (vae_cross_modality_cv.py:121).
+    """
+    task = TASKS[task_name]
+    num_epochs = num_epochs or cfg.num_epochs
+    # group folds by (n_train, n_val)
+    groups: Dict[tuple, list] = {}
+    for i, (tr, va) in enumerate(zip(fold_train, fold_val)):
+        groups.setdefault((len(tr), len(va)), []).append(i)
+
+    results: List = [None] * len(fold_train)
+    keys = jax.random.split(key, len(fold_train))
+    hp = engine.hyperparams(cfg)
+    for (n_tr, n_va), idxs in groups.items():
+        stacked_tr = _stack_arrays([fold_train[i] for i in idxs])
+        stacked_va = _stack_arrays([fold_val[i] for i in idxs])
+        group_keys = keys[np.asarray(idxs)]
+        init = jax.jit(jax.vmap(lambda k: task.init(k, cfg, n_sites)))
+        params0, state0 = init(group_keys)
+        fit_v = _vmapped_fit(
+            task_name, int(num_epochs), int(cfg.batch_size), n_tr, n_va,
+            bool(drop_last), False, 0, None,
+        )
+        batched: engine.FitResult = fit_v(
+            params0, state0, stacked_tr, stacked_va, hp, None, group_keys
+        )
+        for j, i in enumerate(idxs):
+            results[i] = jax.tree.map(lambda x: x[j], batched)
+    return results
+
+
+def fit_trials(
+    task_name: str,
+    cfg: Config,
+    train_arrays: MultiModalArrays,
+    val_arrays: MultiModalArrays,
+    key,
+    n_sites: int,
+    hp_population: Dict[str, np.ndarray],
+    *,
+    num_epochs=None,
+    class_weights=None,
+) -> engine.FitResult:
+    """Train a population of hyperparameter trials in ONE compiled program.
+
+    ``hp_population`` maps hyperparam name → (n_trials,) array for any of
+    {lr, weight_decay, beta_start, gamma}. All trials share the model shape
+    (cfg.latent_dim / cfg.embed_dim); callers bucket trials by shape.
+    Returns a FitResult whose leaves have a leading trial axis.
+    """
+    task = TASKS[task_name]
+    num_epochs = num_epochs or cfg.num_epochs
+    n_trials = len(next(iter(hp_population.values())))
+    base = engine.hyperparams(cfg)
+    hp = {
+        k: (
+            jnp.asarray(hp_population[k], base[k].dtype)
+            if k in hp_population
+            else jnp.broadcast_to(base[k], (n_trials,))
+        )
+        for k in base
+    }
+
+    keys = jax.random.split(key, n_trials)
+    init = jax.jit(jax.vmap(lambda k: task.init(k, cfg, n_sites)))
+    params0, state0 = init(keys)
+    fit_v = _vmapped_fit(
+        task_name, int(num_epochs), int(cfg.batch_size),
+        int(len(train_arrays)), int(len(val_arrays)), True,
+        class_weights is not None, None, 0,
+    )
+    cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
+    return fit_v(params0, state0, train_arrays, val_arrays, hp, cw, keys)

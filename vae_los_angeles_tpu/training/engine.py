@@ -72,7 +72,7 @@ def hyperparams(cfg: Config, **overrides):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fit(
+def build_fit_fn(
     task_name: str,
     num_epochs: int,
     batch_size: int,
@@ -81,8 +81,13 @@ def _build_fit(
     drop_last: bool,
     has_class_weights: bool,
 ):
-    """Construct and jit the fused training function for a static problem
-    shape. lru_cache keeps one compiled executable per configuration."""
+    """Construct the PURE fused training function for a static problem shape.
+
+    Signature: _fit(params0, state0, train_arrays, val_arrays, hp,
+    class_weights, key) -> FitResult. Returned unjitted so that
+    `parallel.vmap_meta` can vmap it over fold/trial populations; `_build_fit`
+    wraps it in jit for single-run use.
+    """
     task: Task = TASKS[task_name]
     n_full = n_train // batch_size
     remainder = 0 if drop_last else n_train % batch_size
@@ -214,7 +219,12 @@ def _build_fit(
             betas=betas,
         )
 
-    return jax.jit(_fit)
+    return _fit
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fit(*static_args):
+    return jax.jit(build_fit_fn(*static_args))
 
 
 def fit(
