@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark: full 200-epoch RNA→DNA directional-VAE training on one chip.
+
+Measures the BASELINE.json north-star metric — wall-clock for a complete
+200-epoch rna2dna training run (reference defaults: batch 32, AdamW 5e-4,
+β-warmup, plateau scheduler; early stopping disabled so all 200 epochs are
+actually executed) on a synthetic dataset with the reference's live feature
+dims (1177 RNA / 1211 DNA, 24 sites). The whole run is ONE device dispatch
+(`training.engine.fit`).
+
+Prints one JSON line:
+  {"metric": "rna2dna_200epoch_wallclock", "value": <seconds>, "unit": "s",
+   "vs_baseline": <60s target / measured — higher is better>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_los_angeles_tpu.config import Config
+from vae_los_angeles_tpu.data.dataset import MultiModalArrays
+from vae_los_angeles_tpu.data.splits import train_val_indices
+from vae_los_angeles_tpu.data.synthetic import generate_synthetic_arrays
+from vae_los_angeles_tpu.training import engine
+
+N_SAMPLES = 8000  # TCGA-scale matched cohort
+N_SITES = 24
+TARGET_SECONDS = 60.0  # BASELINE.json north star: 200 epochs < 60 s
+EPOCHS = 200
+
+
+def main():
+    cfg = Config.from_env().replace(patience=10_000)  # run all 200 epochs
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    tpm, beta, site = generate_synthetic_arrays(
+        n_samples=N_SAMPLES,
+        dim_a=cfg.input_dim_a,
+        dim_b=cfg.input_dim_b,
+        n_sites=N_SITES,
+        seed=0,
+    )
+    tr_idx, va_idx = train_val_indices(N_SAMPLES, cfg.train_test_split, cfg.random_seed)
+    arrays = MultiModalArrays(jnp.asarray(tpm), jnp.asarray(beta), jnp.asarray(site))
+    train_arrays, val_arrays = arrays.take(tr_idx), arrays.take(va_idx)
+    jax.block_until_ready((train_arrays, val_arrays))
+
+    def run(seed):
+        res = engine.fit(
+            "rna2dna",
+            cfg,
+            train_arrays,
+            val_arrays,
+            jax.random.PRNGKey(seed),
+            N_SITES,
+            num_epochs=EPOCHS,
+        )
+        # NOTE: device_get, not block_until_ready — the axon remote relay
+        # returns from block_until_ready before execution completes, so an
+        # honest wall-clock must fetch a value.
+        float(jax.device_get(res.best_val_loss))
+        np.asarray(res.val_losses[-1])
+        return res
+
+    t0 = time.perf_counter()
+    run(0)  # compile + first run
+    compile_and_run = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res = run(1)  # steady-state (executable cached)
+    wall = time.perf_counter() - t0
+
+    n_train = len(tr_idx)
+    samples_per_sec = EPOCHS * (n_train // cfg.batch_size) * cfg.batch_size / wall
+    print(
+        f"compile+run: {compile_and_run:.2f}s | steady-state 200-epoch run: "
+        f"{wall:.2f}s | {samples_per_sec:,.0f} samples/s | "
+        f"final val loss {float(res.val_losses[-1]):.2f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "rna2dna_200epoch_wallclock",
+                "value": round(wall, 3),
+                "unit": "s",
+                "vs_baseline": round(TARGET_SECONDS / wall, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
