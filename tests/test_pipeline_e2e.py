@@ -1,0 +1,200 @@
+"""End-to-end pipeline test: prepare → train×3 → every evaluation surface.
+
+Exercises the full reference-equivalent workflow (SURVEY §1 L1-L7) on small
+synthetic data, on CPU. Module-scoped fixtures share one workspace so each
+surface is tested against real checkpoints and the real artifact protocol.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vae_los_angeles_tpu.config import Config
+
+DIM_A, DIM_B, N_SITES = 25, 31, 6
+CFG = Config(
+    input_dim_a=DIM_A,
+    input_dim_b=DIM_B,
+    latent_dim=6,
+    batch_size=32,
+    num_epochs=6,
+)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """Synthetic data + all three trained checkpoints in one directory."""
+    ws = tmp_path_factory.mktemp("pipeline")
+    old_cwd = os.getcwd()
+    os.chdir(ws)
+    try:
+        from vae_los_angeles_tpu.data.synthetic import write_synthetic_artifacts
+
+        write_synthetic_artifacts(
+            "data", n_samples=400, dim_a=DIM_A, dim_b=DIM_B, n_sites=N_SITES,
+            n_unmatched=48,
+        )
+        # config env would normally carry dims; here pass cfg explicitly
+        from vae_los_angeles_tpu.training.cli import run_training
+
+        run_training("rna2dna", "rna2dna", cfg=CFG, argv=["--epochs", "6"])
+        run_training("dna2rna", "dna2rna", cfg=CFG, argv=["--epochs", "6"])
+        run_training(
+            "multimodal", "multivae", cfg=CFG, use_class_weights=True,
+            argv=["--epochs", "6"],
+        )
+        yield ws
+    finally:
+        os.chdir(old_cwd)
+
+
+def test_prepared_artifacts(workspace):
+    for name in (
+        "processed_data.pkl",
+        "label_encoder.pkl",
+        "rna_only_unmatched.pkl",
+        "dna_only_unmatched.pkl",
+        "feature_names.pkl",
+    ):
+        assert (workspace / "data" / name).exists(), name
+
+
+def test_evaluate_contract(workspace):
+    """The reconstructed missing-evaluate.py contract end to end."""
+    from vae_los_angeles_tpu.evaluation.evaluate import get_run_id, main
+
+    assert get_run_id("multivae") is not None
+    results = main(cfg=CFG)
+    out = workspace / "plots" / "evaluation_results.json"
+    assert out.exists()
+    saved = json.loads(out.read_text())
+    assert {r["Modality"] for r in saved["results"]} == {
+        "DNA methylation",
+        "RNA expression",
+    }
+    for r in results:
+        for k in ("MSE", "MAE", "CosineSimilarity", "PearsonMean"):
+            assert np.isfinite(r[k])
+
+
+def test_compare_directional_imputation(workspace):
+    from vae_los_angeles_tpu.evaluation.compare_directional_imputation import main
+
+    results = main(cfg=CFG)
+    models = {(r["Modality"], r["Model"]) for r in results}
+    assert ("DNA methylation", "RNA2DNAVAE") in models
+    assert ("RNA expression", "Mean Imputation") in models
+    assert ("RNA expression", "k-NN Imputation") in models
+    out_dirs = list((workspace / "plots").glob("directional_comparison_*"))
+    assert out_dirs
+    assert (out_dirs[0] / "comparison_results.csv").exists()
+    assert (out_dirs[0] / "comparison_results.json").exists()
+
+
+def test_reconstruct_unmatched_and_clustering(workspace):
+    from vae_los_angeles_tpu.evaluation.reconstruct_unmatched import main as recon_main
+
+    rna_df, dna_df = recon_main(cfg=CFG)
+    assert rna_df is not None and "reconstructed_beta_value" in rna_df.columns
+    assert dna_df is not None and "reconstructed_tpm_unstranded" in dna_df.columns
+    # reconstructed beta values are valid probabilities
+    betas = np.stack(rna_df["reconstructed_beta_value"].values)
+    assert betas.min() >= 0 and betas.max() <= 1
+
+    from vae_los_angeles_tpu.evaluation.clustering.cluster_reconstructed import (
+        main as cluster_main,
+    )
+
+    results = cluster_main(cfg=CFG)
+    assert any(r is not None for r in results)
+    summaries = list((workspace / "plots" / "clustering").glob("clustering_summary_*"))
+    assert summaries
+
+
+def test_cluster_imputation_methods(workspace):
+    from vae_los_angeles_tpu.evaluation.clustering.cluster_imputation_methods import (
+        main as cim_main,
+    )
+
+    results = cim_main(cfg=CFG)
+    assert results
+    methods = {r["method"] for r in results}
+    assert "Mean" in methods and "KNN" in methods
+
+
+def test_knn_comparison(workspace):
+    from vae_los_angeles_tpu.evaluation.knn_comparison import main as knn_main
+
+    r1, r2 = knn_main(cfg=CFG, make_tsne=False)
+    assert "KNN (Base)" in r1 and "KNN (Cond)" in r1 and "VAE (Cond)" in r1
+    assert (workspace / "plots" / "comparison" / "boxplot_RNA_to_DNA.png").exists()
+
+
+def test_downstream_directional(workspace):
+    from vae_los_angeles_tpu.evaluation.downstream_directional import main as dd_main
+
+    metrics = dd_main(cfg=CFG)
+    assert set(metrics.keys()) == {
+        "Orig. RNA",
+        "Orig. RNA + Est. DNA",
+        "Orig. DNA + Est. RNA",
+        "Orig. RNA + Orig. DNA",
+    }
+    for report in metrics.values():
+        assert 0.0 <= report["accuracy"] <= 1.0
+
+
+def test_create_boxplots(workspace):
+    from vae_los_angeles_tpu.evaluation.create_boxplots import main as boxplot_main
+
+    boxplot_main(cfg=CFG)
+    for name in (
+        "rna_genes_distribution_highest_variance.png",
+        "dna_cpg_distribution_lowest_variance.png",
+    ):
+        assert (workspace / "plots" / name).exists()
+
+
+def test_cross_modality_cv(workspace):
+    from vae_los_angeles_tpu.evaluation.cross_modality_cv import main as cv_main
+
+    results = cv_main(
+        [
+            "--folds", "3", "--epochs", "3", "--neighbors", "3",
+            "--data_path", "data/processed_data.pkl",
+        ]
+    )
+    kinds = {(r["direction"], r["model"]) for r in results}
+    for direction in ("DNA -> RNA", "RNA -> DNA"):
+        for model in ("mean", "knn", "vae", "ae"):
+            assert (direction, model) in kinds
+    # every result carries 3 folds of all 6 metrics
+    for r in results:
+        for metric, scores in r["fold_metrics"].items():
+            assert len(scores) == 3
+    # the VAE should beat the mean baseline on MSE in at least one direction
+    mse = {
+        (r["direction"], r["model"]): r["mean_MSE"]
+        for r in results
+        if r["model"] in ("mean", "vae")
+    }
+    assert any(
+        mse[(d, "vae")] < mse[(d, "mean")] for d in ("DNA -> RNA", "RNA -> DNA")
+    )
+    try:
+        import plotly  # noqa: F401
+
+        assert (workspace / "plots" / "plotly" / "cv_results_mse.html").exists()
+    except ImportError:
+        pass  # plotly optional; CV gracefully skips the html plots
+
+
+def test_hpo_vmapped(workspace):
+    from vae_los_angeles_tpu.evaluation.hpo import main as hpo_main
+
+    best_params, best_value = hpo_main(["--trials", "3", "--epochs", "3"], cfg=CFG)
+    assert np.isfinite(best_value)
+    assert (workspace / "best_hyperparameters.json").exists()
+    assert (workspace / "checkpoints" / "best_multivae_optimized.npz").exists()

@@ -1,0 +1,175 @@
+"""Data preparation pipeline (reference ``scripts/prepare_data.py``, 172 LoC).
+
+Downloads the two Kaggle datasets, groups RNA TPM per ``case_barcode`` into
+fixed-width vectors (keeping rows with exactly ``input_dim_a`` genes), groups
+DNA probes likewise, outer-joins on case_barcode (saving unmatched cohorts),
+keeps the top-24 primary sites, log1p's RNA, label-encodes sites and writes:
+  data/processed_data.pkl, data/label_encoder.pkl,
+  data/rna_only_unmatched.pkl, data/dna_only_unmatched.pkl,
+  data/feature_names.pkl  ← NEW: expected by create_boxplots.py:17 but never
+  produced by the reference (SURVEY integrity notes).
+
+The transformation stages are pure DataFrame functions so they are testable
+without Kaggle access; the CLI gates on kagglehub availability and offers
+``--synthetic`` for zero-egress environments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+from vae_los_angeles_tpu.config import Config
+
+RNA_DATASET = "martininf1n1ty/rna-mutations-all-datasets"
+DNA_DATASET = "martininf1n1ty/dna-methylation-final-adnotated"
+
+
+def download_datasets():
+    import kagglehub
+
+    print("Downloading RNA and mutations dataset...")
+    rna_path = kagglehub.dataset_download(RNA_DATASET)
+    print(f"RNA dataset downloaded to: {rna_path}")
+    print("\nDownloading DNA methylation dataset...")
+    dna_path = kagglehub.dataset_download(DNA_DATASET)
+    print(f"DNA methylation dataset downloaded to: {dna_path}")
+    return rna_path, dna_path
+
+
+def prepare_rna_data(df_expressions, input_dim_a: int):
+    """Group per-case TPM vectors; keep rows with exactly input_dim_a genes
+    (reference :28-49). Also returns sorted gene names for feature_names.pkl."""
+    df_sorted = df_expressions.sort_values(by="gene_name")
+    df_sorted = df_sorted.drop_duplicates(subset=["case_barcode", "gene_name"])
+    grouped = (
+        df_sorted.groupby("case_barcode")
+        .agg({"tpm_unstranded": list, "primary_site": "first"})
+        .reset_index()
+    )
+    filtered = grouped[grouped["tpm_unstranded"].apply(len) == input_dim_a]
+    # gene order within each vector is the sorted gene_name order
+    gene_names = sorted(df_sorted["gene_name"].unique().tolist())[:input_dim_a]
+    print(f"RNA data shape: {filtered.shape}")
+    return filtered, gene_names
+
+
+def prepare_dna_methylation_data(df, input_dim_b: int):
+    """Group per-case β-value vectors; keep rows of width input_dim_b
+    (reference :55-66)."""
+    probe_col = "probe_id_id" if "probe_id_id" in df.columns else "probe_id"
+    df_sorted = df.sort_values(by=probe_col)
+    grouped = df_sorted.groupby("case_barcode")["beta_value"].apply(list).reset_index()
+    filtered = grouped[grouped["beta_value"].apply(len) == input_dim_b]
+    probe_ids = sorted(df_sorted[probe_col].unique().tolist())[:input_dim_b]
+    print(f"DNA methylation data shape: {filtered.shape}")
+    return filtered, probe_ids
+
+
+def merge_and_normalize_data(rna_df, dna_df, top_n_sites: int = 24, data_dir="data"):
+    """Outer join, unmatched-cohort extraction, top-N site filter, log1p RNA,
+    label encoding (reference :69-137)."""
+    import pandas as pd
+    from sklearn.preprocessing import LabelEncoder
+
+    print("\nMerging datasets...")
+    merged_df = pd.merge(rna_df, dna_df, on="case_barcode", how="outer", indicator=True)
+
+    os.makedirs(data_dir, exist_ok=True)
+    rna_only = merged_df[merged_df["_merge"] == "left_only"].copy()
+    if len(rna_only) > 0:
+        print(f"Found {len(rna_only)} RNA samples without matching DNA data")
+        rna_only = rna_only[["case_barcode", "tpm_unstranded", "primary_site"]]
+        rna_only.to_pickle(os.path.join(data_dir, "rna_only_unmatched.pkl"))
+    dna_only = merged_df[merged_df["_merge"] == "right_only"].copy()
+    if len(dna_only) > 0:
+        print(f"Found {len(dna_only)} DNA samples without matching RNA data")
+        dna_only = dna_only[["case_barcode", "beta_value"]]
+        dna_only.to_pickle(os.path.join(data_dir, "dna_only_unmatched.pkl"))
+
+    merged_df = merged_df[merged_df["_merge"] == "both"].copy()
+    merged_df = merged_df.drop(columns=["_merge"])
+
+    site_counts = merged_df["primary_site"].value_counts()
+    top_sites = site_counts.head(top_n_sites).index.tolist()
+    merged_df = merged_df[merged_df["primary_site"].isin(top_sites)].reset_index(
+        drop=True
+    )
+    print(f"Merged data shape after top-{top_n_sites} site filter: {merged_df.shape}")
+
+    print("Normalizing RNA expression data (log1p)...")
+    merged_df["tpm_unstranded"] = merged_df["tpm_unstranded"].apply(
+        lambda x: np.log1p(np.array(x))
+    )
+
+    label_encoder = LabelEncoder()
+    merged_df["primary_site_encoded"] = label_encoder.fit_transform(
+        merged_df["primary_site"]
+    )
+    return merged_df, label_encoder
+
+
+def save_artifacts(merged_df, label_encoder, gene_names, probe_ids, data_dir="data"):
+    os.makedirs(data_dir, exist_ok=True)
+    merged_df.to_pickle(os.path.join(data_dir, "processed_data.pkl"))
+    with open(os.path.join(data_dir, "label_encoder.pkl"), "wb") as f:
+        pickle.dump(label_encoder, f)
+    with open(os.path.join(data_dir, "feature_names.pkl"), "wb") as f:
+        pickle.dump({"gene_names": gene_names, "probe_ids": probe_ids}, f)
+    print(f"Processed data saved to: {os.path.join(data_dir, 'processed_data.pkl')}")
+    print(f"Label encoder saved to: {os.path.join(data_dir, 'label_encoder.pkl')}")
+    print(f"Feature names saved to: {os.path.join(data_dir, 'feature_names.pkl')}")
+
+
+def main(argv=None):
+    import pandas as pd
+
+    parser = argparse.ArgumentParser(description="Prepare multi-omics data")
+    parser.add_argument(
+        "--synthetic", action="store_true",
+        help="generate synthetic artifacts instead of downloading from Kaggle",
+    )
+    parser.add_argument("--n_samples", type=int, default=1024)
+    parser.add_argument("--data_dir", type=str, default="data")
+    args = parser.parse_args(argv)
+
+    cfg = Config.from_env()
+    if args.synthetic:
+        from vae_los_angeles_tpu.data.synthetic import write_synthetic_artifacts
+
+        print("Generating synthetic data artifacts (offline mode)...")
+        write_synthetic_artifacts(
+            args.data_dir, n_samples=args.n_samples,
+            dim_a=cfg.input_dim_a, dim_b=cfg.input_dim_b,
+        )
+        print("Synthetic data preparation complete!")
+        return
+
+    try:
+        rna_path, dna_path = download_datasets()
+    except Exception as e:
+        raise SystemExit(
+            f"Kaggle download failed ({e}). In offline environments run with "
+            "--synthetic to generate schema-compatible synthetic data."
+        )
+
+    df_expr = pd.read_parquet(os.path.join(rna_path, "expression_onko_db.parquet"))
+    rna_df, gene_names = prepare_rna_data(df_expr, cfg.input_dim_a)
+    dna_files = [
+        f for f in os.listdir(dna_path) if f.endswith(".parquet")
+    ]
+    df_dna = pd.read_parquet(os.path.join(dna_path, dna_files[0]))
+    dna_df, probe_ids = prepare_dna_methylation_data(df_dna, cfg.input_dim_b)
+
+    merged_df, label_encoder = merge_and_normalize_data(
+        rna_df, dna_df, data_dir=args.data_dir
+    )
+    save_artifacts(merged_df, label_encoder, gene_names, probe_ids, args.data_dir)
+    print("\nData preparation complete!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""Clustering evaluation of mean / kNN / conditioned-kNN imputation of the
+unmatched cohorts (reference
+``src/clustering_evaluation/cluster_imputation_methods.py``, 600 LoC).
+
+Imputers are fitted on the matched training table; each method imputes the
+missing modality of the RNA-only and DNA-only cohorts (reference :259-417,
+with log1p applied to imputed RNA), then the same PCA/t-SNE + silhouette/NH
+analysis and plots as `cluster_reconstructed` run per (method, cohort).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from vae_los_angeles_tpu.config import Config
+from vae_los_angeles_tpu.data.dataset import load_label_encoder
+from vae_los_angeles_tpu.evaluation.clustering.common import (
+    cluster_scores,
+    perform_dimensionality_reduction,
+    plot_clusters_2d,
+    prepare_features,
+)
+from vae_los_angeles_tpu.models.conditioned_knn import ConditionedKNeighborsRegressor
+from vae_los_angeles_tpu.training import checkpoint
+
+
+def _train_arrays(train_df):
+    train_rna = np.array(train_df["tpm_unstranded"].tolist()).astype(np.float32)
+    train_dna = np.array(train_df["beta_value"].tolist()).astype(np.float32)
+    return train_rna, train_dna
+
+
+def apply_mean_imputation(train_df, rna_only_df, dna_only_df):
+    """Column-mean imputation fitted on the training table (reference :259-294)."""
+    print("\nAPPLYING MEAN IMPUTATION")
+    train_rna, train_dna = _train_arrays(train_df)
+    rna_mean = train_rna.mean(axis=0)
+    dna_mean = train_dna.mean(axis=0)
+
+    rna_only_imputed = rna_only_df.copy() if rna_only_df is not None else None
+    if rna_only_imputed is not None:
+        rna_only_imputed["imputed_beta_value"] = [dna_mean] * len(rna_only_imputed)
+    dna_only_imputed = dna_only_df.copy() if dna_only_df is not None else None
+    if dna_only_imputed is not None:
+        # training RNA is log1p'd; the mean vector is log-normalized on the
+        # way out like the reference (:311 — np.log1p on the imputed RNA)
+        dna_only_imputed["imputed_tpm_unstranded"] = [np.log1p(rna_mean)] * len(
+            dna_only_imputed
+        )
+    return rna_only_imputed, dna_only_imputed
+
+
+def apply_knn_imputation(train_df, rna_only_df, dna_only_df, n_neighbors=5):
+    """Cross-modal kNN imputation (reference :297-337)."""
+    from sklearn.neighbors import KNeighborsRegressor
+
+    print(f"\nAPPLYING KNN IMPUTATION (k={n_neighbors})")
+    train_rna, train_dna = _train_arrays(train_df)
+
+    rna_only_imputed = rna_only_df.copy() if rna_only_df is not None else None
+    if rna_only_imputed is not None:
+        rna_val = np.array(rna_only_imputed["tpm_unstranded"].tolist()).astype(
+            np.float32
+        )
+        knn_dna = KNeighborsRegressor(n_neighbors=n_neighbors, n_jobs=-1)
+        knn_dna.fit(train_rna, train_dna)
+        rna_only_imputed["imputed_beta_value"] = list(knn_dna.predict(rna_val))
+
+    dna_only_imputed = dna_only_df.copy() if dna_only_df is not None else None
+    if dna_only_imputed is not None:
+        dna_val = np.array(dna_only_imputed["beta_value"].tolist()).astype(np.float32)
+        knn_rna = KNeighborsRegressor(n_neighbors=n_neighbors, n_jobs=-1)
+        knn_rna.fit(train_dna, train_rna)
+        dna_only_imputed["imputed_tpm_unstranded"] = list(
+            np.log1p(knn_rna.predict(dna_val))
+        )
+    return rna_only_imputed, dna_only_imputed
+
+
+def apply_conditioned_knn_imputation(train_df, rna_only_df, dna_only_df,
+                                     label_encoder, n_neighbors=5):
+    """Site-conditioned kNN imputation (reference :340-417); sites appended
+    as the last feature column; cohorts filtered to known sites."""
+    print(f"\nAPPLYING CONDITIONED KNN IMPUTATION (k={n_neighbors})")
+    train_rna, train_dna = _train_arrays(train_df)
+    train_sites = train_df["primary_site_encoded"].values[:, np.newaxis]
+    train_rna_cond = np.hstack((train_rna, train_sites))
+    train_dna_cond = np.hstack((train_dna, train_sites))
+
+    def _encode_sites(df):
+        if "primary_site_encoded" in df.columns:
+            return df["primary_site_encoded"].values
+        return label_encoder.transform(df["primary_site"])
+
+    rna_only_imputed = None
+    if rna_only_df is not None and "primary_site" in rna_only_df.columns:
+        valid = rna_only_df[
+            rna_only_df["primary_site"].isin(label_encoder.classes_)
+        ].copy()
+        if len(valid) > 0:
+            sites = _encode_sites(valid)
+            rna_val = np.array(valid["tpm_unstranded"].tolist()).astype(np.float32)
+            rna_val_cond = np.hstack((rna_val, sites[:, np.newaxis]))
+            knn = ConditionedKNeighborsRegressor(n_neighbors=n_neighbors)
+            knn.fit(train_rna_cond, train_dna)
+            valid["imputed_beta_value"] = list(knn.predict(rna_val_cond))
+            rna_only_imputed = valid
+
+    dna_only_imputed = None
+    if dna_only_df is not None and "primary_site" in dna_only_df.columns:
+        valid = dna_only_df[
+            dna_only_df["primary_site"].isin(label_encoder.classes_)
+        ].copy()
+        if len(valid) > 0:
+            sites = _encode_sites(valid)
+            dna_val = np.array(valid["beta_value"].tolist()).astype(np.float32)
+            dna_val_cond = np.hstack((dna_val, sites[:, np.newaxis]))
+            knn = ConditionedKNeighborsRegressor(n_neighbors=n_neighbors)
+            knn.fit(train_dna_cond, train_rna)
+            valid["imputed_tpm_unstranded"] = list(np.log1p(knn.predict(dna_val_cond)))
+            dna_only_imputed = valid
+    return rna_only_imputed, dna_only_imputed
+
+
+def analyze_samples(df, label_encoder, run_timestamp, method_name, sample_type,
+                    plots_dir="plots"):
+    """Per-(method, cohort) PCA/t-SNE + silhouette/NH analysis (reference
+    :420-527)."""
+    print(f"\nANALYZING {sample_type.upper()} SAMPLES ({method_name})")
+    if "primary_site" in df.columns:
+        df = df[df["primary_site"].isin(label_encoder.classes_)].copy()
+    if len(df) == 0:
+        print("⚠ No samples with valid primary_site found")
+        return None
+
+    if sample_type == "RNA-only":
+        features = prepare_features(df, ["tpm_unstranded", "imputed_beta_value"])
+    else:
+        features = prepare_features(df, ["beta_value", "imputed_tpm_unstranded"])
+    if features is None:
+        print("⚠ Could not prepare features")
+        return None
+    print(f"Feature matrix shape: {features.shape}")
+
+    if "primary_site_encoded" in df.columns:
+        labels = df["primary_site_encoded"].values
+    else:
+        labels = label_encoder.transform(df["primary_site"])
+
+    pca_features, tsne_features = perform_dimensionality_reduction(features)
+    scores = cluster_scores(features, labels, pca_features, tsne_features)
+    if scores is None:
+        print("⚠ Not enough distinct labels; skipping plots")
+        return None
+    print(
+        f"  Original - Silh: {scores['orig_silhouette']:.3f} NH: {scores['orig_nh']:.3f} | "
+        f"PCA - Silh: {scores['pca_silhouette']:.3f} NH: {scores['pca_nh']:.3f} | "
+        f"t-SNE - Silh: {scores['tsne_silhouette']:.3f} NH: {scores['tsne_nh']:.3f}"
+    )
+
+    out_dir = os.path.join(plots_dir, "clustering")
+    tag = sample_type.lower().replace("-", "_")
+    mtag = method_name.lower().replace(" ", "_")
+    plot_clusters_2d(
+        pca_features, labels,
+        f"PCA: {sample_type} samples ({method_name} imputation)\n"
+        f"PCA Silh: {scores['pca_silhouette']:.3f} | NH: {scores['pca_nh']:.3f}",
+        os.path.join(out_dir, f"{tag}_pca_{mtag}_{run_timestamp}.png"),
+        label_encoder=label_encoder,
+    )
+    plot_clusters_2d(
+        tsne_features, labels,
+        f"t-SNE: {sample_type} samples ({method_name} imputation)\n"
+        f"t-SNE Silh: {scores['tsne_silhouette']:.3f} | NH: {scores['tsne_nh']:.3f}",
+        os.path.join(out_dir, f"{tag}_tsne_{mtag}_{run_timestamp}.png"),
+        label_encoder=label_encoder,
+    )
+    return {"method": method_name, "cohort": sample_type, **scores}
+
+
+def main(cfg: Optional[Config] = None):
+    import pandas as pd
+
+    cfg = cfg or Config.from_env()
+    run_timestamp = checkpoint.new_run_id()
+    print("=" * 80)
+    print("DIMENSIONALITY REDUCTION VISUALIZATION FOR IMPUTATION METHODS")
+    print("=" * 80)
+
+    train_df = pd.read_pickle(os.path.join(cfg.data_dir, "processed_data.pkl"))
+    label_encoder = load_label_encoder(os.path.join(cfg.data_dir, "label_encoder.pkl"))
+    rna_only_path = os.path.join(cfg.data_dir, "rna_only_unmatched.pkl")
+    dna_only_path = os.path.join(cfg.data_dir, "dna_only_unmatched.pkl")
+    rna_only_df = pd.read_pickle(rna_only_path) if os.path.exists(rna_only_path) else None
+    dna_only_df = pd.read_pickle(dna_only_path) if os.path.exists(dna_only_path) else None
+    if rna_only_df is None and dna_only_df is None:
+        print("\n⚠ No unmatched samples found! Run scripts/prepare_data.py first.")
+        return None
+
+    results = []
+    methods = [
+        ("Mean", apply_mean_imputation(train_df, rna_only_df, dna_only_df)),
+        ("KNN", apply_knn_imputation(train_df, rna_only_df, dna_only_df)),
+        (
+            "Conditioned KNN",
+            apply_conditioned_knn_imputation(
+                train_df, rna_only_df, dna_only_df, label_encoder
+            ),
+        ),
+    ]
+    for method_name, (rna_imp, dna_imp) in methods:
+        if rna_imp is not None and len(rna_imp) > 0:
+            results.append(
+                analyze_samples(
+                    rna_imp, label_encoder, run_timestamp, method_name,
+                    "RNA-only", cfg.plots_dir,
+                )
+            )
+        if (
+            dna_imp is not None
+            and len(dna_imp) > 0
+            and "primary_site" in dna_imp.columns
+        ):
+            results.append(
+                analyze_samples(
+                    dna_imp, label_encoder, run_timestamp, method_name,
+                    "DNA-only", cfg.plots_dir,
+                )
+            )
+    print("\nVisualization analysis complete!")
+    return [r for r in results if r is not None]
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Shared clustering-evaluation helpers: feature assembly, PCA/t-SNE
+reduction, 2D scatter plotting, silhouette+NH scoring.
+
+Factored out of the two reference scripts, which duplicate this logic
+(``cluster_reconstructed.py:100-253`` and
+``cluster_imputation_methods.py:96-255``). PCA/t-SNE/silhouette stay
+host-side sklearn — they are reporting, not the accelerated product
+(SURVEY hard-part #7).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from vae_los_angeles_tpu.evaluation.clustering.metrics_utils import (
+    calculate_neighborhood_hit,
+)
+
+# Short labels for the 24 TCGA primary sites (reference
+# cluster_imputation_methods.py:34-59)
+CLASS_SHORT_LABELS = {
+    "Hematopoietic and reticuloendothelial systems": "Hemato",
+    "Bronchus and lung": "Lung",
+    "Breast": "Breast",
+    "Kidney": "Kidney",
+    "Brain": "Brain",
+    "Colon": "Colon",
+    "Corpus uteri": "Corpus",
+    "Skin": "Skin",
+    "Prostate gland": "Prostate",
+    "Stomach": "Stomach",
+    "Bladder": "Bladder",
+    "Liver and intrahepatic bile ducts": "Liver",
+    "Pancreas": "Pancreas",
+    "Ovary": "Ovary",
+    "Uterus, NOS": "Uterus",
+    "Cervix uteri": "Cervix",
+    "Esophagus": "Esophagus",
+    "Adrenal gland": "Adrenal",
+    "Other and ill-defined sites": "Other",
+    "Other and unspecified parts of tongue": "Tongue",
+    "Connective, subcutaneous and other soft tissues": "Connective",
+    "Larynx": "Larynx",
+    "Rectum": "Rectum",
+    "Other and ill-defined sites in lip, oral cavity and pharynx": "Oral/Pharynx",
+}
+
+
+def prepare_features(df, columns):
+    """Concatenate the list-columns named in ``columns`` into one matrix."""
+    features = []
+    for col in columns:
+        if col in df.columns:
+            features.append(np.array(df[col].tolist()).astype(np.float32))
+    if not features:
+        return None
+    return np.concatenate(features, axis=1)
+
+
+def perform_dimensionality_reduction(features, method="both", n_components=2,
+                                     random_state=42):
+    """StandardScaler → PCA(2) and/or t-SNE(2) with PCA-50 preprocessing for
+    >50-dim inputs (reference cluster_reconstructed.py:140-187)."""
+    from sklearn.decomposition import PCA
+    from sklearn.manifold import TSNE
+    from sklearn.preprocessing import StandardScaler
+
+    features_scaled = StandardScaler().fit_transform(features)
+    results = {}
+    if method in ("pca", "both"):
+        pca = PCA(n_components=n_components, random_state=random_state)
+        results["pca"] = pca.fit_transform(features_scaled)
+        print(f"  PCA explained variance: {pca.explained_variance_ratio_.sum():.4f}")
+    if method in ("tsne", "both"):
+        if features_scaled.shape[1] > 50:
+            n_pre = min(50, *features_scaled.shape)
+            features_for_tsne = PCA(
+                n_components=n_pre, random_state=random_state
+            ).fit_transform(features_scaled)
+        else:
+            features_for_tsne = features_scaled
+        tsne = TSNE(
+            n_components=n_components,
+            random_state=random_state,
+            perplexity=min(30, len(features) - 1),
+        )
+        results["tsne"] = tsne.fit_transform(features_for_tsne)
+    if method == "both":
+        return results["pca"], results["tsne"]
+    return results[method]
+
+
+def plot_clusters_2d(features_2d, labels, title, filename, label_encoder=None,
+                     figsize=(12, 10), marker_size=50, alpha=0.7):
+    """Scatter plot of a 2D embedding colored by primary site."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=figsize)
+    cmap = plt.get_cmap("tab20")
+    for i, lab in enumerate(np.unique(labels)):
+        mask = labels == lab
+        if label_encoder is not None:
+            name = label_encoder.inverse_transform([lab])[0]
+            name = CLASS_SHORT_LABELS.get(name, name)
+        else:
+            name = str(lab)
+        plt.scatter(
+            features_2d[mask, 0], features_2d[mask, 1],
+            s=marker_size, alpha=alpha, label=name, color=cmap(i % 20),
+        )
+    plt.xlabel("Component 1", fontsize=12)
+    plt.ylabel("Component 2", fontsize=12)
+    plt.title(title, fontsize=14, fontweight="bold")
+    plt.legend(bbox_to_anchor=(1.05, 1), loc="upper left", frameon=True, fontsize=9)
+    plt.grid(True, alpha=0.3)
+    plt.tight_layout()
+    os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+    plt.savefig(filename, dpi=300, bbox_inches="tight")
+    plt.close()
+    print(f"✓ Plot saved to: {filename}")
+
+
+def cluster_scores(features, labels, pca_features, tsne_features):
+    """Silhouette + Neighborhood-Hit on original/PCA/t-SNE spaces
+    (reference cluster_reconstructed.py:296-318)."""
+    from sklearn.metrics import silhouette_score
+    from sklearn.preprocessing import StandardScaler
+
+    if len(np.unique(labels)) <= 1:
+        return None
+    scaled = StandardScaler().fit_transform(features)
+    return {
+        "orig_silhouette": float(silhouette_score(scaled, labels)),
+        "orig_nh": calculate_neighborhood_hit(scaled, labels),
+        "pca_silhouette": float(silhouette_score(pca_features, labels)),
+        "pca_nh": calculate_neighborhood_hit(pca_features, labels),
+        "tsne_silhouette": float(silhouette_score(tsne_features, labels)),
+        "tsne_nh": calculate_neighborhood_hit(tsne_features, labels),
+    }

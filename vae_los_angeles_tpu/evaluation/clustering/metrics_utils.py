@@ -1,0 +1,26 @@
+"""Clustering-quality metrics (reference
+``src/clustering_evaluation/metrics_utils.py:4-41``)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def calculate_neighborhood_hit(features, labels, k: int = 5) -> float:
+    """Neighborhood Hit: mean fraction of each point's k nearest neighbors
+    (self excluded) sharing its label."""
+    features = np.asarray(features)
+    labels = np.asarray(labels)
+    if len(features) < k + 1:
+        return 0.0
+    try:
+        from sklearn.neighbors import NearestNeighbors
+
+        nbrs = NearestNeighbors(n_neighbors=k + 1, algorithm="auto").fit(features)
+        _, indices = nbrs.kneighbors(features)
+        neighbor_labels = labels[indices[:, 1:]]  # drop self
+        hits = neighbor_labels == labels[:, None]
+        return float(np.mean(np.mean(hits, axis=1)))
+    except Exception as e:  # pragma: no cover - defensive like the reference
+        print(f"Warning: Could not calculate NH ({e}).")
+        return 0.0

@@ -1,0 +1,273 @@
+"""Downstream task: primary-site classification from original vs estimated
+modalities (reference ``downstream_task.py``, 456 LoC).
+
+Pipeline (reference :399-456): take the shared validation split, drop classes
+with <2 samples and re-encode labels; generate estimated DNA via
+``MultiModalVAE(a=tpm)`` and estimated RNA via ``(b=beta)``; run 8 feature
+scenarios (orig/est × RNA/DNA combos, :436-445) through a 5-fold
+StratifiedKFold deep-MLP classifier with per-fold balanced class weights and
+early stopping on val accuracy; aggregate sklearn classification_reports
+across folds; emit grouped-bar comparison and per-tissue-F1 plots.
+
+The MLP classifier is the fused-scan JAX trainer in `mlp_classifier`
+(one device dispatch per fold instead of the reference's per-batch loop).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from vae_los_angeles_tpu.config import Config
+from vae_los_angeles_tpu.evaluation import evaluate as evaluate_mod
+from vae_los_angeles_tpu.evaluation.mlp_classifier import (
+    fit_classifier,
+    predict_classes,
+)
+
+
+def generate_estimated_dna(vae_model, rna_data):
+    """Estimated DNA from RNA alone (reference :22-36, slot-2 output)."""
+    print("Generating estimated DNA methylation data...")
+    _, est_dna, _, _, _ = vae_model(a=rna_data)
+    return est_dna
+
+
+def generate_estimated_rna(vae_model, dna_data):
+    """Estimated RNA from DNA alone (reference :39-51, slot-1 output)."""
+    print("Generating estimated RNA data...")
+    est_rna, _, _, _, _ = vae_model(b=dna_data)
+    return est_rna
+
+
+def train_and_evaluate_fold(X_train, X_val, y_train, y_val, n_classes,
+                            class_weights, le_new, seed=0):
+    """One fold: fused-MLP training + sklearn classification_report
+    (reference :75-161)."""
+    from sklearn.metrics import classification_report
+
+    fit = fit_classifier(
+        X_train, y_train, X_val, y_val, n_classes, class_weights,
+        jax.random.PRNGKey(seed), arch="deep", num_epochs=100,
+        batch_size=32, lr=1e-3, weight_decay=1e-4, early_stop=True,
+    )
+    y_pred = predict_classes(fit.params, X_val, arch="deep")
+    return classification_report(
+        y_val, y_pred, target_names=le_new.classes_,
+        labels=np.arange(len(le_new.classes_)), output_dict=True, zero_division=0,
+    )
+
+
+def run_classification_scenario(features, labels, n_classes, class_weights,
+                                scenario_name, le_new, n_folds=5, seed=42):
+    """StratifiedKFold scenario evaluation (reference :164-237)."""
+    from sklearn.model_selection import StratifiedKFold
+    from sklearn.preprocessing import StandardScaler
+    from sklearn.utils.class_weight import compute_class_weight
+
+    print("\n" + "=" * 50)
+    print(f"Scenario: {scenario_name}")
+    print("=" * 50)
+
+    features_normalized = StandardScaler().fit_transform(features)
+    skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
+
+    fold_reports = []
+    for fold_idx, (train_idx, val_idx) in enumerate(
+        skf.split(features_normalized, labels)
+    ):
+        print(f"\nFold {fold_idx + 1}/{n_folds}")
+        y_train = labels[train_idx]
+        fold_cw = compute_class_weight(
+            "balanced", classes=np.unique(y_train), y=y_train
+        )
+        cw_full = np.ones(n_classes, np.float32)
+        cw_full[np.unique(y_train)] = fold_cw
+        report = train_and_evaluate_fold(
+            features_normalized[train_idx], features_normalized[val_idx],
+            y_train, labels[val_idx], n_classes, cw_full, le_new, seed=fold_idx,
+        )
+        fold_reports.append(report)
+
+    aggregated = {}
+    accuracies = [r["accuracy"] for r in fold_reports]
+    aggregated["accuracy"] = float(np.mean(accuracies))
+    aggregated["accuracy_std"] = float(np.std(accuracies))
+    for stat in ("precision", "recall", "f1-score"):
+        vals = [r["weighted avg"][stat] for r in fold_reports]
+        aggregated.setdefault("weighted avg", {})[stat] = float(np.mean(vals))
+        aggregated["weighted avg"][f"{stat}_std"] = float(np.std(vals))
+    for class_name in le_new.classes_:
+        vals = [r[class_name] for r in fold_reports if class_name in r]
+        if vals:
+            aggregated[class_name] = {
+                stat: float(np.mean([v[stat] for v in vals]))
+                for stat in ("precision", "recall", "f1-score")
+            }
+            for stat in ("precision", "recall", "f1-score"):
+                aggregated[class_name][f"{stat}_std"] = float(
+                    np.std([v[stat] for v in vals])
+                )
+
+    print(f"\nCross-Validation Results ({n_folds} folds):")
+    print(f"Accuracy: {aggregated['accuracy']:.4f} ± {aggregated['accuracy_std']:.4f}")
+    print(
+        f"Weighted F1-score: {aggregated['weighted avg']['f1-score']:.4f} "
+        f"± {aggregated['weighted avg']['f1-score_std']:.4f}"
+    )
+    return aggregated
+
+
+def plot_comparison(metrics_dict, run_id=None, out_subdir="downstream_task",
+                    plots_dir="plots"):
+    """Grouped-bar comparison across scenarios (reference :240-310)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = list(metrics_dict.keys())
+    stats = ["accuracy", "precision", "recall", "f1-score"]
+    values = {
+        "accuracy": [metrics_dict[n]["accuracy"] for n in names],
+        "precision": [metrics_dict[n]["weighted avg"]["precision"] for n in names],
+        "recall": [metrics_dict[n]["weighted avg"]["recall"] for n in names],
+        "f1-score": [metrics_dict[n]["weighted avg"]["f1-score"] for n in names],
+    }
+    x = np.arange(len(names))
+    width = 0.2
+    fig, ax = plt.subplots(figsize=(max(10, 2 * len(names)), 6))
+    for i, stat in enumerate(stats):
+        ax.bar(x + (i - 1.5) * width, values[stat], width, label=stat)
+    ax.set_xticks(x)
+    ax.set_xticklabels(names, rotation=30, ha="right")
+    ax.set_ylim(0, 1.05)
+    ax.legend()
+    ax.set_title("Downstream classification: scenario comparison")
+    ax.grid(True, axis="y", alpha=0.3)
+    out_dir = os.path.join(plots_dir, out_subdir)
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = f"_{run_id}" if run_id else ""
+    path = os.path.join(out_dir, f"scenario_comparison{suffix}.png")
+    fig.savefig(path, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    print(f"Comparison plot saved to {path}")
+
+
+def plot_per_tissue_comparison(metrics_dict, le_new, run_id=None,
+                               out_subdir="downstream_task", plots_dir="plots"):
+    """Two-panel per-tissue F1 plot (reference :313-395)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    classes = list(le_new.classes_)
+    names = list(metrics_dict.keys())
+    f1 = np.zeros((len(names), len(classes)))
+    for i, n in enumerate(names):
+        for j, c in enumerate(classes):
+            f1[i, j] = metrics_dict[n].get(c, {}).get("f1-score", 0.0)
+
+    half = len(classes) // 2
+    fig, axes = plt.subplots(2, 1, figsize=(16, 12))
+    for panel, cols in enumerate((range(half), range(half, len(classes)))):
+        cols = list(cols)
+        x = np.arange(len(cols))
+        width = 0.8 / max(len(names), 1)
+        for i, n in enumerate(names):
+            axes[panel].bar(
+                x + (i - len(names) / 2) * width, f1[i, cols], width, label=n
+            )
+        axes[panel].set_xticks(x)
+        axes[panel].set_xticklabels(
+            [classes[c] for c in cols], rotation=45, ha="right"
+        )
+        axes[panel].set_ylabel("F1-score")
+        axes[panel].grid(True, axis="y", alpha=0.3)
+    axes[0].legend(loc="upper right", fontsize=8)
+    fig.suptitle("Per-tissue F1 comparison")
+    fig.tight_layout()
+    out_dir = os.path.join(plots_dir, out_subdir)
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = f"_{run_id}" if run_id else ""
+    path = os.path.join(out_dir, f"per_tissue_f1_comparison{suffix}.png")
+    fig.savefig(path, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    print(f"Per-tissue F1 comparison plot saved to {path}")
+
+
+def prepare_filtered_val_data(cfg: Config):
+    """Validation split with rare classes dropped + labels re-encoded
+    (reference :406-424)."""
+    from sklearn.preprocessing import LabelEncoder
+
+    dataset, label_encoder, tr_idx, va_idx = evaluate_mod.load_val_split(cfg)
+    val_sites = dataset.primary_site[va_idx]
+    # drop classes with <2 validation samples
+    unique, counts = np.unique(val_sites, return_counts=True)
+    keep_codes = unique[counts >= 2]
+    keep_mask = np.isin(val_sites, keep_codes)
+    kept_idx = va_idx[keep_mask]
+
+    site_names = label_encoder.inverse_transform(dataset.primary_site[kept_idx])
+    le_new = LabelEncoder()
+    labels = le_new.fit_transform(site_names)
+    return (
+        dataset.tpm_data[kept_idx],
+        dataset.beta_data[kept_idx],
+        labels.astype(np.int64),
+        le_new,
+    )
+
+
+def main(cfg: Optional[Config] = None, n_folds: int = 5):
+    from sklearn.utils.class_weight import compute_class_weight
+
+    cfg = cfg or Config.from_env()
+    run_id = evaluate_mod.get_run_id()
+    vae_model, _, run_id_from_load = evaluate_mod.load_model_and_data(cfg)
+    if run_id_from_load:
+        run_id = run_id_from_load
+
+    rna_data, dna_data, labels, le_new = prepare_filtered_val_data(cfg)
+    n_classes = len(le_new.classes_)
+    class_weights = compute_class_weight(
+        "balanced", classes=np.unique(labels), y=labels
+    )
+    cw_full = np.ones(n_classes, np.float32)
+    cw_full[np.unique(labels)] = class_weights
+
+    est_dna_data = generate_estimated_dna(vae_model, rna_data)
+    est_rna_data = generate_estimated_rna(vae_model, dna_data)
+
+    scenarios = {
+        "Orig. RNA": rna_data,
+        "Orig. DNA": dna_data,
+        "Orig. RNA + Est. DNA": np.concatenate([rna_data, est_dna_data], axis=1),
+        "Orig. DNA + Est. RNA": np.concatenate([dna_data, est_rna_data], axis=1),
+        "Orig. RNA + Orig. DNA": np.concatenate([rna_data, dna_data], axis=1),
+        "Est. DNA": est_dna_data,
+        "Est. RNA": est_rna_data,
+        "Est. RNA + Est. DNA": np.concatenate([est_rna_data, est_dna_data], axis=1),
+    }
+
+    metrics_dict = {}
+    for name, data in scenarios.items():
+        metrics_dict[name] = run_classification_scenario(
+            data, labels, n_classes, cw_full, name, le_new, n_folds=n_folds
+        )
+
+    plot_comparison(metrics_dict, run_id, plots_dir=cfg.plots_dir)
+    plot_per_tissue_comparison(metrics_dict, le_new, run_id, plots_dir=cfg.plots_dir)
+    print("\n" + "=" * 50)
+    print("Downstream task complete.")
+    print("=" * 50)
+    return metrics_dict
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Downstream site classification from the DIRECTIONAL VAEs (reference
+``downstream_task_directional.py``, 366 LoC).
+
+Same task as `downstream.py`, but the estimated modalities come from the two
+directional models — est-DNA from RNA2DNAVAE(rna, site) (reference :115-130),
+est-RNA from DNA2RNAVAE(dna, site) (:133-148) — and the classifier is the
+shallow 128-unit MLP trained for a fixed 20 epochs on a single stratified
+80/20 split (:165-212). Four scenarios (:329-334).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from vae_los_angeles_tpu.config import Config
+from vae_los_angeles_tpu.evaluation.downstream import (
+    plot_comparison,
+    plot_per_tissue_comparison,
+    prepare_filtered_val_data,
+)
+from vae_los_angeles_tpu.evaluation.loading import load_dna2rna, load_rna2dna
+from vae_los_angeles_tpu.evaluation.mlp_classifier import (
+    fit_classifier,
+    predict_classes,
+)
+
+
+def generate_estimated_dna(rna2dna_model, rna_data, labels):
+    print("Generating estimated DNA methylation data...")
+    est_dna, _, _ = rna2dna_model(rna=rna_data, site=labels)
+    return est_dna
+
+
+def generate_estimated_rna(dna2rna_model, dna_data, labels):
+    print("Generating estimated RNA data...")
+    est_rna, _, _ = dna2rna_model(dna=dna_data, site=labels)
+    return est_rna
+
+
+def run_classification_scenario(features, labels, n_classes, class_weights,
+                                scenario_name, le_new, seed=42):
+    """Single stratified 80/20 split, 20 fixed epochs (reference :165-212)."""
+    from sklearn.metrics import classification_report
+    from sklearn.model_selection import train_test_split
+
+    print("\n" + "=" * 50)
+    print(f"Scenario: {scenario_name}")
+    print("=" * 50)
+
+    X_train, X_test, y_train, y_test = train_test_split(
+        features, labels, test_size=0.2, random_state=seed, stratify=labels
+    )
+    fit = fit_classifier(
+        X_train, y_train, X_test, y_test, n_classes, class_weights,
+        jax.random.PRNGKey(seed), arch="shallow", num_epochs=20,
+        batch_size=32, lr=1e-3, weight_decay=0.0, early_stop=False,
+    )
+    y_pred = predict_classes(fit.params, X_test, arch="shallow")
+    print("\nClassification Report:")
+    print(
+        classification_report(
+            y_test, y_pred, target_names=le_new.classes_,
+            labels=np.arange(len(le_new.classes_)), zero_division=0,
+        )
+    )
+    return classification_report(
+        y_test, y_pred, target_names=le_new.classes_,
+        labels=np.arange(len(le_new.classes_)), output_dict=True, zero_division=0,
+    )
+
+
+def main(cfg: Optional[Config] = None):
+    from sklearn.utils.class_weight import compute_class_weight
+
+    cfg = cfg or Config.from_env()
+    rna2dna_model = load_rna2dna(cfg=cfg)
+    dna2rna_model = load_dna2rna(cfg=cfg)
+    if rna2dna_model is None or dna2rna_model is None:
+        print("Error: both directional models must be trained first.")
+        return None
+
+    rna_data, dna_data, labels, le_new = prepare_filtered_val_data(cfg)
+    n_classes = len(le_new.classes_)
+    cw = compute_class_weight("balanced", classes=np.unique(labels), y=labels)
+    cw_full = np.ones(n_classes, np.float32)
+    cw_full[np.unique(labels)] = cw
+
+    print("\n" + "=" * 80)
+    print("GENERATING ESTIMATED DATA")
+    print("=" * 80)
+    est_dna_data = generate_estimated_dna(rna2dna_model, rna_data, labels)
+    est_rna_data = generate_estimated_rna(dna2rna_model, dna_data, labels)
+    print(f"✓ Estimated DNA shape: {est_dna_data.shape}")
+    print(f"✓ Estimated RNA shape: {est_rna_data.shape}")
+
+    scenarios = {
+        "Orig. RNA": rna_data,
+        "Orig. RNA + Est. DNA": np.concatenate([rna_data, est_dna_data], axis=1),
+        "Orig. DNA + Est. RNA": np.concatenate([dna_data, est_rna_data], axis=1),
+        "Orig. RNA + Orig. DNA": np.concatenate([rna_data, dna_data], axis=1),
+    }
+
+    metrics_dict = {}
+    for name, data in scenarios.items():
+        metrics_dict[name] = run_classification_scenario(
+            data, labels, n_classes, cw_full, name, le_new
+        )
+
+    run_tag = f"{rna2dna_model.run_id}_{dna2rna_model.run_id}"
+    plot_comparison(
+        metrics_dict, run_tag, out_subdir="downstream_task_directional",
+        plots_dir=cfg.plots_dir,
+    )
+    plot_per_tissue_comparison(
+        metrics_dict, le_new, run_tag, out_subdir="downstream_task_directional",
+        plots_dir=cfg.plots_dir,
+    )
+
+    print("\nPerformance Summary:")
+    for scenario_name, report in metrics_dict.items():
+        print(f"\n{scenario_name}:")
+        print(f"  Accuracy: {report['accuracy']:.4f}")
+        print(f"  Weighted F1: {report['weighted avg']['f1-score']:.4f}")
+    print("\nDownstream task complete!")
+    return metrics_dict
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,248 @@
+"""Hyperparameter optimization (reference ``optimize_hyperparameters.py``).
+
+Search space matches the reference (:71-76): latent_dim 10–100,
+lr 1e-5–1e-2 (log), weight_decay 1e-6–1e-3 (log), beta_start 1e-4–1e-2 (log),
+gamma 0.5–5, embed_dim ∈ {16, 32, 64}; objective = tri-modal MultiModalVAE
+val loss with balanced class weights (:33-44, 85-110). Artifacts match too:
+``best_hyperparameters.json`` and a final retrained
+``checkpoints/best_multivae_optimized.npz`` (:152-153, 209-210).
+
+Two modes:
+  * ``vmapped`` (default, the BASELINE.json north-star): trials are sampled
+    up front, bucketed by the shape-carrying (latent_dim, embed_dim), and
+    each bucket trains as ONE compiled vmapped population
+    (`parallel.vmap_meta.fit_trials`) — the reference's sequential-trials
+    loop (:140) collapses into a handful of device dispatches.
+  * ``optuna``: sequential Optuna study for API/workflow parity; each trial
+    is still a single fused device dispatch, with per-epoch
+    ``trial.report`` replayed from the returned loss curve.
+
+Note: the reference's objective returns an unmodified ``np.inf``
+(:100,:133 — a bug documented in SURVEY §2.2); this implementation returns
+the actual minimum validation loss, i.e. the intended behavior.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from vae_los_angeles_tpu.config import Config
+from vae_los_angeles_tpu.data.dataset import MultiModalDataset, load_label_encoder
+from vae_los_angeles_tpu.data.splits import train_val_indices
+from vae_los_angeles_tpu.parallel import vmap_meta
+from vae_los_angeles_tpu.training import engine
+from vae_los_angeles_tpu.training.checkpoint import save
+from vae_los_angeles_tpu.training.cli import compute_class_weights
+
+SEARCH_SPACE = {
+    "latent_dim": (10, 100),
+    "learning_rate": (1e-5, 1e-2),  # log
+    "weight_decay": (1e-6, 1e-3),  # log
+    "beta_start": (1e-4, 1e-2),  # log
+    "gamma": (0.5, 5.0),
+    "embed_dim": (16, 32, 64),
+}
+
+
+def sample_trials(n_trials: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    lo, hi = SEARCH_SPACE["latent_dim"]
+    trials = []
+    for _ in range(n_trials):
+        trials.append(
+            {
+                "latent_dim": int(rng.integers(lo, hi + 1)),
+                "learning_rate": float(
+                    np.exp(rng.uniform(*np.log(SEARCH_SPACE["learning_rate"])))
+                ),
+                "weight_decay": float(
+                    np.exp(rng.uniform(*np.log(SEARCH_SPACE["weight_decay"])))
+                ),
+                "beta_start": float(
+                    np.exp(rng.uniform(*np.log(SEARCH_SPACE["beta_start"])))
+                ),
+                "gamma": float(rng.uniform(*SEARCH_SPACE["gamma"])),
+                "embed_dim": int(rng.choice(SEARCH_SPACE["embed_dim"])),
+            }
+        )
+    return trials
+
+
+def _load(cfg: Config):
+    dataset = MultiModalDataset.from_pickle(
+        os.path.join(cfg.data_dir, "processed_data.pkl")
+    )
+    label_encoder = load_label_encoder(os.path.join(cfg.data_dir, "label_encoder.pkl"))
+    n_sites = len(label_encoder.classes_)
+    tr_idx, va_idx = train_val_indices(len(dataset), cfg.train_test_split, cfg.random_seed)
+    arrays = dataset.to_device()
+    cw = compute_class_weights(dataset.primary_site[tr_idx], n_sites)
+    cfg = cfg.replace(
+        input_dim_a=dataset.tpm_data.shape[1], input_dim_b=dataset.beta_data.shape[1]
+    )
+    return cfg, arrays.take(tr_idx), arrays.take(va_idx), n_sites, cw
+
+
+def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
+                num_epochs, seed=0):
+    """Bucket trials by shape; train each bucket as one vmapped population."""
+    buckets = {}
+    for i, t in enumerate(trials):
+        buckets.setdefault((t["latent_dim"], t["embed_dim"]), []).append(i)
+
+    values = np.full(len(trials), np.inf)
+    for (latent, embed), idxs in buckets.items():
+        bucket_cfg = cfg.replace(latent_dim=latent, embed_dim=embed, patience=10**6)
+        pop = {
+            "lr": np.asarray([trials[i]["learning_rate"] for i in idxs], np.float32),
+            "weight_decay": np.asarray(
+                [trials[i]["weight_decay"] for i in idxs], np.float32
+            ),
+            "beta_start": np.asarray(
+                [trials[i]["beta_start"] for i in idxs], np.float32
+            ),
+            "gamma": np.asarray([trials[i]["gamma"] for i in idxs], np.float32),
+        }
+        print(
+            f"  bucket latent={latent} embed={embed}: "
+            f"{len(idxs)} trial(s) in one vmapped fit"
+        )
+        res = vmap_meta.fit_trials(
+            "multimodal", bucket_cfg, train_arrays, val_arrays,
+            jax.random.PRNGKey(seed), n_sites, pop,
+            num_epochs=num_epochs, class_weights=class_weights,
+        )
+        best_vals = np.asarray(jax.device_get(res.best_val_loss))
+        for j, i in enumerate(idxs):
+            values[i] = float(best_vals[j])
+    return values
+
+
+def run_optuna(cfg, n_trials, timeout, train_arrays, val_arrays, n_sites,
+               class_weights, num_epochs, seed=0):
+    import optuna
+
+    def objective(trial):
+        params = {
+            "latent_dim": trial.suggest_int("latent_dim", *SEARCH_SPACE["latent_dim"]),
+            "learning_rate": trial.suggest_float(
+                "learning_rate", *SEARCH_SPACE["learning_rate"], log=True
+            ),
+            "weight_decay": trial.suggest_float(
+                "weight_decay", *SEARCH_SPACE["weight_decay"], log=True
+            ),
+            "beta_start": trial.suggest_float(
+                "beta_start", *SEARCH_SPACE["beta_start"], log=True
+            ),
+            "gamma": trial.suggest_float("gamma", *SEARCH_SPACE["gamma"]),
+            "embed_dim": trial.suggest_categorical(
+                "embed_dim", list(SEARCH_SPACE["embed_dim"])
+            ),
+        }
+        trial_cfg = cfg.replace(
+            latent_dim=params["latent_dim"], embed_dim=params["embed_dim"],
+            patience=10**6,
+        )
+        hp = engine.hyperparams(
+            trial_cfg,
+            lr=params["learning_rate"],
+            weight_decay=params["weight_decay"],
+            beta_start=params["beta_start"],
+            gamma=params["gamma"],
+        )
+        res = engine.fit(
+            "multimodal", trial_cfg, train_arrays, val_arrays,
+            jax.random.PRNGKey(seed + trial.number), n_sites,
+            num_epochs=num_epochs, class_weights=class_weights, hp=hp,
+        )
+        val_losses = np.asarray(jax.device_get(res.val_losses))
+        for epoch, v in enumerate(val_losses):
+            if np.isfinite(v):
+                trial.report(float(v), epoch)
+        return float(np.nanmin(val_losses))
+
+    study = optuna.create_study(direction="minimize")
+    study.optimize(objective, n_trials=n_trials, timeout=timeout)
+    return study
+
+
+def retrain_best(cfg, best_params, train_arrays, val_arrays, n_sites,
+                 class_weights, num_epochs, seed=0):
+    """Final retrain with the winning hyperparameters
+    (reference :157-211 → checkpoints/best_multivae_optimized)."""
+    final_cfg = cfg.replace(
+        latent_dim=int(best_params["latent_dim"]),
+        embed_dim=int(best_params["embed_dim"]),
+    )
+    hp = engine.hyperparams(
+        final_cfg,
+        lr=best_params["learning_rate"],
+        weight_decay=best_params["weight_decay"],
+        beta_start=best_params["beta_start"],
+        gamma=best_params["gamma"],
+    )
+    res = engine.fit(
+        "multimodal", final_cfg, train_arrays, val_arrays,
+        jax.random.PRNGKey(seed), n_sites,
+        num_epochs=num_epochs, class_weights=class_weights, hp=hp,
+    )
+    path = os.path.join(cfg.checkpoint_dir, "best_multivae_optimized.npz")
+    save(path, res.params, res.state)
+    print(f"Final optimized model saved to {path} "
+          f"(val loss {float(res.best_val_loss):.2f})")
+    return res, path
+
+
+def main(argv=None, cfg: Optional[Config] = None):
+    parser = argparse.ArgumentParser(description="Hyperparameter optimization")
+    parser.add_argument("--trials", type=int, default=5)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--timeout", type=float, default=3000)
+    parser.add_argument("--mode", choices=["vmapped", "optuna"], default="vmapped")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    cfg = cfg or Config.from_env()
+    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    cfg, train_arrays, val_arrays, n_sites, class_weights = _load(cfg)
+    num_epochs = args.epochs or cfg.num_epochs
+
+    if args.mode == "vmapped":
+        trials = sample_trials(args.trials, args.seed)
+        print(f"Running {args.trials} trials (vmapped populations)...")
+        values = run_vmapped(
+            cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
+            num_epochs, args.seed,
+        )
+        best_idx = int(np.argmin(values))
+        best_params, best_value = trials[best_idx], float(values[best_idx])
+        for i, (t, v) in enumerate(zip(trials, values)):
+            print(f"  trial {i}: val_loss={v:.2f}  {t}")
+    else:
+        study = run_optuna(
+            cfg, args.trials, args.timeout, train_arrays, val_arrays, n_sites,
+            class_weights, num_epochs, args.seed,
+        )
+        best_params, best_value = dict(study.best_params), float(study.best_value)
+
+    print(f"\nBest hyperparameters (val_loss={best_value:.2f}): {best_params}")
+    with open("best_hyperparameters.json", "w") as f:
+        json.dump({"best_params": best_params, "best_value": best_value}, f, indent=2)
+    print("Saved best_hyperparameters.json")
+
+    print("\nRetraining final model with best hyperparameters...")
+    retrain_best(
+        cfg, best_params, train_arrays, val_arrays, n_sites, class_weights,
+        num_epochs, args.seed,
+    )
+    return best_params, best_value
+
+
+if __name__ == "__main__":
+    main()

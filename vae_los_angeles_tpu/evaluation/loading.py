@@ -1,0 +1,125 @@
+"""Model loading for evaluation scripts.
+
+Rebuilds models from the run-id + checkpoint protocol and wraps them in
+callable objects with the reference's forward signatures, so every
+evaluation/downstream script reads like its reference counterpart:
+
+    model = load_rna2dna()           # via latest_rna2dna_run_id.txt
+    recon, mu, logvar = model(rna=x, site=s)
+
+Dims honor the same env overrides as the reference loaders
+(reconstruct_unmatched.py:42-50: INPUT_DIM_A/B, LATENT_DIM).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+from vae_los_angeles_tpu.config import Config
+from vae_los_angeles_tpu.models import (
+    dna2rna_vae_apply,
+    multimodal_vae_apply,
+    rna2dna_vae_apply,
+)
+from vae_los_angeles_tpu.training import checkpoint
+
+
+def _np(x):
+    return np.asarray(jax.device_get(x))
+
+
+class LoadedDirectionalVAE:
+    """Callable wrapper matching the reference's directional-VAE forward:
+    returns (recon, mu, logvar) as numpy arrays."""
+
+    def __init__(self, apply_fn, input_kw: str, params, state, run_id=None):
+        self._apply = apply_fn
+        self._kw = input_kw  # "rna" or "dna"
+        self.params = params
+        self.state = state
+        self.run_id = run_id
+        self._key = jax.random.PRNGKey(0)
+
+    def __call__(self, site=None, key=None, **kwargs):
+        x = kwargs.get(self._kw)
+        call_kwargs = {self._kw: None if x is None else np.asarray(x, np.float32)}
+        out = self._apply(
+            self.params,
+            self.state,
+            key if key is not None else self._key,
+            site=None if site is None else np.asarray(site),
+            train=False,
+            **call_kwargs,
+        )
+        return _np(out.recon), _np(out.mu), _np(out.logvar)
+
+
+class LoadedMultiModalVAE:
+    """Callable wrapper matching MultiModalVAE.forward: returns
+    (out_a, out_b, out_c, mu, logvar) as numpy arrays."""
+
+    def __init__(self, params, state, run_id=None):
+        self.params = params
+        self.state = state
+        self.run_id = run_id
+        self._key = jax.random.PRNGKey(0)
+
+    def __call__(self, a=None, b=None, site=None, key=None):
+        out = multimodal_vae_apply(
+            self.params,
+            self.state,
+            key if key is not None else self._key,
+            a=None if a is None else np.asarray(a, np.float32),
+            b=None if b is None else np.asarray(b, np.float32),
+            site=None if site is None else np.asarray(site),
+            train=False,
+        )
+        return _np(out.out_a), _np(out.out_b), _np(out.out_c), _np(out.mu), _np(out.logvar)
+
+
+def load_rna2dna(
+    run_id: Optional[str] = None, cfg: Optional[Config] = None, root: str = "."
+) -> Optional[LoadedDirectionalVAE]:
+    cfg = cfg or Config.from_env()
+    try:
+        params, state, rid = checkpoint.load_best(
+            "rna2dna", run_id, cfg.checkpoint_dir, root
+        )
+    except FileNotFoundError as e:
+        print(f"Warning: {e}")
+        return None
+    print(f"✓ RNA2DNAVAE model loaded successfully (run {rid})")
+    return LoadedDirectionalVAE(rna2dna_vae_apply, "rna", params, state, rid)
+
+
+def load_dna2rna(
+    run_id: Optional[str] = None, cfg: Optional[Config] = None, root: str = "."
+) -> Optional[LoadedDirectionalVAE]:
+    cfg = cfg or Config.from_env()
+    try:
+        params, state, rid = checkpoint.load_best(
+            "dna2rna", run_id, cfg.checkpoint_dir, root
+        )
+    except FileNotFoundError as e:
+        print(f"Warning: {e}")
+        return None
+    print(f"✓ DNA2RNAVAE model loaded successfully (run {rid})")
+    return LoadedDirectionalVAE(dna2rna_vae_apply, "dna", params, state, rid)
+
+
+def load_multimodal(
+    run_id: Optional[str] = None, cfg: Optional[Config] = None, root: str = "."
+) -> Optional[LoadedMultiModalVAE]:
+    cfg = cfg or Config.from_env()
+    try:
+        params, state, rid = checkpoint.load_best(
+            "multivae", run_id, cfg.checkpoint_dir, root
+        )
+    except FileNotFoundError as e:
+        print(f"Warning: {e}")
+        return None
+    print(f"✓ MultiModalVAE model loaded successfully (run {rid})")
+    return LoadedMultiModalVAE(params, state, rid)

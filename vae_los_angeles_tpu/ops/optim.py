@@ -65,6 +65,37 @@ def adamw_update(params, grads, state, lr, weight_decay):
     return new_p, {"step": step, "m": new_m, "v": new_v}
 
 
+def adam_update(params, grads, state, lr, weight_decay=0.0):
+    """Plain Adam with torch's *coupled* L2 weight decay (grad += wd*p before
+    the moment updates) — matches ``torch.optim.Adam(weight_decay=...)`` used
+    by the downstream classifiers (reference downstream_task.py:84)."""
+    step = state["step"] + 1
+    t = step.astype(jnp.float32)
+    bc1 = 1.0 - ADAM_B1**t
+    bc2 = 1.0 - ADAM_B2**t
+
+    def leaf(p, g, m, v):
+        g = g + weight_decay * p
+        m = ADAM_B1 * m + (1.0 - ADAM_B1) * g
+        v = ADAM_B2 * v + (1.0 - ADAM_B2) * jnp.square(g)
+        p = p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + ADAM_EPS)
+        return p, m, v
+
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(state["m"])
+    flat_v = treedef.flatten_up_to(state["v"])
+    out = [leaf(p, g, m, v) for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+    return (
+        treedef.unflatten([o[0] for o in out]),
+        {
+            "step": step,
+            "m": treedef.unflatten([o[1] for o in out]),
+            "v": treedef.unflatten([o[2] for o in out]),
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # ReduceLROnPlateau (min mode) as a scan-friendly state transition
 # ---------------------------------------------------------------------------
