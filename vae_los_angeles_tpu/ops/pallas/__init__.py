@@ -1,0 +1,7 @@
+"""Pallas TPU kernels: fused VAE inference (encode→fuse→sample→decode in one
+on-chip matmul chain)."""
+
+from vae_los_angeles_tpu.ops.pallas.fused_vae import (  # noqa: F401
+    FusedRNA2DNA,
+    fold_bn_eval,
+)

@@ -1,0 +1,197 @@
+"""Fused Pallas inference kernels for the directional VAEs.
+
+The BASELINE.json north star: each encode → mean-fuse → sample → decode pass
+runs as a SINGLE on-chip kernel — the full matmul chain stays in VMEM (the
+largest weight, dim_b×512 fp32 ≈ 2.5 MB, fits comfortably in the ~16 MB
+budget alongside the activations), with Gaussian sampling generated in-kernel
+from the TPU PRNG via Box–Muller, so nothing round-trips to HBM between
+layers.
+
+Algebraic prep done host-side once per loaded model (`fold_bn_eval`):
+eval-mode BatchNorm is affine, so it folds into the preceding Linear
+(W' = W·s, b' = (b−μ)·s + β with s = γ/√(σ²+ε)); the site Embedding lookup
+becomes a one-hot matmul (24×32 table — MXU-trivial) so the kernel is a pure
+chain of dots + VPU elementwise ops.
+
+Numerics: identical to the XLA path except the Gaussian draw (TPU PRNG +
+Box–Muller vs threefry normal) — the deterministic path (eps supplied or
+zero) matches the unfused `rna2dna_vae_apply` to fp32 tolerance; tests
+verify both paths (`tests/test_pallas.py`). Kernels run in interpreter mode
+automatically off-TPU so the same tests run in CPU CI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vae_los_angeles_tpu.ops.nn import BN_EPS
+
+
+def _interpret():
+    """Off-TPU, run under the TPU interpreter (implements pltpu primitives
+    like prng_seed that the generic interpreter lacks)."""
+    if jax.default_backend() == "tpu":
+        return False
+    return pltpu.InterpretParams()
+
+
+def fold_bn_eval(linear, bn_params, bn_state):
+    """Fold eval-mode BN into the preceding linear: returns (W', b')."""
+    s = bn_params["gamma"] / jnp.sqrt(bn_state["var"] + BN_EPS)
+    w = linear["w"] * s[None, :]
+    b = (linear["b"] - bn_state["mean"]) * s + bn_params["beta"]
+    return w, b
+
+
+def _uniform_from_bits(bits):
+    """uint32 → float32 uniform in (0, 1] without an integer→float cast
+    (Mosaic has no uint32→f32 convert): pack the top 23 random bits into the
+    mantissa of a float in [1, 2), subtract from 2 → (0, 1]."""
+    mant = jnp.bitwise_or(
+        jnp.right_shift(bits, jnp.uint32(9)), jnp.uint32(0x3F800000)
+    )
+    return 2.0 - pltpu.bitcast(mant, jnp.float32)
+
+
+def _box_muller(shape):
+    """Standard-normal draws from the seeded in-kernel PRNG."""
+    u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+    u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(2.0 * np.pi * u2)
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _rna2dna_kernel(
+    seed_ref,  # SMEM (1,)
+    x_ref,  # (B, Da) RNA
+    onehot_ref,  # (B, S) site one-hot (all-zero row → site-less sample)
+    has_site_ref,  # SMEM (1,) int32: 1 → fuse site posterior
+    w1_ref, b1_ref,  # Da→128 with BN folded
+    wmu_ref, bmu_ref, wlv_ref, blv_ref,  # 128→L heads
+    emb_ref,  # (S, E) site embedding table
+    smu_w_ref, smu_b_ref, slv_w_ref, slv_b_ref,  # E→L site heads
+    d1w_ref, d1b_ref, d2w_ref, d2b_ref, d3w_ref, d3b_ref,  # decoder
+    use_noise_ref,  # SMEM (1,) int32: 0 → z = mu (deterministic parity path)
+    recon_ref, mu_ref, logvar_ref,  # outputs
+):
+    pltpu.prng_seed(seed_ref[0])
+
+    # EncoderA with folded BN: h = relu(x @ W1' + b1')
+    h = jnp.maximum(_dot(x_ref[:], w1_ref[:]) + b1_ref[:], 0.0)
+    mu = _dot(h, wmu_ref[:]) + bmu_ref[:]
+    logvar = _dot(h, wlv_ref[:]) + blv_ref[:]
+
+    # EncoderC via one-hot matmul; arithmetic-mean posterior fusion
+    @pl.when(has_site_ref[0] == 1)
+    def _():
+        emb = _dot(onehot_ref[:], emb_ref[:])
+        mu_s = _dot(emb, smu_w_ref[:]) + smu_b_ref[:]
+        lv_s = _dot(emb, slv_w_ref[:]) + slv_b_ref[:]
+        mu_ref[:] = 0.5 * (mu + mu_s)
+        logvar_ref[:] = 0.5 * (logvar + lv_s)
+
+    @pl.when(has_site_ref[0] == 0)
+    def _():
+        mu_ref[:] = mu
+        logvar_ref[:] = logvar
+
+    # Reparameterize in-kernel (Box–Muller from the TPU PRNG)
+    eps = _box_muller(mu_ref.shape) * (use_noise_ref[0] == 1).astype(jnp.float32)
+    z = mu_ref[:] + eps * jnp.exp(0.5 * logvar_ref[:])
+
+    # DecoderB chain with sigmoid epilogue
+    h1 = jnp.maximum(_dot(z, d1w_ref[:]) + d1b_ref[:], 0.0)
+    h2 = jnp.maximum(_dot(h1, d2w_ref[:]) + d2b_ref[:], 0.0)
+    recon_ref[:] = jax.nn.sigmoid(_dot(h2, d3w_ref[:]) + d3b_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("has_site", "use_noise"))
+def _rna2dna_call(folded, rna, onehot, seed, has_site: bool, use_noise: bool):
+    batch, _ = rna.shape
+    latent = folded["wmu"].shape[1]
+    dna_dim = folded["d3w"].shape[1]
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _rna2dna_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, dna_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch, latent), jnp.float32),
+            jax.ShapeDtypeStruct((batch, latent), jnp.float32),
+        ),
+        in_specs=[smem(), vmem(), vmem(), smem()]
+        + [vmem()] * 17
+        + [smem()],
+        out_specs=(vmem(), vmem(), vmem()),
+        interpret=_interpret(),
+    )(
+        jnp.asarray([seed], jnp.int32),
+        rna,
+        onehot,
+        jnp.asarray([1 if has_site else 0], jnp.int32),
+        folded["w1"], folded["b1"],
+        folded["wmu"], folded["bmu"], folded["wlv"], folded["blv"],
+        folded["emb"], folded["smu_w"], folded["smu_b"],
+        folded["slv_w"], folded["slv_b"],
+        folded["d1w"], folded["d1b"], folded["d2w"], folded["d2b"],
+        folded["d3w"], folded["d3b"],
+        jnp.asarray([1 if use_noise else 0], jnp.int32),
+    )
+    return out
+
+
+class FusedRNA2DNA:
+    """Fused-inference wrapper over trained RNA2DNAVAE params.
+
+    Call signature mirrors `rna2dna_vae_apply` eval mode:
+    ``recon, mu, logvar = fused(rna=..., site=...)``.
+    """
+
+    def __init__(self, params, state):
+        w1, b1 = fold_bn_eval(
+            params["encoder_rna"]["fc"],
+            params["encoder_rna"]["bn"],
+            state["encoder_rna"]["bn"],
+        )
+        self.folded = {
+            "w1": w1,
+            "b1": b1,
+            "wmu": params["encoder_rna"]["mu"]["w"],
+            "bmu": params["encoder_rna"]["mu"]["b"],
+            "wlv": params["encoder_rna"]["logvar"]["w"],
+            "blv": params["encoder_rna"]["logvar"]["b"],
+            "emb": params["encoder_site"]["embedding"]["table"],
+            "smu_w": params["encoder_site"]["mu"]["w"],
+            "smu_b": params["encoder_site"]["mu"]["b"],
+            "slv_w": params["encoder_site"]["logvar"]["w"],
+            "slv_b": params["encoder_site"]["logvar"]["b"],
+            "d1w": params["decoder_dna"]["fc1"]["w"],
+            "d1b": params["decoder_dna"]["fc1"]["b"],
+            "d2w": params["decoder_dna"]["fc2"]["w"],
+            "d2b": params["decoder_dna"]["fc2"]["b"],
+            "d3w": params["decoder_dna"]["fc3"]["w"],
+            "d3b": params["decoder_dna"]["fc3"]["b"],
+        }
+        self.n_sites = self.folded["emb"].shape[0]
+
+    def __call__(self, rna, site: Optional[jnp.ndarray] = None, seed: int = 0,
+                 use_noise: bool = True):
+        rna = jnp.asarray(rna, jnp.float32)
+        if site is not None:
+            onehot = jax.nn.one_hot(jnp.asarray(site), self.n_sites, dtype=jnp.float32)
+            has_site = True
+        else:
+            onehot = jnp.zeros((rna.shape[0], self.n_sites), jnp.float32)
+            has_site = False
+        return _rna2dna_call(self.folded, rna, onehot, seed, has_site, use_noise)
