@@ -1,0 +1,73 @@
+"""True mid-run resume: 4+4 resumed epochs must EXACTLY equal 8 straight
+epochs (the carry holds params, AdamW moments, scheduler + early-stop state,
+and the epoch offset keeps the threefry schedule aligned)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_los_angeles_tpu.config import Config
+from vae_los_angeles_tpu.data.dataset import MultiModalArrays
+from vae_los_angeles_tpu.data.splits import train_val_indices
+from vae_los_angeles_tpu.data.synthetic import generate_synthetic_arrays
+from vae_los_angeles_tpu.training import checkpoint, engine
+
+DIM_A, DIM_B, N_SITES = 19, 27, 4
+CFG = Config(input_dim_a=DIM_A, input_dim_b=DIM_B, latent_dim=5, batch_size=16)
+
+
+def _data():
+    tpm, beta, site = generate_synthetic_arrays(
+        n_samples=160, dim_a=DIM_A, dim_b=DIM_B, n_sites=N_SITES, seed=11
+    )
+    tr, va = train_val_indices(160)
+    arrays = MultiModalArrays(jnp.asarray(tpm), jnp.asarray(beta), jnp.asarray(site))
+    return arrays.take(tr), arrays.take(va)
+
+
+def test_resume_bit_exact():
+    train, val = _data()
+    key = jax.random.PRNGKey(3)
+
+    straight = engine.fit("rna2dna", CFG, train, val, key, N_SITES, num_epochs=8)
+
+    first = engine.fit("rna2dna", CFG, train, val, key, N_SITES, num_epochs=4)
+    resumed = engine.fit(
+        "rna2dna", CFG, train, val, key, N_SITES, num_epochs=4,
+        resume_carry=first.carry, start_epoch=4,
+    )
+
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(first.val_losses), np.asarray(resumed.val_losses)]),
+        np.asarray(straight.val_losses),
+        rtol=1e-6,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6
+        ),
+        resumed.carry["params"],
+        straight.carry["params"],
+    )
+
+
+def test_resume_roundtrip_through_disk(tmp_path):
+    train, val = _data()
+    key = jax.random.PRNGKey(4)
+    first = engine.fit("rna2dna", CFG, train, val, key, N_SITES, num_epochs=3)
+    path = checkpoint.save_resume("rna2dna", "testrun", first.carry, 3, str(tmp_path))
+    carry, epochs_done, run_id = checkpoint.load_resume(
+        "rna2dna", "testrun", str(tmp_path)
+    )
+    assert epochs_done == 3 and run_id == "testrun"
+    resumed = engine.fit(
+        "rna2dna", CFG, train, val, key, N_SITES, num_epochs=3,
+        resume_carry=carry, start_epoch=epochs_done,
+    )
+    in_memory = engine.fit(
+        "rna2dna", CFG, train, val, key, N_SITES, num_epochs=3,
+        resume_carry=first.carry, start_epoch=3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.val_losses), np.asarray(in_memory.val_losses), rtol=1e-6
+    )

@@ -33,18 +33,34 @@ def _np(x):
 
 class LoadedDirectionalVAE:
     """Callable wrapper matching the reference's directional-VAE forward:
-    returns (recon, mu, logvar) as numpy arrays."""
+    returns (recon, mu, logvar) as numpy arrays.
 
-    def __init__(self, apply_fn, input_kw: str, params, state, run_id=None):
+    When ``use_pallas`` is set (Config.use_pallas / USE_PALLAS=1) the RNA→DNA
+    direction routes through the fused Pallas kernel
+    (`ops.pallas.fused_vae.FusedRNA2DNA`) instead of the XLA apply."""
+
+    def __init__(self, apply_fn, input_kw: str, params, state, run_id=None,
+                 use_pallas: bool = False):
         self._apply = apply_fn
         self._kw = input_kw  # "rna" or "dna"
         self.params = params
         self.state = state
         self.run_id = run_id
         self._key = jax.random.PRNGKey(0)
+        self._fused = None
+        if use_pallas and input_kw == "rna":
+            from vae_los_angeles_tpu.ops.pallas.fused_vae import FusedRNA2DNA
+
+            self._fused = FusedRNA2DNA(params, state)
 
     def __call__(self, site=None, key=None, **kwargs):
         x = kwargs.get(self._kw)
+        if self._fused is not None and x is not None:
+            recon, mu, logvar = self._fused(
+                np.asarray(x, np.float32),
+                None if site is None else np.asarray(site),
+            )
+            return _np(recon), _np(mu), _np(logvar)
         call_kwargs = {self._kw: None if x is None else np.asarray(x, np.float32)}
         out = self._apply(
             self.params,
@@ -92,7 +108,9 @@ def load_rna2dna(
         print(f"Warning: {e}")
         return None
     print(f"✓ RNA2DNAVAE model loaded successfully (run {rid})")
-    return LoadedDirectionalVAE(rna2dna_vae_apply, "rna", params, state, rid)
+    return LoadedDirectionalVAE(
+        rna2dna_vae_apply, "rna", params, state, rid, use_pallas=cfg.use_pallas
+    )
 
 
 def load_dna2rna(

@@ -50,8 +50,8 @@ def _vmapped_fit(task_name, num_epochs, batch_size, n_train, n_val, drop_last,
         fit_fn = engine.build_fit_fn(
             task_name, num_epochs, batch_size, n_train, n_val, drop_last, has_cw
         )
-        in_axes = (0, 0, data_axis, data_axis, hp_axis, None, 0)
-        # hp_axis 0 maps every hyperparameter leaf over the trial axis
+        # (carry0, train, val, hp, class_weights, key, epoch_offset)
+        in_axes = (0, data_axis, data_axis, hp_axis, None, 0, None)
         _VMAP_FIT_CACHE[cache_key] = jax.jit(jax.vmap(fit_fn, in_axes=in_axes))
     return _VMAP_FIT_CACHE[cache_key]
 
@@ -86,14 +86,18 @@ def fit_folds(
         stacked_tr = _stack_arrays([fold_train[i] for i in idxs])
         stacked_va = _stack_arrays([fold_val[i] for i in idxs])
         group_keys = keys[np.asarray(idxs)]
-        init = jax.jit(jax.vmap(lambda k: task.init(k, cfg, n_sites)))
-        params0, state0 = init(group_keys)
+        init = jax.jit(
+            jax.vmap(
+                lambda k: engine.init_carry(*task.init(k, cfg, n_sites), hp["lr"])
+            )
+        )
+        carry0 = init(group_keys)
         fit_v = _vmapped_fit(
             task_name, int(num_epochs), int(cfg.batch_size), n_tr, n_va,
             bool(drop_last), False, 0, None,
         )
         batched: engine.FitResult = fit_v(
-            params0, state0, stacked_tr, stacked_va, hp, None, group_keys
+            carry0, stacked_tr, stacked_va, hp, None, group_keys, jnp.int32(0)
         )
         for j, i in enumerate(idxs):
             results[i] = jax.tree.map(lambda x: x[j], batched)
@@ -133,12 +137,16 @@ def fit_trials(
     }
 
     keys = jax.random.split(key, n_trials)
-    init = jax.jit(jax.vmap(lambda k: task.init(k, cfg, n_sites)))
-    params0, state0 = init(keys)
+    init = jax.jit(
+        jax.vmap(
+            lambda k, lr: engine.init_carry(*task.init(k, cfg, n_sites), lr)
+        )
+    )
+    carry0 = init(keys, hp["lr"])
     fit_v = _vmapped_fit(
         task_name, int(num_epochs), int(cfg.batch_size),
         int(len(train_arrays)), int(len(val_arrays)), True,
         class_weights is not None, None, 0,
     )
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
-    return fit_v(params0, state0, train_arrays, val_arrays, hp, cw, keys)
+    return fit_v(carry0, train_arrays, val_arrays, hp, cw, keys, jnp.int32(0))

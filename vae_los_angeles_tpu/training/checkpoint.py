@@ -11,8 +11,10 @@ conventions) so every downstream script interoperates unchanged:
     reconstruct_unmatched.py:21-34).
 
 Unlike the reference (which never saves optimizer state and cannot resume,
-SURVEY §5 checkpoint row) `save_full` also captures optimizer + scheduler
-state for true mid-run resume.
+SURVEY §5 checkpoint row) `save_resume`/`load_resume` capture the FULL fused
+training carry — params, BN stats, AdamW moments, plateau-scheduler and
+early-stop state, best-snapshot — for true mid-run resume
+(``train_rna2dna.py --resume``).
 """
 
 from __future__ import annotations
@@ -93,6 +95,37 @@ def save_best(
 def write_run_id(model_name: str, run_id: str, root: str = "."):
     with open(os.path.join(root, run_id_file(model_name)), "w") as f:
         f.write(run_id)
+
+
+def resume_path(model_name: str, run_id: str, checkpoint_dir: str = "checkpoints"):
+    return os.path.join(checkpoint_dir, f"resume_{model_name}_{run_id}.npz")
+
+
+def save_resume(model_name: str, run_id: str, carry, n_epochs_done: int,
+                checkpoint_dir: str = "checkpoints"):
+    """Persist the full fused-training carry for later resume."""
+    path = resume_path(model_name, run_id, checkpoint_dir)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {"carry": jax.device_get(carry),
+               "meta": {"epochs_done": np.asarray(n_epochs_done)}}
+    np.savez(path, **_flatten(payload))
+    return path
+
+
+def load_resume(model_name: str, run_id: Optional[str] = None,
+                checkpoint_dir: str = "checkpoints", root: str = "."):
+    """Returns (carry, epochs_done, run_id) for continuing a training run."""
+    if run_id is None:
+        run_id = get_run_id(model_name, root)
+    if run_id is None:
+        raise FileNotFoundError(f"no run id recorded for model '{model_name}'")
+    path = resume_path(model_name, run_id, checkpoint_dir)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"resume checkpoint not found: {path}")
+    with np.load(path) as archive:
+        flat = {k: archive[k] for k in archive.files}
+    tree = _unflatten(flat)
+    return tree["carry"], int(tree["meta"]["epochs_done"]), run_id
 
 
 def get_run_id(model_name: str = "rna2dna", root: str = ".") -> Optional[str]:

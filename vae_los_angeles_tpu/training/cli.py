@@ -101,11 +101,24 @@ def run_training(
         action="store_true",
         help="generate synthetic data first if processed_data.pkl is missing",
     )
+    parser.add_argument(
+        "--resume",
+        action="store_true",
+        help="continue the latest run from its saved training state "
+        "(full carry: params, optimizer moments, scheduler, early-stop)",
+    )
     args = parser.parse_args(argv)
 
     cfg = cfg or Config.from_env()
-    run_id = checkpoint.new_run_id()
-    print(f"Starting {model_name} training run: {run_id}")
+    resume_carry, start_epoch = None, 0
+    if args.resume:
+        resume_carry, start_epoch, run_id = checkpoint.load_resume(
+            model_name, checkpoint_dir=cfg.checkpoint_dir
+        )
+        print(f"Resuming {model_name} run {run_id} from epoch {start_epoch}")
+    else:
+        run_id = checkpoint.new_run_id()
+        print(f"Starting {model_name} training run: {run_id}")
 
     setup_directories(cfg)
     if args.data_path:
@@ -158,6 +171,8 @@ def run_training(
         n_sites,
         num_epochs=num_epochs,
         class_weights=class_weights,
+        resume_carry=resume_carry,
+        start_epoch=start_epoch,
     )
     result = jax.block_until_ready(result)
     wall = time.perf_counter() - t0
@@ -180,6 +195,9 @@ def run_training(
         model_name, run_id, result.params, result.state, cfg.checkpoint_dir
     )
     print(f"✓ Best model saved (val_loss: {float(result.best_val_loss):.2f})")
+    checkpoint.save_resume(
+        model_name, run_id, result.carry, start_epoch + n_ran, cfg.checkpoint_dir
+    )
 
     print("\nGenerating loss plots...")
     plot_losses(

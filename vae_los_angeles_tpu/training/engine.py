@@ -52,6 +52,21 @@ class FitResult(NamedTuple):
     train_losses: jnp.ndarray  # (num_epochs,), NaN after early stop
     val_losses: jnp.ndarray
     betas: jnp.ndarray
+    carry: dict  # full final training state (params/opt/scheduler/early-stop)
+                 # — pass back as ``resume_carry`` for true mid-run resume,
+                 # a capability the reference lacks (SURVEY §5 checkpoint row)
+
+
+def init_carry(params0, state0, lr):
+    """Fresh fused-training carry for a model; vmap-able over populations."""
+    return {
+        "params": params0,
+        "state": state0,
+        "opt": optim.adamw_init(params0),
+        "plateau": optim.plateau_init(lr),
+        "estop": optim.early_stop_init(),
+        "best": {"params": params0, "state": state0},
+    }
 
 
 def hyperparams(cfg: Config, **overrides):
@@ -105,18 +120,8 @@ def build_fit_fn(
 
     grad_fn = jax.value_and_grad(train_loss_fn, has_aux=True)
 
-    def _fit(params0, state0, train_arrays, val_arrays, hp, class_weights, key):
-        opt0 = optim.adamw_init(params0)
-        plateau0 = optim.plateau_init(hp["lr"])
-        estop0 = optim.early_stop_init()
-        carry0 = {
-            "params": params0,
-            "state": state0,
-            "opt": opt0,
-            "plateau": plateau0,
-            "estop": estop0,
-            "best": (params0, state0),
-        }
+    def _fit(carry0, train_arrays, val_arrays, hp, class_weights, key,
+             epoch_offset):
 
         def gather(idx):
             return MultiModalArrays(
@@ -181,7 +186,9 @@ def build_fit_fn(
                 carry["estop"], val_loss, epoch, hp["patience"]
             )
             best = jax.tree.map(
-                lambda b, c: jnp.where(snap, c, b), carry["best"], (params, state)
+                lambda b, c: jnp.where(snap, c, b),
+                carry["best"],
+                {"params": params, "state": state},
             )
             new_carry = {
                 "params": params,
@@ -203,12 +210,11 @@ def build_fit_fn(
             )
 
         carry, (train_losses, val_losses, betas) = jax.lax.scan(
-            epoch_step, carry0, jnp.arange(num_epochs)
+            epoch_step, carry0, jnp.arange(num_epochs) + epoch_offset
         )
-        best_params, best_state = carry["best"]
         return FitResult(
-            params=best_params,
-            state=best_state,
+            params=carry["best"]["params"],
+            state=carry["best"]["state"],
             final_params=carry["params"],
             final_state=carry["state"],
             best_val_loss=carry["estop"]["best_val"],
@@ -217,6 +223,7 @@ def build_fit_fn(
             train_losses=train_losses,
             val_losses=val_losses,
             betas=betas,
+            carry=carry,
         )
 
     return _fit
@@ -241,6 +248,8 @@ def fit(
     hp=None,
     init_params=None,
     init_state=None,
+    resume_carry=None,
+    start_epoch: int = 0,
 ) -> FitResult:
     """Train a task end-to-end on device. Returns the best-val snapshot.
 
@@ -250,10 +259,14 @@ def fit(
     """
     task = TASKS[task_name]
     num_epochs = num_epochs or cfg.num_epochs
-    if init_params is None:
-        init_params, init_state = task.init(key, cfg, n_sites)
     if hp is None:
         hp = hyperparams(cfg)
+    if resume_carry is not None:
+        carry0 = resume_carry
+    else:
+        if init_params is None:
+            init_params, init_state = task.init(key, cfg, n_sites)
+        carry0 = init_carry(init_params, init_state, hp["lr"])
     fit_fn = _build_fit(
         task_name,
         int(num_epochs),
@@ -264,7 +277,9 @@ def fit(
         class_weights is not None,
     )
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
-    return fit_fn(init_params, init_state, train_arrays, val_arrays, hp, cw, key)
+    return fit_fn(
+        carry0, train_arrays, val_arrays, hp, cw, key, jnp.int32(start_epoch)
+    )
 
 
 @functools.lru_cache(maxsize=None)
