@@ -83,6 +83,38 @@ def test_fused_no_site_path(model, rng):
     np.testing.assert_allclose(np.asarray(logvar), np.asarray(out.logvar), atol=1e-4)
 
 
+def test_fused_dna2rna_deterministic_path(model, rng):
+    """DNA→RNA fused kernel matches the unfused apply at z = mu."""
+    from vae_los_angeles_tpu.models.decoders import decoder_a_apply
+    from vae_los_angeles_tpu.models.directional_vae import dna2rna_vae_init
+    from vae_los_angeles_tpu.models.encoders import encoder_b_apply, encoder_c_apply
+    from vae_los_angeles_tpu.ops.pallas.fused_vae import FusedDNA2RNA
+
+    params, state = dna2rna_vae_init(
+        jax.random.PRNGKey(7), DIM_A, DIM_B, N_SITES, LATENT
+    )
+    state = jax.tree.map(
+        lambda x: x + 0.1 * jax.random.uniform(jax.random.PRNGKey(8), x.shape), state
+    )
+    fused = FusedDNA2RNA(params, state)
+    dna = jnp.asarray(rng.uniform(size=(16, DIM_B)).astype(np.float32))
+    site = jnp.asarray(rng.integers(0, N_SITES, size=(16,)))
+
+    recon, mu, logvar = fused(dna, site, use_noise=False)
+
+    mu_d, lv_d, _ = encoder_b_apply(
+        params["encoder_dna"], state["encoder_dna"], dna, train=False
+    )
+    mu_s, lv_s, _ = encoder_c_apply(params["encoder_site"], {}, site)
+    mu_want = 0.5 * (mu_d + mu_s)
+    recon_want = decoder_a_apply(params["decoder_rna"], mu_want)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_want), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(logvar), np.asarray(0.5 * (lv_d + lv_s)), atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(recon_want), atol=1e-4)
+
+
 @pytest.mark.skipif(
     jax.default_backend() != "tpu",
     reason="TPU interpreter's PRNG is not faithful (same bits per seed/row); "

@@ -126,7 +126,13 @@ def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
 
 def run_optuna(cfg, n_trials, timeout, train_arrays, val_arrays, n_sites,
                class_weights, num_epochs, seed=0):
-    import optuna
+    try:
+        import optuna
+    except ImportError:
+        raise SystemExit(
+            "optuna is not installed in this environment; use the default "
+            "--mode vmapped (TPU-native population search) instead."
+        )
 
     def objective(trial):
         params = {

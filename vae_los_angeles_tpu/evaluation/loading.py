@@ -35,9 +35,9 @@ class LoadedDirectionalVAE:
     """Callable wrapper matching the reference's directional-VAE forward:
     returns (recon, mu, logvar) as numpy arrays.
 
-    When ``use_pallas`` is set (Config.use_pallas / USE_PALLAS=1) the RNA→DNA
-    direction routes through the fused Pallas kernel
-    (`ops.pallas.fused_vae.FusedRNA2DNA`) instead of the XLA apply."""
+    When ``use_pallas`` is set (Config.use_pallas / USE_PALLAS=1) both
+    directions route through the fused Pallas kernels
+    (`ops.pallas.fused_vae.FusedRNA2DNA` / `FusedDNA2RNA`)."""
 
     def __init__(self, apply_fn, input_kw: str, params, state, run_id=None,
                  use_pallas: bool = False):
@@ -48,10 +48,14 @@ class LoadedDirectionalVAE:
         self.run_id = run_id
         self._key = jax.random.PRNGKey(0)
         self._fused = None
-        if use_pallas and input_kw == "rna":
-            from vae_los_angeles_tpu.ops.pallas.fused_vae import FusedRNA2DNA
+        if use_pallas:
+            from vae_los_angeles_tpu.ops.pallas.fused_vae import (
+                FusedDNA2RNA,
+                FusedRNA2DNA,
+            )
 
-            self._fused = FusedRNA2DNA(params, state)
+            fused_cls = FusedRNA2DNA if input_kw == "rna" else FusedDNA2RNA
+            self._fused = fused_cls(params, state)
 
     def __call__(self, site=None, key=None, **kwargs):
         x = kwargs.get(self._kw)
@@ -125,7 +129,9 @@ def load_dna2rna(
         print(f"Warning: {e}")
         return None
     print(f"✓ DNA2RNAVAE model loaded successfully (run {rid})")
-    return LoadedDirectionalVAE(dna2rna_vae_apply, "dna", params, state, rid)
+    return LoadedDirectionalVAE(
+        dna2rna_vae_apply, "dna", params, state, rid, use_pallas=cfg.use_pallas
+    )
 
 
 def load_multimodal(

@@ -1,7 +1,8 @@
 """Pallas TPU kernels: fused VAE inference (encode→fuse→sample→decode in one
-on-chip matmul chain)."""
+on-chip matmul chain) for both imputation directions."""
 
 from vae_los_angeles_tpu.ops.pallas.fused_vae import (  # noqa: F401
+    FusedDNA2RNA,
     FusedRNA2DNA,
     fold_bn_eval,
 )

@@ -151,6 +151,124 @@ def _rna2dna_call(folded, rna, onehot, seed, has_site: bool, use_noise: bool):
     return out
 
 
+def _dna2rna_kernel(
+    seed_ref,  # SMEM (1,)
+    x_ref,  # (B, Db) DNA
+    onehot_ref,  # (B, S)
+    has_site_ref,  # SMEM (1,)
+    w1_ref, b1_ref,  # Db→512 with BN1 folded
+    w2_ref, b2_ref,  # 512→256 with BN2 folded
+    wmu_ref, bmu_ref, wlv_ref, blv_ref,  # 256→L heads
+    emb_ref, smu_w_ref, smu_b_ref, slv_w_ref, slv_b_ref,  # site path
+    d1w_ref, d1b_ref, d2w_ref, d2b_ref,  # DecoderA: L→128→Da (linear)
+    use_noise_ref,  # SMEM (1,)
+    recon_ref, mu_ref, logvar_ref,
+):
+    pltpu.prng_seed(seed_ref[0])
+
+    # EncoderB: two BN-folded blocks
+    h = jnp.maximum(_dot(x_ref[:], w1_ref[:]) + b1_ref[:], 0.0)
+    h = jnp.maximum(_dot(h, w2_ref[:]) + b2_ref[:], 0.0)
+    mu = _dot(h, wmu_ref[:]) + bmu_ref[:]
+    logvar = _dot(h, wlv_ref[:]) + blv_ref[:]
+
+    @pl.when(has_site_ref[0] == 1)
+    def _():
+        emb = _dot(onehot_ref[:], emb_ref[:])
+        mu_s = _dot(emb, smu_w_ref[:]) + smu_b_ref[:]
+        lv_s = _dot(emb, slv_w_ref[:]) + slv_b_ref[:]
+        mu_ref[:] = 0.5 * (mu + mu_s)
+        logvar_ref[:] = 0.5 * (logvar + lv_s)
+
+    @pl.when(has_site_ref[0] == 0)
+    def _():
+        mu_ref[:] = mu
+        logvar_ref[:] = logvar
+
+    eps = _box_muller(mu_ref.shape) * (use_noise_ref[0] == 1).astype(jnp.float32)
+    z = mu_ref[:] + eps * jnp.exp(0.5 * logvar_ref[:])
+
+    # DecoderA: linear output head (RNA expression)
+    h1 = jnp.maximum(_dot(z, d1w_ref[:]) + d1b_ref[:], 0.0)
+    recon_ref[:] = _dot(h1, d2w_ref[:]) + d2b_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("has_site", "use_noise"))
+def _dna2rna_call(folded, dna, onehot, seed, has_site: bool, use_noise: bool):
+    batch, _ = dna.shape
+    latent = folded["wmu"].shape[1]
+    rna_dim = folded["d2w"].shape[1]
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _dna2rna_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, rna_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch, latent), jnp.float32),
+            jax.ShapeDtypeStruct((batch, latent), jnp.float32),
+        ),
+        in_specs=[smem(), vmem(), vmem(), smem()] + [vmem()] * 17 + [smem()],
+        out_specs=(vmem(), vmem(), vmem()),
+        interpret=_interpret(),
+    )(
+        jnp.asarray([seed], jnp.int32),
+        dna,
+        onehot,
+        jnp.asarray([1 if has_site else 0], jnp.int32),
+        folded["w1"], folded["b1"], folded["w2"], folded["b2"],
+        folded["wmu"], folded["bmu"], folded["wlv"], folded["blv"],
+        folded["emb"], folded["smu_w"], folded["smu_b"],
+        folded["slv_w"], folded["slv_b"],
+        folded["d1w"], folded["d1b"], folded["d2w"], folded["d2b"],
+        jnp.asarray([1 if use_noise else 0], jnp.int32),
+    )
+
+
+class FusedDNA2RNA:
+    """Fused-inference wrapper over trained DNA2RNAVAE params; mirrors
+    `dna2rna_vae_apply` eval mode."""
+
+    def __init__(self, params, state):
+        w1, b1 = fold_bn_eval(
+            {"w": params["encoder_dna"]["fc1"]["w"], "b": params["encoder_dna"]["fc1"]["b"]},
+            params["encoder_dna"]["bn1"],
+            state["encoder_dna"]["bn1"],
+        )
+        w2, b2 = fold_bn_eval(
+            {"w": params["encoder_dna"]["fc2"]["w"], "b": params["encoder_dna"]["fc2"]["b"]},
+            params["encoder_dna"]["bn2"],
+            state["encoder_dna"]["bn2"],
+        )
+        self.folded = {
+            "w1": w1, "b1": b1, "w2": w2, "b2": b2,
+            "wmu": params["encoder_dna"]["mu"]["w"],
+            "bmu": params["encoder_dna"]["mu"]["b"],
+            "wlv": params["encoder_dna"]["logvar"]["w"],
+            "blv": params["encoder_dna"]["logvar"]["b"],
+            "emb": params["encoder_site"]["embedding"]["table"],
+            "smu_w": params["encoder_site"]["mu"]["w"],
+            "smu_b": params["encoder_site"]["mu"]["b"],
+            "slv_w": params["encoder_site"]["logvar"]["w"],
+            "slv_b": params["encoder_site"]["logvar"]["b"],
+            "d1w": params["decoder_rna"]["fc1"]["w"],
+            "d1b": params["decoder_rna"]["fc1"]["b"],
+            "d2w": params["decoder_rna"]["fc2"]["w"],
+            "d2b": params["decoder_rna"]["fc2"]["b"],
+        }
+        self.n_sites = self.folded["emb"].shape[0]
+
+    def __call__(self, dna, site: Optional[jnp.ndarray] = None, seed: int = 0,
+                 use_noise: bool = True):
+        dna = jnp.asarray(dna, jnp.float32)
+        if site is not None:
+            onehot = jax.nn.one_hot(jnp.asarray(site), self.n_sites, dtype=jnp.float32)
+            has_site = True
+        else:
+            onehot = jnp.zeros((dna.shape[0], self.n_sites), jnp.float32)
+            has_site = False
+        return _dna2rna_call(self.folded, dna, onehot, seed, has_site, use_noise)
+
+
 class FusedRNA2DNA:
     """Fused-inference wrapper over trained RNA2DNAVAE params.
 

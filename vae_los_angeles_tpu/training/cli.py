@@ -102,6 +102,10 @@ def run_training(
         help="generate synthetic data first if processed_data.pkl is missing",
     )
     parser.add_argument(
+        "--profile", type=str, default=None, metavar="LOG_DIR",
+        help="capture a jax.profiler trace of the training dispatch",
+    )
+    parser.add_argument(
         "--resume",
         action="store_true",
         help="continue the latest run from its saved training state "
@@ -161,21 +165,34 @@ def run_training(
     print(f"\nStarting training for {num_epochs} epochs...")
     print(f"Early stopping patience: {cfg.patience}")
 
-    t0 = time.perf_counter()
-    result = engine.fit(
-        task_name,
-        cfg,
-        train_arrays,
-        val_arrays,
-        jax.random.PRNGKey(args.seed),
-        n_sites,
-        num_epochs=num_epochs,
-        class_weights=class_weights,
-        resume_carry=resume_carry,
-        start_epoch=start_epoch,
+    import contextlib
+
+    trace_ctx = (
+        jax.profiler.trace(args.profile)
+        if args.profile
+        else contextlib.nullcontext()
     )
-    result = jax.block_until_ready(result)
+    t0 = time.perf_counter()
+    with trace_ctx:
+        result = engine.fit(
+            task_name,
+            cfg,
+            train_arrays,
+            val_arrays,
+            jax.random.PRNGKey(args.seed),
+            n_sites,
+            num_epochs=num_epochs,
+            class_weights=class_weights,
+            resume_carry=resume_carry,
+            start_epoch=start_epoch,
+        )
+        # device_get (not block_until_ready): remote-relay platforms can
+        # return from block_until_ready before execution completes
+        float(jax.device_get(result.best_val_loss))
+        result = jax.device_get(result)
     wall = time.perf_counter() - t0
+    if args.profile:
+        print(f"Profiler trace written to {args.profile}")
 
     train_losses = np.asarray(result.train_losses)
     val_losses = np.asarray(result.val_losses)
