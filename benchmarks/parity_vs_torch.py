@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Accuracy-parity benchmark: JAX fused engine vs a PyTorch oracle.
+
+BASELINE.json's second metric: cross-modal Pearson r within 0.01 of the
+PyTorch reference. This script trains BOTH implementations of the RNA→DNA
+directional VAE on the same synthetic dataset with the reference's exact
+recipe (AdamW 5e-4/1e-5, batch 32 shuffle+drop_last, β-warmup to 1e-3 over
+50 epochs, ReduceLROnPlateau 0.5/5, early-stop 15) and compares validation
+Pearson r of the mu-decoded imputation.
+
+The torch model here is an ORACLE built inline from the architecture
+documented in SURVEY §2 (encoders.py/decoders.py/directional_vae.py) — the
+same pattern as tests/test_models.py; it is not the product path.
+
+Usage: python benchmarks/parity_vs_torch.py [--n 2000] [--epochs 60] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import numpy as np
+
+
+def build_torch_model(dim_a, dim_b, n_sites, latent):
+    import torch.nn as nn
+
+    class EncoderA(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc = nn.Sequential(
+                nn.Linear(dim_a, 128), nn.BatchNorm1d(128), nn.ReLU(), nn.Dropout(0.1)
+            )
+            self.fc_mu = nn.Linear(128, latent)
+            self.fc_logvar = nn.Linear(128, latent)
+
+        def forward(self, x):
+            h = self.fc(x)
+            return self.fc_mu(h), self.fc_logvar(h)
+
+    class EncoderC(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embedding = nn.Embedding(n_sites, 32)
+            self.fc_mu = nn.Linear(32, latent)
+            self.fc_logvar = nn.Linear(32, latent)
+
+        def forward(self, s):
+            h = self.embedding(s)
+            return self.fc_mu(h), self.fc_logvar(h)
+
+    class DecoderB(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc = nn.Sequential(
+                nn.Linear(latent, 256), nn.ReLU(), nn.Linear(256, 512), nn.ReLU(),
+                nn.Linear(512, dim_b), nn.Sigmoid(),
+            )
+
+        def forward(self, z):
+            return self.fc(z)
+
+    class RNA2DNAVAE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder_rna = EncoderA()
+            self.encoder_site = EncoderC()
+            self.decoder_dna = DecoderB()
+
+        def forward(self, rna, site, sample=True):
+            import torch
+
+            mu_r, lv_r = self.encoder_rna(rna)
+            mu_s, lv_s = self.encoder_site(site)
+            mu = (mu_r + mu_s) / 2
+            lv = (lv_r + lv_s) / 2
+            if sample:
+                z = mu + torch.randn_like(mu) * torch.exp(0.5 * lv)
+            else:
+                z = mu
+            return self.decoder_dna(z), mu, lv
+
+    return RNA2DNAVAE()
+
+
+def train_torch(model, tr, va, epochs, batch_size=32, patience=15):
+    import torch
+    import torch.nn.functional as F
+
+    x_tr = torch.from_numpy(tr[0])
+    y_tr = torch.from_numpy(tr[1])
+    s_tr = torch.from_numpy(tr[2].astype(np.int64))
+    x_va = torch.from_numpy(va[0])
+    y_va = torch.from_numpy(va[1])
+    s_va = torch.from_numpy(va[2].astype(np.int64))
+
+    opt = torch.optim.AdamW(model.parameters(), lr=5e-4, weight_decay=1e-5)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=5
+    )
+    best_val, trigger, best_state = np.inf, 0, None
+    n = len(x_tr)
+    n_batches = n // batch_size
+    n_val_batches = -(-len(x_va) // batch_size)
+    g = torch.Generator().manual_seed(0)
+    for epoch in range(epochs):
+        beta = min(1.0, epoch / 50) * 1e-3
+        model.train()
+        perm = torch.randperm(n, generator=g)
+        for b in range(n_batches):
+            idx = perm[b * batch_size : (b + 1) * batch_size]
+            recon, mu, lv = model(x_tr[idx], s_tr[idx])
+            loss = F.binary_cross_entropy(recon, y_tr[idx], reduction="sum")
+            loss = loss + beta * (-0.5 * torch.sum(1 + lv - mu.pow(2) - lv.exp()))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        model.eval()
+        with torch.no_grad():
+            recon, mu, lv = model(x_va, s_va)
+            vloss = F.binary_cross_entropy(recon, y_va, reduction="sum") + beta * (
+                -0.5 * torch.sum(1 + lv - mu.pow(2) - lv.exp())
+            )
+            vloss = float(vloss) / n_val_batches
+        sched.step(vloss)
+        if vloss < best_val:
+            best_val, trigger = vloss, 0
+            best_state = {k: v.clone() for k, v in model.state_dict().items()}
+        else:
+            trigger += 1
+            if trigger >= patience:
+                break
+    if best_state is not None:
+        model.load_state_dict(best_state)
+    return model
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=2000)
+    parser.add_argument("--dim_a", type=int, default=1177)
+    parser.add_argument("--dim_b", type=int, default=1211)
+    parser.add_argument("--sites", type=int, default=24)
+    parser.add_argument("--latent", type=int, default=20)
+    parser.add_argument("--epochs", type=int, default=200)
+    args = parser.parse_args()
+
+    import torch
+
+    torch.manual_seed(0)
+
+    import jax
+    import jax.numpy as jnp
+
+    from vae_los_angeles_tpu.config import Config
+    from vae_los_angeles_tpu.data.dataset import MultiModalArrays
+    from vae_los_angeles_tpu.data.splits import train_val_indices
+    from vae_los_angeles_tpu.data.synthetic import generate_synthetic_arrays
+    from vae_los_angeles_tpu.models.decoders import decoder_b_apply
+    from vae_los_angeles_tpu.models.encoders import encoder_a_apply, encoder_c_apply
+    from vae_los_angeles_tpu.ops.metrics import compute_imputation_metrics
+    from vae_los_angeles_tpu.training import engine
+
+    tpm, beta, site = generate_synthetic_arrays(
+        args.n, args.dim_a, args.dim_b, args.sites, seed=0
+    )
+    tr_idx, va_idx = train_val_indices(args.n)
+    tr = (tpm[tr_idx], beta[tr_idx], site[tr_idx])
+    va = (tpm[va_idx], beta[va_idx], site[va_idx])
+
+    # --- JAX fused engine ---
+    cfg = Config(
+        input_dim_a=args.dim_a, input_dim_b=args.dim_b, latent_dim=args.latent
+    )
+    arrays = MultiModalArrays(jnp.asarray(tpm), jnp.asarray(beta), jnp.asarray(site))
+    t0 = time.perf_counter()
+    res = engine.fit(
+        "rna2dna", cfg, arrays.take(tr_idx), arrays.take(va_idx),
+        jax.random.PRNGKey(0), args.sites, num_epochs=args.epochs,
+    )
+    res = jax.device_get(res)
+    t_jax = time.perf_counter() - t0
+    mu_r, lv_r, _ = encoder_a_apply(
+        res.params["encoder_rna"], res.state["encoder_rna"], jnp.asarray(va[0]),
+        train=False,
+    )
+    mu_s, _, _ = encoder_c_apply(res.params["encoder_site"], {}, jnp.asarray(va[2]))
+    jax_pred = np.asarray(
+        decoder_b_apply(res.params["decoder_dna"], 0.5 * (mu_r + mu_s))
+    )
+    m_jax = compute_imputation_metrics(va[1], jax_pred)
+
+    # --- torch oracle ---
+    t0 = time.perf_counter()
+    tmodel = build_torch_model(args.dim_a, args.dim_b, args.sites, args.latent)
+    tmodel = train_torch(tmodel, tr, va, args.epochs)
+    t_torch = time.perf_counter() - t0
+    with torch.no_grad():
+        torch_pred = (
+            tmodel(
+                torch.from_numpy(va[0]),
+                torch.from_numpy(va[2].astype(np.int64)),
+                sample=False,
+            )[0]
+            .numpy()
+        )
+    m_torch = compute_imputation_metrics(va[1], torch_pred)
+
+    print(f"\nJAX/TPU  : Pearson={m_jax['PearsonMean']:.4f}  MSE={m_jax['MSE']:.5f}  "
+          f"R2={m_jax['R2']:.4f}  wall={t_jax:.1f}s (incl. compile)")
+    print(f"torch/CPU: Pearson={m_torch['PearsonMean']:.4f}  MSE={m_torch['MSE']:.5f}  "
+          f"R2={m_torch['R2']:.4f}  wall={t_torch:.1f}s")
+    delta = abs(m_jax["PearsonMean"] - m_torch["PearsonMean"])
+    print(f"\n|Δ Pearson r| = {delta:.4f}  (target: < 0.01)")
+    print("PARITY:", "PASS" if delta < 0.01 else "FAIL")
+
+
+if __name__ == "__main__":
+    main()
