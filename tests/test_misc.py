@@ -1,0 +1,113 @@
+"""Misc unit tests: config env overrides, HPO sampling/bucketing, MLP
+classifier parity vs torch, profiling helpers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as tnn
+
+from vae_los_angeles_tpu.config import Config
+from vae_los_angeles_tpu.evaluation.hpo import SEARCH_SPACE, sample_trials
+from vae_los_angeles_tpu.evaluation.mlp_classifier import (
+    fit_classifier,
+    mlp_apply,
+    mlp_init,
+    predict_classes,
+    weighted_ce_mean,
+)
+from vae_los_angeles_tpu.utils.profiling import bench_line
+
+
+def test_config_env_overrides(monkeypatch):
+    monkeypatch.setenv("INPUT_DIM_A", "782")
+    monkeypatch.setenv("INPUT_DIM_B", "572")
+    monkeypatch.setenv("LATENT_DIM", "33")
+    monkeypatch.setenv("LEARNING_RATE", "0.001")
+    monkeypatch.setenv("USE_PALLAS", "1")
+    cfg = Config.from_env()
+    assert cfg.input_dim_a == 782
+    assert cfg.input_dim_b == 572
+    assert cfg.latent_dim == 33
+    assert cfg.learning_rate == 0.001
+    assert cfg.use_pallas is True
+    # defaults intact
+    assert cfg.batch_size == 32 and cfg.beta_warmup_epochs == 50
+
+
+def test_hpo_sample_trials_within_space():
+    trials = sample_trials(50, seed=1)
+    assert len(trials) == 50
+    for t in trials:
+        lo, hi = SEARCH_SPACE["latent_dim"]
+        assert lo <= t["latent_dim"] <= hi
+        assert SEARCH_SPACE["learning_rate"][0] <= t["learning_rate"] <= SEARCH_SPACE["learning_rate"][1]
+        assert t["embed_dim"] in SEARCH_SPACE["embed_dim"]
+        assert SEARCH_SPACE["gamma"][0] <= t["gamma"] <= SEARCH_SPACE["gamma"][1]
+    # log-uniform: medians differ from arithmetic midpoint
+    lrs = np.array([t["learning_rate"] for t in trials])
+    assert np.median(lrs) < 1e-3
+
+
+def test_mlp_deep_forward_matches_torch(rng):
+    params = mlp_init(jax.random.PRNGKey(0), 12, 5, arch="deep")
+    t = tnn.Sequential(
+        tnn.Linear(12, 256), tnn.LayerNorm(256), tnn.ReLU(), tnn.Dropout(0.3),
+        tnn.Linear(256, 128), tnn.LayerNorm(128), tnn.ReLU(), tnn.Dropout(0.2),
+        tnn.Linear(128, 5),
+    ).eval()
+    with torch.no_grad():
+        t[0].weight.copy_(torch.from_numpy(np.asarray(params["fc1"]["w"]).T))
+        t[0].bias.copy_(torch.from_numpy(np.asarray(params["fc1"]["b"])))
+        t[1].weight.copy_(torch.from_numpy(np.asarray(params["ln1"]["gamma"])))
+        t[1].bias.copy_(torch.from_numpy(np.asarray(params["ln1"]["beta"])))
+        t[4].weight.copy_(torch.from_numpy(np.asarray(params["fc2"]["w"]).T))
+        t[4].bias.copy_(torch.from_numpy(np.asarray(params["fc2"]["b"])))
+        t[5].weight.copy_(torch.from_numpy(np.asarray(params["ln2"]["gamma"])))
+        t[5].bias.copy_(torch.from_numpy(np.asarray(params["ln2"]["beta"])))
+        t[8].weight.copy_(torch.from_numpy(np.asarray(params["fc3"]["w"]).T))
+        t[8].bias.copy_(torch.from_numpy(np.asarray(params["fc3"]["b"])))
+    x = rng.normal(size=(7, 12)).astype(np.float32)
+    got = np.asarray(mlp_apply(params, jnp.asarray(x), arch="deep", train=False))
+    want = t(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_weighted_ce_mean_matches_torch(rng):
+    logits = rng.normal(size=(9, 4)).astype(np.float32)
+    labels = rng.integers(0, 4, size=9)
+    w = rng.uniform(0.5, 2.0, size=4).astype(np.float32)
+    want = tnn.CrossEntropyLoss(weight=torch.from_numpy(w))(
+        torch.from_numpy(logits), torch.from_numpy(labels)
+    ).item()
+    got = float(
+        weighted_ce_mean(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(w))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_classifier_learns_separable_data(rng):
+    n, d, k = 200, 10, 3
+    centers = rng.normal(scale=4.0, size=(k, d))
+    y = rng.integers(0, k, size=n)
+    x = (centers[y] + rng.normal(size=(n, d))).astype(np.float32)
+    fit = fit_classifier(
+        x[:160], y[:160], x[160:], y[160:], k, np.ones(k, np.float32),
+        jax.random.PRNGKey(0), arch="shallow", num_epochs=20, early_stop=False,
+    )
+    pred = predict_classes(fit.params, x[160:], arch="shallow")
+    acc = (pred == y[160:]).mean()
+    assert acc > 0.9
+
+
+def test_bench_line_format():
+    import json
+
+    line = bench_line("metric", 1.23456, "s", 48.6)
+    parsed = json.loads(line)
+    assert parsed == {
+        "metric": "metric",
+        "value": 1.2346,
+        "unit": "s",
+        "vs_baseline": 48.6,
+    }
