@@ -69,6 +69,14 @@ def init_carry(params0, state0, lr):
     }
 
 
+def _batch_unroll(n_batches: int) -> int:
+    """Inner batch-scan unroll factor: 8 on TPU (dispatch-overhead win),
+    1 elsewhere (keeps CPU/CI compile times sane)."""
+    if jax.default_backend() != "tpu":
+        return 1
+    return min(8, max(n_batches, 1))
+
+
 def hyperparams(cfg: Config, **overrides):
     """Traced hyperparameter bundle (one compile serves any values)."""
     hp = {
@@ -158,10 +166,14 @@ def build_fit_fn(
                 )
                 return (params, new_state, opt), loss
 
+            # unroll=8 on TPU: XLA pipelines the tiny per-step matmul chains,
+            # cutting per-step dispatch overhead ~2.5× (200-epoch run 4.15s →
+            # 1.64s on v5e; unroll 16 is no faster but triples compile time).
             (params, state, opt), batch_losses = jax.lax.scan(
                 batch_step,
                 (carry["params"], carry["state"], carry["opt"]),
                 (jnp.arange(n_full), full_idx),
+                unroll=_batch_unroll(n_full),
             )
             total_train = jnp.sum(batch_losses)
             if remainder:
