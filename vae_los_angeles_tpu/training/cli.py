@@ -216,6 +216,28 @@ def run_training(
         model_name, run_id, result.carry, start_epoch + n_ran, cfg.checkpoint_dir
     )
 
+    # observability: per-epoch metrics as JSONL (the reference only prints)
+    import json
+
+    metrics_path = os.path.join(
+        cfg.plots_dir, f"metrics_{model_name}_{run_id}.jsonl"
+    )
+    with open(metrics_path, "a") as f:
+        for epoch in range(n_ran):
+            f.write(
+                json.dumps(
+                    {
+                        "epoch": start_epoch + epoch,
+                        "train_loss": float(train_losses[epoch]),
+                        "val_loss": float(val_losses[epoch]),
+                        "beta": float(result.betas[epoch]),
+                        "lr": float(result.lrs[epoch]),
+                    }
+                )
+                + "\n"
+            )
+    print(f"Per-epoch metrics appended to {metrics_path}")
+
     print("\nGenerating loss plots...")
     plot_losses(
         train_losses[:n_ran], val_losses[:n_ran], run_id, model_name, cfg.plots_dir

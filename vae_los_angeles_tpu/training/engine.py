@@ -52,6 +52,7 @@ class FitResult(NamedTuple):
     train_losses: jnp.ndarray  # (num_epochs,), NaN after early stop
     val_losses: jnp.ndarray
     betas: jnp.ndarray
+    lrs: jnp.ndarray  # learning rate applied in each epoch (post-plateau)
     carry: dict  # full final training state (params/opt/scheduler/early-stop)
                  # — pass back as ``resume_carry`` for true mid-run resume,
                  # a capability the reference lacks (SURVEY §5 checkpoint row)
@@ -106,8 +107,9 @@ def build_fit_fn(
 ):
     """Construct the PURE fused training function for a static problem shape.
 
-    Signature: _fit(params0, state0, train_arrays, val_arrays, hp,
-    class_weights, key) -> FitResult. Returned unjitted so that
+    Signature: _fit(carry0, train_arrays, val_arrays, hp, class_weights, key,
+    epoch_offset) -> FitResult, where carry0 comes from `init_carry` (fresh
+    run) or a restored resume checkpoint. Returned unjitted so that
     `parallel.vmap_meta` can vmap it over fold/trial populations; `_build_fit`
     wraps it in jit for single-run use.
     """
@@ -210,18 +212,18 @@ def build_fit_fn(
                 "estop": estop,
                 "best": best,
             }
-            return new_carry, (train_loss, val_loss, beta_kl)
+            return new_carry, (train_loss, val_loss, beta_kl, lr)
 
         def epoch_step(carry, epoch):
             nan = jnp.float32(jnp.nan)
             return jax.lax.cond(
                 carry["estop"]["stopped"],
-                lambda c: (c, (nan, nan, nan)),
+                lambda c: (c, (nan, nan, nan, nan)),
                 lambda c: run_epoch(c, epoch),
                 carry,
             )
 
-        carry, (train_losses, val_losses, betas) = jax.lax.scan(
+        carry, (train_losses, val_losses, betas, lrs) = jax.lax.scan(
             epoch_step, carry0, jnp.arange(num_epochs) + epoch_offset
         )
         return FitResult(
@@ -235,6 +237,7 @@ def build_fit_fn(
             train_losses=train_losses,
             val_losses=val_losses,
             betas=betas,
+            lrs=lrs,
             carry=carry,
         )
 
