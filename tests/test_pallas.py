@@ -143,3 +143,30 @@ def test_fused_sampling_statistics(model):
     err_mean = np.abs(recons.mean(axis=0) - np.asarray(det)).mean()
     err_single = np.abs(recons[0] - np.asarray(det)).mean()
     assert err_mean < err_single
+
+
+def test_fused_loss_value_and_grads(rng):
+    """Fused loss kernel + analytic VJP ≡ autodiff of ops.losses.rna2dna_loss."""
+    from vae_los_angeles_tpu.ops.losses import rna2dna_loss
+    from vae_los_angeles_tpu.ops.pallas.fused_loss import rna2dna_loss_fused
+
+    logits = jnp.asarray(rng.normal(size=(16, 48)).astype(np.float32)) * 2
+    dna = jnp.asarray(rng.uniform(0.02, 0.98, size=(16, 48)).astype(np.float32))
+    mu = jnp.asarray(rng.normal(size=(16, 6)).astype(np.float32))
+    logvar = jnp.asarray(rng.normal(size=(16, 6)).astype(np.float32))
+    beta = 1e-3
+
+    want = float(rna2dna_loss(logits, dna, mu, logvar, beta=beta)[0])
+    got = float(rna2dna_loss_fused(logits, dna, mu, logvar, beta))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    ref_grads = jax.grad(
+        lambda l, m, lv: rna2dna_loss(l, dna, m, lv, beta=beta)[0], argnums=(0, 1, 2)
+    )(logits, mu, logvar)
+    fused_grads = jax.grad(
+        lambda l, m, lv: rna2dna_loss_fused(l, dna, m, lv, beta), argnums=(0, 1, 2)
+    )(logits, mu, logvar)
+    for g_ref, g_fused in zip(ref_grads, fused_grads):
+        np.testing.assert_allclose(
+            np.asarray(g_fused), np.asarray(g_ref), atol=1e-5
+        )
