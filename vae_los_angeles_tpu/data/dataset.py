@@ -16,7 +16,7 @@ Schema (reference scripts/prepare_data.py:121-131):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

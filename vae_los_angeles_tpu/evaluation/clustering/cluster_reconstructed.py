@@ -14,7 +14,6 @@ import glob
 import os
 from typing import Optional
 
-import numpy as np
 
 from vae_los_angeles_tpu.config import Config
 from vae_los_angeles_tpu.data.dataset import load_label_encoder

@@ -23,7 +23,6 @@ from typing import Optional
 import numpy as np
 
 from vae_los_angeles_tpu.config import Config
-from vae_los_angeles_tpu.data.splits import train_val_indices
 from vae_los_angeles_tpu.evaluation.evaluate import load_val_split
 from vae_los_angeles_tpu.evaluation.loading import load_dna2rna, load_rna2dna
 from vae_los_angeles_tpu.ops.metrics import compute_imputation_metrics, pearson_per_sample

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
-import jax.numpy as jnp
 
 from vae_los_angeles_tpu.models import directional_ae, directional_vae, vae
 from vae_los_angeles_tpu.ops import losses
