@@ -104,6 +104,7 @@ def build_fit_fn(
     n_val: int,
     drop_last: bool,
     has_class_weights: bool,
+    fused_step: bool = False,
 ):
     """Construct the PURE fused training function for a static problem shape.
 
@@ -129,6 +130,13 @@ def build_fit_fn(
         return loss
 
     grad_fn = jax.value_and_grad(train_loss_fn, has_aux=True)
+
+    if fused_step:
+        if task_name != "rna2dna":
+            raise ValueError("fused_step is only implemented for rna2dna")
+        from vae_los_angeles_tpu.ops.pallas.fused_train import (
+            rna2dna_fused_train_step,
+        )
 
     def _fit(carry0, train_arrays, val_arrays, hp, class_weights, key,
              epoch_offset):
@@ -158,11 +166,24 @@ def build_fit_fn(
             def batch_step(bstate, scan_in):
                 b_i, bidx = scan_in
                 params, state, opt = bstate
-                bkey = jax.random.fold_in(dkey, b_i)
-                (loss, new_state), grads = grad_fn(
-                    params, state, bkey, gather(bidx), beta_kl, class_weights,
-                    hp["gamma"],
-                )
+                batch = gather(bidx)
+                if fused_step:
+                    # whole fwd+bwd as ONE Pallas kernel (in-kernel PRNG);
+                    # step seed derived from (epoch, batch) for reproducibility
+                    seed = epoch * jnp.int32(100003) + b_i
+                    n_sites_static = None  # resolved from params inside
+                    loss, grads, bn_new = rna2dna_fused_train_step(
+                        params, state, batch.tpm, batch.beta, batch.site,
+                        params["encoder_site"]["embedding"]["table"].shape[0],
+                        seed=seed, beta=beta_kl,
+                    )
+                    new_state = {"encoder_rna": bn_new["encoder_rna"]}
+                else:
+                    bkey = jax.random.fold_in(dkey, b_i)
+                    (loss, new_state), grads = grad_fn(
+                        params, state, bkey, batch, beta_kl, class_weights,
+                        hp["gamma"],
+                    )
                 params, opt = optim.adamw_update(
                     params, grads, opt, lr, hp["weight_decay"]
                 )
@@ -265,6 +286,7 @@ def fit(
     init_state=None,
     resume_carry=None,
     start_epoch: int = 0,
+    fused_step: bool = False,
 ) -> FitResult:
     """Train a task end-to-end on device. Returns the best-val snapshot.
 
@@ -290,6 +312,7 @@ def fit(
         int(len(val_arrays)),
         bool(drop_last),
         class_weights is not None,
+        bool(fused_step),
     )
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
     return fit_fn(
