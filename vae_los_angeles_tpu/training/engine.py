@@ -132,11 +132,17 @@ def build_fit_fn(
     grad_fn = jax.value_and_grad(train_loss_fn, has_aux=True)
 
     if fused_step:
-        if task_name != "rna2dna":
-            raise ValueError("fused_step is only implemented for rna2dna")
-        from vae_los_angeles_tpu.ops.pallas.fused_train import (
-            rna2dna_fused_train_step,
+        if task_name not in ("rna2dna", "dna2rna"):
+            raise ValueError("fused_step is only implemented for the "
+                             "directional VAE tasks")
+        from vae_los_angeles_tpu.ops.pallas import fused_train
+
+        fused_step_fn = (
+            fused_train.rna2dna_fused_train_step
+            if task_name == "rna2dna"
+            else fused_train.dna2rna_fused_train_step
         )
+        fused_bn_key = "encoder_rna" if task_name == "rna2dna" else "encoder_dna"
 
     def _fit(carry0, train_arrays, val_arrays, hp, class_weights, key,
              epoch_offset):
@@ -171,13 +177,12 @@ def build_fit_fn(
                     # whole fwd+bwd as ONE Pallas kernel (in-kernel PRNG);
                     # step seed derived from (epoch, batch) for reproducibility
                     seed = epoch * jnp.int32(100003) + b_i
-                    n_sites_static = None  # resolved from params inside
-                    loss, grads, bn_new = rna2dna_fused_train_step(
+                    loss, grads, bn_new = fused_step_fn(
                         params, state, batch.tpm, batch.beta, batch.site,
                         params["encoder_site"]["embedding"]["table"].shape[0],
                         seed=seed, beta=beta_kl,
                     )
-                    new_state = {"encoder_rna": bn_new["encoder_rna"]}
+                    new_state = {fused_bn_key: bn_new[fused_bn_key]}
                 else:
                     bkey = jax.random.fold_in(dkey, b_i)
                     (loss, new_state), grads = grad_fn(
