@@ -173,6 +173,11 @@ def run_training(
         else contextlib.nullcontext()
     )
     t0 = time.perf_counter()
+    fused_step = (
+        cfg.use_pallas
+        and task_name in ("rna2dna", "dna2rna")
+        and jax.default_backend() == "tpu"
+    )
     with trace_ctx:
         result = engine.fit(
             task_name,
@@ -185,6 +190,7 @@ def run_training(
             class_weights=class_weights,
             resume_carry=resume_carry,
             start_epoch=start_epoch,
+            fused_step=fused_step,
         )
         # device_get (not block_until_ready): remote-relay platforms can
         # return from block_until_ready before execution completes
