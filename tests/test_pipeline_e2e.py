@@ -69,6 +69,7 @@ def test_evaluate_contract(workspace):
     results = main(cfg=CFG)
     out = workspace / "plots" / "evaluation_results.json"
     assert out.exists()
+    assert any(workspace.glob("plots/reconstruction_example_*.png"))
     saved = json.loads(out.read_text())
     assert {r["Modality"] for r in saved["results"]} == {
         "DNA methylation",

@@ -81,12 +81,50 @@ def evaluate_model(
     ]
 
 
+def plot_reconstruction_examples(model, tpm, beta, plots_dir="plots", n_samples=3,
+                                 seed=42):
+    """Scatter plots of true-vs-reconstructed values for a few validation
+    samples → ``plots/reconstruction_example_{i}.png`` (the artifact
+    run_pipeline.sh:35 promises from the missing evaluate.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    _, est_dna, _, _, _ = model(a=tpm)
+    est_rna, _, _, _, _ = model(b=beta)
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(tpm), size=min(n_samples, len(tpm)), replace=False)
+    os.makedirs(plots_dir, exist_ok=True)
+    for rank, i in enumerate(idx):
+        fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+        for ax, truth, pred, name in (
+            (axes[0], tpm[i], est_rna[i], "RNA (log1p TPM)"),
+            (axes[1], beta[i], est_dna[i], "DNA (β-value)"),
+        ):
+            ax.scatter(truth, pred, s=3, alpha=0.4)
+            lo, hi = float(min(truth.min(), pred.min())), float(
+                max(truth.max(), pred.max())
+            )
+            ax.plot([lo, hi], [lo, hi], "r--", linewidth=1)
+            ax.set_title(f"{name}: cross-modal reconstruction")
+            ax.set_xlabel("true")
+            ax.set_ylabel("reconstructed")
+        fig.suptitle(f"Validation sample {i}")
+        fig.tight_layout()
+        path = os.path.join(plots_dir, f"reconstruction_example_{rank}.png")
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        print(f"Reconstruction example saved to {path}")
+
+
 def main(cfg: Optional[Config] = None, output_path: Optional[str] = None):
     cfg = cfg or Config.from_env()
     model, (tpm, beta, site), run_id = load_model_and_data(cfg)
     print(f"Evaluating MultiModalVAE run {run_id} on {len(tpm)} validation samples")
 
     results = evaluate_model(model, tpm, beta)
+    plot_reconstruction_examples(model, tpm, beta, cfg.plots_dir)
     for rec in results:
         print(
             f"  {rec['Modality']:>16s}: MSE={rec['MSE']:.4f} MAE={rec['MAE']:.4f} "
