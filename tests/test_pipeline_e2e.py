@@ -199,3 +199,21 @@ def test_hpo_vmapped(workspace):
     assert np.isfinite(best_value)
     assert (workspace / "best_hyperparameters.json").exists()
     assert (workspace / "checkpoints" / "best_multivae_optimized.npz").exists()
+
+
+def test_downstream_trimodal(workspace):
+    """Tri-modal downstream task: 8 scenarios × StratifiedKFold deep-MLP."""
+    from vae_los_angeles_tpu.evaluation.downstream import main as ds_main
+
+    metrics = ds_main(cfg=CFG, n_folds=2)
+    assert len(metrics) == 8
+    assert "Orig. RNA + Orig. DNA" in metrics
+    for name, report in metrics.items():
+        assert 0.0 <= report["accuracy"] <= 1.0, name
+        assert "accuracy_std" in report
+    assert any(
+        (workspace / "plots" / "downstream_task").glob("scenario_comparison_*.png")
+    )
+    assert any(
+        (workspace / "plots" / "downstream_task").glob("per_tissue_f1_comparison_*.png")
+    )

@@ -1,0 +1,127 @@
+"""Unit tests for the data-preparation transformations (reference
+scripts/prepare_data.py / prepare_dna.py logic) on tiny synthetic frames —
+no Kaggle access required."""
+
+import numpy as np
+import pandas as pd
+
+from vae_los_angeles_tpu.data.prepare_data import (
+    merge_and_normalize_data,
+    prepare_dna_methylation_data,
+    prepare_rna_data,
+)
+from vae_los_angeles_tpu.data.prepare_dna import build_imputed_matrix
+
+
+def _rna_long(cases, genes, drop=()):
+    rows = []
+    for c in cases:
+        for g in genes:
+            if (c, g) in drop:
+                continue
+            rows.append(
+                {
+                    "case_barcode": c,
+                    "gene_name": g,
+                    "tpm_unstranded": float(hash((c, g)) % 100),
+                    "primary_site": "Breast" if c.endswith("1") else "Lung",
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def test_prepare_rna_data_grouping_and_filtering():
+    genes = ["G3", "G1", "G2"]
+    df = _rna_long(["C1", "C2", "C3"], genes, drop=[("C3", "G2")])
+    # duplicate row → must be deduped
+    df = pd.concat([df, df.iloc[[0]]], ignore_index=True)
+    out, gene_names = prepare_rna_data(df, input_dim_a=3)
+    # C3 has only 2 genes → filtered out
+    assert sorted(out["case_barcode"]) == ["C1", "C2"]
+    assert gene_names == ["G1", "G2", "G3"]
+    # vectors follow sorted gene order
+    row = out[out["case_barcode"] == "C1"].iloc[0]
+    assert len(row["tpm_unstranded"]) == 3
+    assert row["primary_site"] == "Breast"
+
+
+def test_prepare_dna_data_grouping():
+    rows = []
+    for c in ["C1", "C2"]:
+        for p in ["cg2", "cg1"]:
+            rows.append({"case_barcode": c, "probe_id": p, "beta_value": 0.5})
+    rows.append({"case_barcode": "C3", "probe_id": "cg1", "beta_value": 0.1})
+    out, probe_ids = prepare_dna_methylation_data(pd.DataFrame(rows), input_dim_b=2)
+    assert sorted(out["case_barcode"]) == ["C1", "C2"]
+    assert probe_ids == ["cg1", "cg2"]
+
+
+def test_merge_and_normalize(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rna = pd.DataFrame(
+        {
+            "case_barcode": ["C1", "C2", "C3"],
+            "tpm_unstranded": [[1.0, 2.0]] * 3,
+            "primary_site": ["Breast", "Lung", "Breast"],
+        }
+    )
+    dna = pd.DataFrame(
+        {
+            "case_barcode": ["C1", "C2", "C4"],
+            "beta_value": [[0.1, 0.9, 0.5]] * 3,
+        }
+    )
+    merged, le = merge_and_normalize_data(rna, dna, top_n_sites=24, data_dir="data")
+    # matched: C1, C2; unmatched saved
+    assert sorted(merged["case_barcode"]) == ["C1", "C2"]
+    rna_only = pd.read_pickle("data/rna_only_unmatched.pkl")
+    assert list(rna_only["case_barcode"]) == ["C3"]
+    dna_only = pd.read_pickle("data/dna_only_unmatched.pkl")
+    assert list(dna_only["case_barcode"]) == ["C4"]
+    # RNA log1p'd
+    np.testing.assert_allclose(
+        merged["tpm_unstranded"].iloc[0], np.log1p([1.0, 2.0])
+    )
+    # label encoding matches sklearn convention
+    assert set(le.classes_) == {"Breast", "Lung"}
+    assert merged["primary_site_encoded"].tolist() == list(
+        le.transform(merged["primary_site"])
+    )
+
+
+def test_top_n_site_filter(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    n = 30
+    rna = pd.DataFrame(
+        {
+            "case_barcode": [f"C{i}" for i in range(n)],
+            "tpm_unstranded": [[1.0]] * n,
+            "primary_site": ["Common"] * 28 + ["Rare1", "Rare2"],
+        }
+    )
+    dna = pd.DataFrame(
+        {"case_barcode": [f"C{i}" for i in range(n)], "beta_value": [[0.5]] * n}
+    )
+    merged, le = merge_and_normalize_data(rna, dna, top_n_sites=1, data_dir="data")
+    assert set(merged["primary_site"]) == {"Common"}
+    assert len(merged) == 28
+
+
+def test_build_imputed_matrix():
+    """Dedup → complete patient×probe grid → per-patient mean imputation
+    (reference prepare_dna.py:33-65)."""
+    df = pd.DataFrame(
+        {
+            "case_barcode": ["P1", "P1", "P1", "P2"],
+            "probe_id": ["a", "a", "b", "a"],  # P1/a duplicated; P2 missing b
+            "beta_value": [0.2, 0.9, 0.4, 0.6],
+        }
+    )
+    out = build_imputed_matrix(df)
+    assert len(out) == 4  # complete 2×2 grid
+    p1a = out[(out.case_barcode == "P1") & (out.probe_id == "a")]["beta_value"].iloc[0]
+    assert p1a == 0.2  # keep='first' dedup
+    # P2's missing probe b imputed with P2's own mean (0.6)
+    p2b = out[(out.case_barcode == "P2") & (out.probe_id == "b")]["beta_value"].iloc[0]
+    np.testing.assert_allclose(p2b, 0.6)
+    assert not out["beta_value"].isnull().any()
