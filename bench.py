@@ -54,9 +54,11 @@ def main():
     train_arrays, val_arrays = arrays.take(tr_idx), arrays.take(va_idx)
     jax.block_until_ready((train_arrays, val_arrays))
 
-    # the fused Pallas train step (fwd+bwd in one kernel) is the fastest
-    # path on TPU; set USE_FUSED_STEP=0 to benchmark the pure-XLA engine
-    fused = os.getenv("USE_FUSED_STEP", "1") == "1" and jax.default_backend() == "tpu"
+    # fastest path on TPU: the whole-epoch Pallas megakernel (every AdamW
+    # step of an epoch in ONE kernel, params+moments VMEM-resident).
+    # BENCH_MODE=step uses the per-step fused kernel; BENCH_MODE=xla the
+    # pure-XLA fused scan.
+    mode = os.getenv("BENCH_MODE", "epoch") if jax.default_backend() == "tpu" else "xla"
 
     def run(seed):
         res = engine.fit(
@@ -67,7 +69,8 @@ def main():
             jax.random.PRNGKey(seed),
             N_SITES,
             num_epochs=EPOCHS,
-            fused_step=fused,
+            fused_step=(mode == "step"),
+            fused_epoch=(mode == "epoch"),
         )
         # NOTE: device_get, not block_until_ready — the axon remote relay
         # returns from block_until_ready before execution completes, so an
@@ -90,7 +93,7 @@ def main():
         f"compile+run: {compile_and_run:.2f}s | steady-state 200-epoch run: "
         f"{wall:.2f}s | {samples_per_sec:,.0f} samples/s | "
         f"final val loss {float(res.val_losses[-1]):.2f} | "
-        f"fused_pallas_step={fused}",
+        f"mode={mode}",
         file=sys.stderr,
     )
     print(

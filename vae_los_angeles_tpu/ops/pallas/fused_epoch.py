@@ -1,0 +1,337 @@
+"""Whole-EPOCH megakernel for RNA2DNAVAE: every SGD step of an epoch runs
+inside ONE Pallas kernel, with parameters AND AdamW moments VMEM-resident.
+
+Why: at batch 32 the per-step fused kernel is bound by optimizer-state HBM
+traffic — each step reads/writes params+m+v (~28 MB) from HBM. Here the
+grid iterates over the epoch's batches while params/m/v live in VMEM for the
+entire epoch via input→output aliasing with constant index maps (Mosaic
+fetches each such block once and writes it back after the last grid step).
+HBM sees only the streaming batch data (~0.3 MB/step, double-buffered by the
+pipeline) plus one param/opt load+store per EPOCH instead of per STEP.
+
+Per grid step i the kernel runs the full train step in-place:
+  forward (Linear→train-BN→ReLU→Dropout → mean-fuse site posterior →
+  reparameterize → 3-layer decode) → BCE+β·KL loss → hand-derived backward
+  for all 19 parameter tensors → torch-order AdamW update (decoupled decay,
+  bias correction at global step step0+i+1) → BN running-stats update.
+
+VMEM budget at the live dims (1177/1211, latent 20): params+m+v ≈ 11 MB,
+streaming blocks + activations ≈ 3 MB — inside the ~16 MB/core budget.
+
+Equivalence: with injected per-step noise the epoch kernel matches a scan of
+`fused_train.rna2dna_fused_train_step` + `optim.adamw_update` to fp32
+tolerance (tests/test_pallas_epoch.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vae_los_angeles_tpu.ops.nn import BN_EPS, BN_MOMENTUM
+from vae_los_angeles_tpu.ops.optim import ADAM_B1, ADAM_B2, ADAM_EPS
+from vae_los_angeles_tpu.ops.pallas.fused_train import (
+    PARAM_ORDER,
+    _box_muller,
+    _dot,
+    _flatten_params,
+    _interpret,
+    _rand_uniform,
+    _unflatten_grads,
+)
+
+DROPOUT_RATE = 0.1
+N_P = len(PARAM_ORDER)  # 19
+
+
+def _epoch_kernel(*refs):
+    """Positional ref layout (built in `_epoch_call`):
+    scalars: seed, beta, lr, wd, step0, use_prng                    [SMEM]
+    data:    x(B,Da), t(B,Db), oh(B,S), eps(B,L), drop(B,128)       [grid-blocked]
+    state-in: p0..p18, m0..m18, v0..v18, rm, rv                     [const blocks]
+    outputs:  loss(1,1 grid-blocked), p'…, m'…, v'…, rm', rv'
+    scratch:  VMEM copies of p/m/v/rm/rv, persistent across grid steps
+    """
+    n_state = 3 * N_P + 2
+    (seed_ref, beta_ref, lr_ref, wd_ref, step0_ref, use_prng_ref) = refs[:6]
+    x_ref, t_ref, oh_ref, eps_ref, drop_ref = refs[6:11]
+    state_in = refs[11 : 11 + n_state]  # HBM (memory_space=ANY)
+    out_refs = refs[11 + n_state : 11 + n_state + 1 + n_state]
+    scratch = refs[11 + n_state + 1 + n_state : -2]
+    loss_acc = refs[-2]  # (NB_pad, 128) VMEM scratch for per-step losses
+    dma_sem = refs[-1]
+    losses_out = out_refs[0]  # (NB_pad, 128) full-array output
+    state_out = out_refs[1:]  # HBM (memory_space=ANY)
+
+    i = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    # DMA the state HBM→VMEM scratch on the first step (state inputs stay in
+    # HBM so the VMEM footprint is params+moments ONCE, not twice)
+    @pl.when(i == 0)
+    def _():
+        for src, dst in zip(state_in, scratch):
+            dma = pltpu.make_async_copy(src, dst, dma_sem)
+            dma.start()
+            dma.wait()
+
+    p = scratch[:N_P]
+    m = scratch[N_P : 2 * N_P]
+    v = scratch[2 * N_P : 3 * N_P]
+    rm_ref, rv_ref = scratch[3 * N_P], scratch[3 * N_P + 1]
+    (w1, b1, gamma, bnbeta, wmu, bmu, wlv, blv, emb,
+     smu_w, smu_b, slv_w, slv_b, d1w, d1b, d2w, d2b, d3w, d3b) = p
+
+    pltpu.prng_seed(seed_ref[0] + i)
+    beta = beta_ref[0]
+    use_prng = (use_prng_ref[0] == 1).astype(jnp.float32)
+    keep = 1.0 - DROPOUT_RATE
+    x = x_ref[:]
+    t = t_ref[:]
+    batch = x.shape[0]
+
+    # ---------------- forward ----------------
+    a1 = _dot(x, w1[:]) + b1[:]
+    mu_b = jnp.mean(a1, axis=0)
+    var_b = jnp.mean(jnp.square(a1 - mu_b), axis=0)
+    inv_std = jax.lax.rsqrt(var_b + BN_EPS)
+    xhat = (a1 - mu_b) * inv_std
+    h = xhat * gamma[:] + bnbeta[:]
+    rmask = (h > 0).astype(jnp.float32)
+    r = h * rmask
+    drop = use_prng * (_rand_uniform(r.shape) < keep).astype(jnp.float32) + (
+        1.0 - use_prng
+    ) * drop_ref[:]
+    d = r * drop / keep
+
+    mu_r = _dot(d, wmu[:]) + bmu[:]
+    lv_r = _dot(d, wlv[:]) + blv[:]
+    e = _dot(oh_ref[:], emb[:])
+    mu_s = _dot(e, smu_w[:]) + smu_b[:]
+    lv_s = _dot(e, slv_w[:]) + slv_b[:]
+    mu = 0.5 * (mu_r + mu_s)
+    lv = 0.5 * (lv_r + lv_s)
+
+    eps = use_prng * _box_muller(mu.shape) + (1.0 - use_prng) * eps_ref[:]
+    sigma = jnp.exp(0.5 * lv)
+    z = mu + eps * sigma
+
+    u1 = _dot(z, d1w[:]) + d1b[:]
+    m1 = (u1 > 0).astype(jnp.float32)
+    r1 = u1 * m1
+    u2 = _dot(r1, d2w[:]) + d2b[:]
+    m2 = (u2 > 0).astype(jnp.float32)
+    r2 = u2 * m2
+    logits = _dot(r2, d3w[:]) + d3b[:]
+
+    bce = jnp.sum(
+        jnp.maximum(logits, 0.0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    kld = -0.5 * jnp.sum(1.0 + lv - mu * mu - jnp.exp(lv))
+    # Mosaic cannot store scalars to VMEM: broadcast the loss across a row
+    loss_acc[pl.ds(i, 1), :] = jnp.full((1, 128), bce + beta * kld, jnp.float32)
+
+    unbias = batch / max(batch - 1, 1)
+    rm_ref[:] = (1.0 - BN_MOMENTUM) * rm_ref[:] + BN_MOMENTUM * mu_b
+    rv_ref[:] = (1.0 - BN_MOMENTUM) * rv_ref[:] + BN_MOMENTUM * var_b * unbias
+
+    # ---------------- backward + in-place AdamW per tensor ----------------
+    lr = lr_ref[0]
+    wd = wd_ref[0]
+    t_step = (step0_ref[0] + i + 1).astype(jnp.float32)
+    # Mosaic has no powf: b^t = exp(t·ln b)
+    bc1 = 1.0 - jnp.exp(t_step * np.log(ADAM_B1))
+    bc2 = 1.0 - jnp.exp(t_step * np.log(ADAM_B2))
+
+    def adamw(p_ref, m_ref, v_ref, g):
+        new_m = ADAM_B1 * m_ref[:] + (1.0 - ADAM_B1) * g
+        new_v = ADAM_B2 * v_ref[:] + (1.0 - ADAM_B2) * g * g
+        m_ref[:] = new_m
+        v_ref[:] = new_v
+        p_ref[:] = p_ref[:] * (1.0 - lr * wd) - lr * (new_m / bc1) / (
+            jnp.sqrt(new_v / bc2) + ADAM_EPS
+        )
+
+    (mw1, mb1, mgam, mbb, mwmu, mbmu, mwlv, mblv, memb,
+     msmu_w, msmu_b, mslv_w, mslv_b, md1w, md1b, md2w, md2b, md3w, md3b) = m
+    (vw1, vb1, vgam, vbb, vwmu, vbmu, vwlv, vblv, vemb,
+     vsmu_w, vsmu_b, vslv_w, vslv_b, vd1w, vd1b, vd2w, vd2b, vd3w, vd3b) = v
+
+    dlogits = jax.nn.sigmoid(logits) - t
+    # NOTE: gradients consumed immediately per-layer to bound VMEM pressure
+    dr2 = _dot(dlogits, d3w[:].T)  # uses pre-update d3w: compute before adamw
+    adamw(d3w, md3w, vd3w, _dot(r2.T, dlogits))
+    adamw(d3b, md3b, vd3b, jnp.sum(dlogits, axis=0))
+    du2 = dr2 * m2
+    dr1 = _dot(du2, d2w[:].T)
+    adamw(d2w, md2w, vd2w, _dot(r1.T, du2))
+    adamw(d2b, md2b, vd2b, jnp.sum(du2, axis=0))
+    du1 = dr1 * m1
+    dz = _dot(du1, d1w[:].T)
+    adamw(d1w, md1w, vd1w, _dot(z.T, du1))
+    adamw(d1b, md1b, vd1b, jnp.sum(du1, axis=0))
+
+    dmu = dz + beta * mu
+    dlv = dz * eps * 0.5 * sigma + (-0.5 * beta) * (1.0 - jnp.exp(lv))
+    dmu_half = 0.5 * dmu
+    dlv_half = 0.5 * dlv
+
+    dd = _dot(dmu_half, wmu[:].T) + _dot(dlv_half, wlv[:].T)
+    adamw(wmu, mwmu, vwmu, _dot(d.T, dmu_half))
+    adamw(bmu, mbmu, vbmu, jnp.sum(dmu_half, axis=0))
+    adamw(wlv, mwlv, vwlv, _dot(d.T, dlv_half))
+    adamw(blv, mblv, vblv, jnp.sum(dlv_half, axis=0))
+
+    de = _dot(dmu_half, smu_w[:].T) + _dot(dlv_half, slv_w[:].T)
+    adamw(smu_w, msmu_w, vsmu_w, _dot(e.T, dmu_half))
+    adamw(smu_b, msmu_b, vsmu_b, jnp.sum(dmu_half, axis=0))
+    adamw(slv_w, mslv_w, vslv_w, _dot(e.T, dlv_half))
+    adamw(slv_b, mslv_b, vslv_b, jnp.sum(dlv_half, axis=0))
+    adamw(emb, memb, vemb, _dot(oh_ref[:].T, de))
+
+    dr = dd * drop / keep
+    dh = dr * rmask
+    dxhat = dh * gamma[:]
+    adamw(gamma, mgam, vgam, jnp.sum(dh * xhat, axis=0))
+    adamw(bnbeta, mbb, vbb, jnp.sum(dh, axis=0))
+    da1 = inv_std * (
+        dxhat - jnp.mean(dxhat, axis=0) - xhat * jnp.mean(dxhat * xhat, axis=0)
+    )
+    adamw(w1, mw1, vw1, _dot(x.T, da1))
+    adamw(b1, mb1, vb1, jnp.sum(da1, axis=0))
+
+    # flush the final state + loss trace to the outputs on the last step
+    @pl.when(i == n_steps - 1)
+    def _():
+        for src, dst in zip(scratch, state_out):
+            dma = pltpu.make_async_copy(src, dst, dma_sem)
+            dma.start()
+            dma.wait()
+        losses_out[:] = loss_acc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("n_batches", "use_prng"))
+def _epoch_call(flat_p, flat_m, flat_v, rm, rv, x_ep, t_ep, oh_ep, eps_ep,
+                drop_ep, seed, beta, lr, wd, step0, n_batches: int,
+                use_prng: bool):
+    batch = x_ep.shape[0] // n_batches
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def stream(width):
+        return pl.BlockSpec(
+            (batch, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    p_list = [flat_p[k] for k, _ in PARAM_ORDER]
+    m_list = [flat_m[k] for k, _ in PARAM_ORDER]
+    v_list = [flat_v[k] for k, _ in PARAM_ORDER]
+    state_arrays = p_list + m_list + v_list + [rm, rv]
+    # state stays in HBM; the kernel DMAs it into persistent VMEM scratch
+    state_specs = [
+        pl.BlockSpec(memory_space=pltpu.ANY) for _ in state_arrays
+    ]
+
+    in_specs = (
+        [smem] * 6
+        + [
+            stream(x_ep.shape[1]),
+            stream(t_ep.shape[1]),
+            stream(oh_ep.shape[1]),
+            stream(eps_ep.shape[1]),
+            stream(drop_ep.shape[1]),
+        ]
+        + state_specs
+    )
+    nb_pad = -(-n_batches // 8) * 8
+    out_shape = (
+        [jax.ShapeDtypeStruct((nb_pad, 128), jnp.float32)]
+        + [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in state_arrays]
+    )
+    out_specs = (
+        [const((nb_pad, 128))]
+        + state_specs
+    )
+    scratch_shapes = [pltpu.VMEM(a.shape, jnp.float32) for a in state_arrays] + [
+        pltpu.VMEM((nb_pad, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    outs = pl.pallas_call(
+        _epoch_kernel,
+        grid=(n_batches,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch_shapes,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        jnp.asarray([seed], jnp.int32),
+        jnp.asarray([beta], jnp.float32),
+        jnp.asarray([lr], jnp.float32),
+        jnp.asarray([wd], jnp.float32),
+        jnp.asarray([step0], jnp.int32),
+        jnp.asarray([1 if use_prng else 0], jnp.int32),
+        x_ep, t_ep, oh_ep, eps_ep, drop_ep,
+        *state_arrays,
+    )
+    losses = outs[0][:n_batches, 0]
+    new_state_arrays = outs[1:]
+    new_p = {k: new_state_arrays[j] for j, (k, _) in enumerate(PARAM_ORDER)}
+    new_m = {k: new_state_arrays[N_P + j] for j, (k, _) in enumerate(PARAM_ORDER)}
+    new_v = {k: new_state_arrays[2 * N_P + j] for j, (k, _) in enumerate(PARAM_ORDER)}
+    new_rm, new_rv = new_state_arrays[-2], new_state_arrays[-1]
+    return losses, new_p, new_m, new_v, new_rm, new_rv
+
+
+def rna2dna_fused_epoch(
+    params, opt_m, opt_v, bn_state, x_ep, t_ep, site_ep, n_sites, *,
+    seed=0, beta=1e-3, lr=5e-4, weight_decay=1e-5, step0=0, n_batches,
+    eps_ep=None, drop_ep=None,
+):
+    """Run one full epoch (n_batches AdamW steps) in a single kernel.
+
+    Inputs are the epoch's pre-permuted, batch-concatenated arrays
+    (n_batches*B rows). Returns (per-batch losses, new_params, new_m, new_v,
+    new_bn_state). ``opt_m``/``opt_v`` are the AdamW moment pytrees; ``step0``
+    the global step count before this epoch.
+    """
+    flat_p = _flatten_params(params)
+    flat_m = _flatten_params(opt_m)
+    flat_v = _flatten_params(opt_v)
+    onehot = jax.nn.one_hot(jnp.asarray(site_ep), n_sites, dtype=jnp.float32)
+    use_prng = eps_ep is None
+    n_rows = x_ep.shape[0]
+    latent = flat_p["wmu"].shape[1]
+    if eps_ep is None:
+        eps_ep = jnp.zeros((n_rows, latent), jnp.float32)
+    if drop_ep is None:
+        drop_ep = jnp.ones((n_rows, 128), jnp.float32)
+    losses, new_p, new_m, new_v, new_rm, new_rv = _epoch_call(
+        flat_p, flat_m, flat_v,
+        bn_state["encoder_rna"]["bn"]["mean"],
+        bn_state["encoder_rna"]["bn"]["var"],
+        jnp.asarray(x_ep, jnp.float32),
+        jnp.asarray(t_ep, jnp.float32),
+        onehot,
+        jnp.asarray(eps_ep, jnp.float32),
+        jnp.asarray(drop_ep, jnp.float32),
+        seed, beta, lr, weight_decay, step0, int(n_batches), use_prng,
+    )
+    return (
+        losses,
+        _unflatten_grads(new_p),
+        _unflatten_grads(new_m),
+        _unflatten_grads(new_v),
+        {"encoder_rna": {"bn": {"mean": new_rm, "var": new_rv}}},
+    )

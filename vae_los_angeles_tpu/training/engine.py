@@ -105,6 +105,7 @@ def build_fit_fn(
     drop_last: bool,
     has_class_weights: bool,
     fused_step: bool = False,
+    fused_epoch: bool = False,
 ):
     """Construct the PURE fused training function for a static problem shape.
 
@@ -143,6 +144,12 @@ def build_fit_fn(
             else fused_train.dna2rna_fused_train_step
         )
         fused_bn_key = "encoder_rna" if task_name == "rna2dna" else "encoder_dna"
+    if fused_epoch:
+        if task_name != "rna2dna" or not drop_last:
+            raise ValueError(
+                "fused_epoch requires task rna2dna with drop_last batching"
+            )
+        from vae_los_angeles_tpu.ops.pallas.fused_epoch import rna2dna_fused_epoch
 
     def _fit(carry0, train_arrays, val_arrays, hp, class_weights, key,
              epoch_offset):
@@ -168,6 +175,54 @@ def build_fit_fn(
             perm = jax.random.permutation(pkey, n_train)
             full_idx = perm[: n_full * batch_size].reshape(n_full, batch_size)
             lr = carry["plateau"]["lr"]
+
+            if fused_epoch:
+                # ONE Pallas kernel runs every AdamW step of the epoch with
+                # params + moments VMEM-resident (ops/pallas/fused_epoch.py)
+                ep = gather(perm[: n_full * batch_size])
+                seed = jax.random.randint(dkey, (), 0, 2**31 - 1, jnp.int32)
+                batch_losses, new_p, new_m, new_v, new_bn = rna2dna_fused_epoch(
+                    carry["params"], carry["opt"]["m"], carry["opt"]["v"],
+                    carry["state"], ep.tpm, ep.beta, ep.site,
+                    carry["params"]["encoder_site"]["embedding"]["table"].shape[0],
+                    seed=seed, beta=beta_kl, lr=lr, weight_decay=hp["weight_decay"],
+                    step0=carry["opt"]["step"], n_batches=n_full,
+                )
+                params, state = new_p, {"encoder_rna": new_bn["encoder_rna"]}
+                opt = {
+                    "step": carry["opt"]["step"] + n_full,
+                    "m": new_m,
+                    "v": new_v,
+                }
+                train_loss = jnp.sum(batch_losses) / n_batches
+                val_sum = eval_loss_fn(
+                    params, state, vkey, val_arrays, beta_kl, class_weights,
+                    hp["gamma"],
+                )
+                val_loss = val_sum / n_val_batches
+                plateau = optim.plateau_step(
+                    carry["plateau"], val_loss, hp["sched_factor"],
+                    hp["sched_patience"],
+                )
+                estop, snap = optim.early_stop_step(
+                    carry["estop"], val_loss, epoch, hp["patience"]
+                )
+                best = jax.tree.map(
+                    lambda b, c: jnp.where(snap, c, b),
+                    carry["best"],
+                    {"params": params, "state": state},
+                )
+                return (
+                    {
+                        "params": params,
+                        "state": state,
+                        "opt": opt,
+                        "plateau": plateau,
+                        "estop": estop,
+                        "best": best,
+                    },
+                    (train_loss, val_loss, beta_kl, lr),
+                )
 
             def batch_step(bstate, scan_in):
                 b_i, bidx = scan_in
@@ -292,6 +347,7 @@ def fit(
     resume_carry=None,
     start_epoch: int = 0,
     fused_step: bool = False,
+    fused_epoch: bool = False,
 ) -> FitResult:
     """Train a task end-to-end on device. Returns the best-val snapshot.
 
@@ -318,6 +374,7 @@ def fit(
         bool(drop_last),
         class_weights is not None,
         bool(fused_step),
+        bool(fused_epoch),
     )
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
     return fit_fn(
