@@ -173,10 +173,12 @@ def run_training(
         else contextlib.nullcontext()
     )
     t0 = time.perf_counter()
+    on_tpu = jax.default_backend() == "tpu"
+    # fastest available Pallas path per task: whole-epoch megakernel for
+    # rna2dna, per-step fused kernel for dna2rna
+    fused_epoch = cfg.use_pallas and task_name == "rna2dna" and on_tpu
     fused_step = (
-        cfg.use_pallas
-        and task_name in ("rna2dna", "dna2rna")
-        and jax.default_backend() == "tpu"
+        cfg.use_pallas and task_name == "dna2rna" and on_tpu
     )
     with trace_ctx:
         result = engine.fit(
@@ -191,6 +193,7 @@ def run_training(
             resume_carry=resume_carry,
             start_epoch=start_epoch,
             fused_step=fused_step,
+            fused_epoch=fused_epoch,
         )
         # device_get (not block_until_ready): remote-relay platforms can
         # return from block_until_ready before execution completes
