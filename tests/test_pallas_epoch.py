@@ -89,3 +89,58 @@ def test_epoch_kernel_matches_step_scan(rng):
         np.asarray(s_ref["encoder_rna"]["bn"]["var"]),
         atol=2e-4,
     )
+
+
+def test_d2r_epoch_kernel_matches_step_scan(rng):
+    from vae_los_angeles_tpu.models.directional_vae import dna2rna_vae_init
+    from vae_los_angeles_tpu.ops.pallas.fused_epoch import dna2rna_fused_epoch
+    from vae_los_angeles_tpu.ops.pallas.fused_train import dna2rna_fused_train_step
+
+    params, state = dna2rna_vae_init(
+        jax.random.PRNGKey(9), DIM_A, DIM_B, N_SITES, LATENT
+    )
+    n = BATCH * N_BATCHES
+    dna = jnp.asarray(rng.uniform(0.02, 0.98, size=(n, DIM_B)).astype(np.float32))
+    rna = jnp.asarray(rng.normal(size=(n, DIM_A)).astype(np.float32))
+    site = jnp.asarray(rng.integers(0, N_SITES, size=(n,)))
+    eps = jnp.asarray(rng.normal(size=(n, LATENT)).astype(np.float32))
+    drop1 = jnp.asarray((rng.uniform(size=(n, 512)) < 0.9).astype(np.float32))
+    drop2 = jnp.asarray((rng.uniform(size=(n, 256)) < 0.9).astype(np.float32))
+
+    p_ref, s_ref = params, state
+    opt = optim.adamw_init(params)
+    losses_ref = []
+    for b in range(N_BATCHES):
+        sl = slice(b * BATCH, (b + 1) * BATCH)
+        loss, grads, bn_new = dna2rna_fused_train_step(
+            p_ref, s_ref, rna[sl], dna[sl], site[sl], N_SITES,
+            beta=BETA, eps=eps[sl], drop_mask1=drop1[sl], drop_mask2=drop2[sl],
+        )
+        losses_ref.append(float(loss))
+        p_ref, opt = optim.adamw_update(p_ref, grads, opt, LR, WD)
+        s_ref = {"encoder_dna": bn_new["encoder_dna"]}
+
+    losses, new_p, new_m, new_v, new_bn = dna2rna_fused_epoch(
+        params, jax.tree.map(jnp.zeros_like, params),
+        jax.tree.map(jnp.zeros_like, params), state,
+        dna, rna, site, N_SITES,
+        beta=BETA, lr=LR, weight_decay=WD, step0=0, n_batches=N_BATCHES,
+        eps_ep=eps, drop1_ep=drop1, drop2_ep=drop2,
+    )
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(losses_ref), rtol=1e-5)
+    # same BN-degeneracy exceptions as the rna2dna test: the biases feeding
+    # train-mode BatchNorm have analytically-zero gradients
+    degenerate = {"['encoder_dna']['fc1']['b']", "['encoder_dna']['fc2']['b']"}
+    for path, leaf_ref in jax.tree.leaves_with_path(p_ref):
+        key = jax.tree_util.keystr(path)
+        leaf = dict(jax.tree.leaves_with_path(new_p))[path]
+        atol = 5e-3 if key in degenerate else 5e-5
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(leaf_ref), atol=atol,
+            err_msg=f"params mismatch at {key}",
+        )
+    np.testing.assert_allclose(
+        np.asarray(new_bn["encoder_dna"]["bn2"]["var"]),
+        np.asarray(s_ref["encoder_dna"]["bn2"]["var"]),
+        atol=2e-4,
+    )

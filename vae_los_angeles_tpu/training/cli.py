@@ -174,12 +174,11 @@ def run_training(
     )
     t0 = time.perf_counter()
     on_tpu = jax.default_backend() == "tpu"
-    # fastest available Pallas path per task: whole-epoch megakernel for
-    # rna2dna, per-step fused kernel for dna2rna
-    fused_epoch = cfg.use_pallas and task_name == "rna2dna" and on_tpu
-    fused_step = (
-        cfg.use_pallas and task_name == "dna2rna" and on_tpu
+    # fastest Pallas path: whole-epoch megakernel for the directional VAEs
+    fused_epoch = (
+        cfg.use_pallas and task_name in ("rna2dna", "dna2rna") and on_tpu
     )
+    fused_step = False
     with trace_ctx:
         result = engine.fit(
             task_name,
