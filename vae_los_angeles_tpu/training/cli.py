@@ -174,11 +174,12 @@ def run_training(
     )
     t0 = time.perf_counter()
     on_tpu = jax.default_backend() == "tpu"
-    # fastest Pallas path: whole-epoch megakernel for the directional VAEs
+    # fastest Pallas paths: whole-epoch megakernel for the directional VAEs,
+    # fused train step for the tri-modal model
     fused_epoch = (
         cfg.use_pallas and task_name in ("rna2dna", "dna2rna") and on_tpu
     )
-    fused_step = False
+    fused_step = cfg.use_pallas and task_name == "multimodal" and on_tpu
     with trace_ctx:
         result = engine.fit(
             task_name,

@@ -133,17 +133,24 @@ def build_fit_fn(
     grad_fn = jax.value_and_grad(train_loss_fn, has_aux=True)
 
     if fused_step:
-        if task_name not in ("rna2dna", "dna2rna"):
+        if task_name not in ("rna2dna", "dna2rna", "multimodal"):
             raise ValueError("fused_step is only implemented for the "
-                             "directional VAE tasks")
-        from vae_los_angeles_tpu.ops.pallas import fused_train
+                             "directional and tri-modal VAE tasks")
+        if task_name == "multimodal":
+            from vae_los_angeles_tpu.ops.pallas.fused_train_multimodal import (
+                multimodal_fused_train_step,
+            )
+        else:
+            from vae_los_angeles_tpu.ops.pallas import fused_train
 
-        fused_step_fn = (
-            fused_train.rna2dna_fused_train_step
-            if task_name == "rna2dna"
-            else fused_train.dna2rna_fused_train_step
-        )
-        fused_bn_key = "encoder_rna" if task_name == "rna2dna" else "encoder_dna"
+            fused_step_fn = (
+                fused_train.rna2dna_fused_train_step
+                if task_name == "rna2dna"
+                else fused_train.dna2rna_fused_train_step
+            )
+            fused_bn_key = (
+                "encoder_rna" if task_name == "rna2dna" else "encoder_dna"
+            )
     if fused_epoch:
         if task_name not in ("rna2dna", "dna2rna") or not drop_last:
             raise ValueError(
@@ -242,12 +249,24 @@ def build_fit_fn(
                     # whole fwd+bwd as ONE Pallas kernel (in-kernel PRNG);
                     # step seed derived from (epoch, batch) for reproducibility
                     seed = epoch * jnp.int32(100003) + b_i
-                    loss, grads, bn_new = fused_step_fn(
-                        params, state, batch.tpm, batch.beta, batch.site,
-                        params["encoder_site"]["embedding"]["table"].shape[0],
-                        seed=seed, beta=beta_kl,
-                    )
-                    new_state = {fused_bn_key: bn_new[fused_bn_key]}
+                    if task_name == "multimodal":
+                        n_sites_ = params["encoder_c"]["embedding"][
+                            "table"
+                        ].shape[0]
+                        loss, grads, new_state = multimodal_fused_train_step(
+                            params, state, batch.tpm, batch.beta, batch.site,
+                            n_sites_, seed=seed, beta=beta_kl, gamma=hp["gamma"],
+                            class_weights=class_weights
+                            if has_class_weights
+                            else None,
+                        )
+                    else:
+                        loss, grads, bn_new = fused_step_fn(
+                            params, state, batch.tpm, batch.beta, batch.site,
+                            params["encoder_site"]["embedding"]["table"].shape[0],
+                            seed=seed, beta=beta_kl,
+                        )
+                        new_state = {fused_bn_key: bn_new[fused_bn_key]}
                 else:
                     bkey = jax.random.fold_in(dkey, b_i)
                     (loss, new_state), grads = grad_fn(
