@@ -114,6 +114,12 @@ def run_training(
     args = parser.parse_args(argv)
 
     cfg = cfg or Config.from_env()
+    if cfg.platform:
+        # honor the reference's DEVICE env override (train_rna2dna.py:166-174)
+        try:
+            jax.config.update("jax_platforms", cfg.platform)
+        except Exception as e:  # backend already initialized — keep going
+            print(f"Note: could not switch platform to {cfg.platform!r}: {e}")
     resume_carry, start_epoch = None, 0
     if args.resume:
         resume_carry, start_epoch, run_id = checkpoint.load_resume(
