@@ -135,3 +135,24 @@ def test_fit_deterministic(small_data, cfg):
     np.testing.assert_allclose(
         np.asarray(r1.val_losses)[:5], np.asarray(r2.val_losses)[:5], rtol=1e-6
     )
+
+
+def test_fit_multimodal_fused_epoch_path(small_data, cfg):
+    """Engine routes the tri-modal task through the whole-epoch megakernel
+    (interpret mode off-TPU) and still trains."""
+    train, val = small_data
+    cw = np.ones(N_SITES, np.float32)
+    res = engine.fit(
+        "multimodal",
+        cfg,
+        train,
+        val,
+        jax.random.PRNGKey(2),
+        N_SITES,
+        num_epochs=3,
+        class_weights=cw,
+        fused_epoch=True,
+    )
+    val_losses = np.asarray(res.val_losses)
+    assert np.isfinite(val_losses[:3]).all()
+    assert val_losses[2] < val_losses[0]

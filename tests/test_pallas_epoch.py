@@ -144,3 +144,87 @@ def test_d2r_epoch_kernel_matches_step_scan(rng):
         np.asarray(s_ref["encoder_dna"]["bn2"]["var"]),
         atol=2e-4,
     )
+
+
+def test_multimodal_epoch_kernel_matches_step_scan(rng):
+    from vae_los_angeles_tpu.models.vae import multimodal_vae_init
+    from vae_los_angeles_tpu.ops.pallas.fused_epoch_multimodal import (
+        multimodal_fused_epoch,
+    )
+    from vae_los_angeles_tpu.ops.pallas.fused_train_multimodal import (
+        multimodal_fused_train_step,
+    )
+
+    EMBED = 16
+    GAMMA = 1.7
+    params, state = multimodal_vae_init(
+        jax.random.PRNGKey(4), DIM_A, DIM_B, N_SITES, LATENT, EMBED
+    )
+    n = BATCH * N_BATCHES
+    a = jnp.asarray(rng.normal(size=(n, DIM_A)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0.02, 0.98, size=(n, DIM_B)).astype(np.float32))
+    site = jnp.asarray(rng.integers(0, N_SITES, size=(n,)))
+    eps = jnp.asarray(rng.normal(size=(n, LATENT)).astype(np.float32))
+    dropa = jnp.asarray((rng.uniform(size=(n, 128)) < 0.9).astype(np.float32))
+    dropb1 = jnp.asarray((rng.uniform(size=(n, 512)) < 0.9).astype(np.float32))
+    dropb2 = jnp.asarray((rng.uniform(size=(n, 256)) < 0.9).astype(np.float32))
+    cw = jnp.asarray(rng.uniform(0.5, 2.0, size=N_SITES).astype(np.float32))
+
+    # ---- reference: per-step fused kernel + adamw_update, step by step ----
+    p_ref, s_ref = params, state
+    opt = optim.adamw_init(params)
+    losses_ref = []
+    for k in range(N_BATCHES):
+        sl = slice(k * BATCH, (k + 1) * BATCH)
+        loss, grads, s_ref = multimodal_fused_train_step(
+            p_ref, s_ref, a[sl], b[sl], site[sl], N_SITES,
+            beta=BETA, gamma=GAMMA, class_weights=cw,
+            eps=eps[sl], drop_a=dropa[sl], drop_b1=dropb1[sl],
+            drop_b2=dropb2[sl],
+        )
+        losses_ref.append(float(loss))
+        p_ref, opt = optim.adamw_update(p_ref, grads, opt, LR, WD)
+
+    # ---- megakernel: whole epoch in one pallas_call ----
+    losses, new_p, new_m, new_v, new_bn = multimodal_fused_epoch(
+        params, jax.tree.map(jnp.zeros_like, params),
+        jax.tree.map(jnp.zeros_like, params), state,
+        a, b, site, N_SITES,
+        beta=BETA, gamma=GAMMA, class_weights=cw, lr=LR, weight_decay=WD,
+        step0=0, n_batches=N_BATCHES,
+        eps_ep=eps, dropa_ep=dropa, dropb1_ep=dropb1, dropb2_ep=dropb2,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(losses), np.asarray(losses_ref), rtol=1e-5
+    )
+    # biases feeding train-mode BatchNorm have analytically-zero gradients
+    # (see the rna2dna test above) — loose tolerance there
+    degenerate = {
+        "['encoder_a']['fc']['b']",
+        "['encoder_b']['fc1']['b']",
+        "['encoder_b']['fc2']['b']",
+    }
+    flat_new = dict(jax.tree.leaves_with_path(new_p))
+    for path, leaf_ref in jax.tree.leaves_with_path(p_ref):
+        key = jax.tree_util.keystr(path)
+        atol = 5e-3 if key in degenerate else 5e-5
+        np.testing.assert_allclose(
+            np.asarray(flat_new[path]), np.asarray(leaf_ref), atol=atol,
+            err_msg=f"params mismatch at {key}",
+        )
+    flat_m = dict(jax.tree.leaves_with_path(new_m))
+    for path, leaf_ref in jax.tree.leaves_with_path(opt["m"]):
+        key = jax.tree_util.keystr(path)
+        atol = 5e-3 if key in degenerate else 5e-5
+        np.testing.assert_allclose(
+            np.asarray(flat_m[path]), np.asarray(leaf_ref), atol=atol,
+            err_msg=f"m mismatch at {key}",
+        )
+    for enc, bkey in (("encoder_a", "bn"), ("encoder_b", "bn1"), ("encoder_b", "bn2")):
+        for stat in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(new_bn[enc][bkey][stat]),
+                np.asarray(s_ref[enc][bkey][stat]),
+                atol=2e-4, err_msg=f"bn mismatch at {enc}.{bkey}.{stat}",
+            )

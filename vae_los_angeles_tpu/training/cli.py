@@ -21,6 +21,12 @@ import os
 import sys
 import time
 
+# NOTE: deliberately NOT enabling JAX_COMPILATION_CACHE_DIR here. On
+# remote-compile TPU relays the persistent cache forces local executable
+# serialization and measured 3-10x SLOWER end-to-end CLI runs (584s cold /
+# 148s warm vs ~40s uncached for the same 200-epoch training). Set the env
+# var yourself on platforms where local compilation is the norm.
+
 import jax
 import numpy as np
 
@@ -180,12 +186,14 @@ def run_training(
     )
     t0 = time.perf_counter()
     on_tpu = jax.default_backend() == "tpu"
-    # fastest Pallas paths: whole-epoch megakernel for the directional VAEs,
-    # fused train step for the tri-modal model
+    # fastest Pallas path for all three VAE families: the whole-epoch
+    # megakernel (every AdamW step of an epoch in one kernel)
     fused_epoch = (
-        cfg.use_pallas and task_name in ("rna2dna", "dna2rna") and on_tpu
+        cfg.use_pallas
+        and task_name in ("rna2dna", "dna2rna", "multimodal")
+        and on_tpu
     )
-    fused_step = cfg.use_pallas and task_name == "multimodal" and on_tpu
+    fused_step = False
     with trace_ctx:
         result = engine.fit(
             task_name,

@@ -152,17 +152,24 @@ def build_fit_fn(
                 "encoder_rna" if task_name == "rna2dna" else "encoder_dna"
             )
     if fused_epoch:
-        if task_name not in ("rna2dna", "dna2rna") or not drop_last:
+        if task_name not in ("rna2dna", "dna2rna", "multimodal") or not drop_last:
             raise ValueError(
-                "fused_epoch requires a directional VAE task with drop_last"
+                "fused_epoch requires a VAE task with drop_last"
             )
-        from vae_los_angeles_tpu.ops.pallas import fused_epoch as fe
+        if task_name == "multimodal":
+            from vae_los_angeles_tpu.ops.pallas.fused_epoch_multimodal import (
+                multimodal_fused_epoch,
+            )
+        else:
+            from vae_los_angeles_tpu.ops.pallas import fused_epoch as fe
 
-        fused_epoch_fn = (
-            fe.rna2dna_fused_epoch if task_name == "rna2dna"
-            else fe.dna2rna_fused_epoch
-        )
-        fused_epoch_bn = "encoder_rna" if task_name == "rna2dna" else "encoder_dna"
+            fused_epoch_fn = (
+                fe.rna2dna_fused_epoch if task_name == "rna2dna"
+                else fe.dna2rna_fused_epoch
+            )
+            fused_epoch_bn = (
+                "encoder_rna" if task_name == "rna2dna" else "encoder_dna"
+            )
 
     def _fit(carry0, train_arrays, val_arrays, hp, class_weights, key,
              epoch_offset):
@@ -194,18 +201,43 @@ def build_fit_fn(
                 # params + moments VMEM-resident (ops/pallas/fused_epoch.py)
                 ep = gather(perm[: n_full * batch_size])
                 seed = jax.random.randint(dkey, (), 0, 2**31 - 1, jnp.int32)
-                # rna2dna trains tpm→beta; dna2rna trains beta→tpm
-                x_ep, t_ep = (
-                    (ep.tpm, ep.beta) if task_name == "rna2dna" else (ep.beta, ep.tpm)
-                )
-                batch_losses, new_p, new_m, new_v, new_bn = fused_epoch_fn(
-                    carry["params"], carry["opt"]["m"], carry["opt"]["v"],
-                    carry["state"], x_ep, t_ep, ep.site,
-                    carry["params"]["encoder_site"]["embedding"]["table"].shape[0],
-                    seed=seed, beta=beta_kl, lr=lr, weight_decay=hp["weight_decay"],
-                    step0=carry["opt"]["step"], n_batches=n_full,
-                )
-                params, state = new_p, {fused_epoch_bn: new_bn[fused_epoch_bn]}
+                if task_name == "multimodal":
+                    n_sites_ = carry["params"]["encoder_c"]["embedding"][
+                        "table"
+                    ].shape[0]
+                    batch_losses, new_p, new_m, new_v, new_bn = (
+                        multimodal_fused_epoch(
+                            carry["params"], carry["opt"]["m"], carry["opt"]["v"],
+                            carry["state"], ep.tpm, ep.beta, ep.site, n_sites_,
+                            seed=seed, beta=beta_kl, gamma=hp["gamma"],
+                            class_weights=class_weights
+                            if has_class_weights
+                            else None,
+                            lr=lr, weight_decay=hp["weight_decay"],
+                            step0=carry["opt"]["step"], n_batches=n_full,
+                        )
+                    )
+                    params, state = new_p, new_bn
+                else:
+                    # rna2dna trains tpm→beta; dna2rna trains beta→tpm
+                    x_ep, t_ep = (
+                        (ep.tpm, ep.beta)
+                        if task_name == "rna2dna"
+                        else (ep.beta, ep.tpm)
+                    )
+                    batch_losses, new_p, new_m, new_v, new_bn = fused_epoch_fn(
+                        carry["params"], carry["opt"]["m"], carry["opt"]["v"],
+                        carry["state"], x_ep, t_ep, ep.site,
+                        carry["params"]["encoder_site"]["embedding"][
+                            "table"
+                        ].shape[0],
+                        seed=seed, beta=beta_kl, lr=lr,
+                        weight_decay=hp["weight_decay"],
+                        step0=carry["opt"]["step"], n_batches=n_full,
+                    )
+                    params, state = new_p, {
+                        fused_epoch_bn: new_bn[fused_epoch_bn]
+                    }
                 opt = {
                     "step": carry["opt"]["step"] + n_full,
                     "m": new_m,
