@@ -2,17 +2,19 @@
 """Accuracy-parity benchmark: JAX fused engine vs a PyTorch oracle.
 
 BASELINE.json's second metric: cross-modal Pearson r within 0.01 of the
-PyTorch reference. This script trains BOTH implementations of the RNA→DNA
-directional VAE on the same synthetic dataset with the reference's exact
-recipe (AdamW 5e-4/1e-5, batch 32 shuffle+drop_last, β-warmup to 1e-3 over
-50 epochs, ReduceLROnPlateau 0.5/5, early-stop 15) and compares validation
-Pearson r of the mu-decoded imputation.
+PyTorch reference. This script trains BOTH implementations of a directional
+VAE (``--direction rna2dna`` default, or ``dna2rna``) on the same synthetic
+dataset with the reference's exact recipe (AdamW 5e-4/1e-5, batch 32
+shuffle+drop_last, β-warmup to 1e-3 over 50 epochs, ReduceLROnPlateau 0.5/5,
+early-stop 15) and compares validation Pearson r of the mu-decoded
+imputation.
 
 The torch model here is an ORACLE built inline from the architecture
 documented in SURVEY §2 (encoders.py/decoders.py/directional_vae.py) — the
 same pattern as tests/test_models.py; it is not the product path.
 
-Usage: python benchmarks/parity_vs_torch.py [--n 2000] [--epochs 60] ...
+Usage: python benchmarks/parity_vs_torch.py [--n 2000] [--epochs 60]
+       [--direction dna2rna] ...
 """
 
 from __future__ import annotations
@@ -88,7 +90,73 @@ def build_torch_model(dim_a, dim_b, n_sites, latent):
     return RNA2DNAVAE()
 
 
-def train_torch(model, tr, va, epochs, batch_size=32, patience=15):
+def build_torch_model_d2r(dim_a, dim_b, n_sites, latent):
+    """DNA→RNA oracle: EncoderB (two BN blocks) + EncoderC → DecoderA
+    (SURVEY §2.1 directional_vae.py:63-111)."""
+    import torch.nn as nn
+
+    class EncoderB(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc = nn.Sequential(
+                nn.Linear(dim_b, 512), nn.BatchNorm1d(512), nn.ReLU(),
+                nn.Dropout(0.1),
+                nn.Linear(512, 256), nn.BatchNorm1d(256), nn.ReLU(),
+                nn.Dropout(0.1),
+            )
+            self.fc_mu = nn.Linear(256, latent)
+            self.fc_logvar = nn.Linear(256, latent)
+
+        def forward(self, x):
+            h = self.fc(x)
+            return self.fc_mu(h), self.fc_logvar(h)
+
+    class EncoderC(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embedding = nn.Embedding(n_sites, 32)
+            self.fc_mu = nn.Linear(32, latent)
+            self.fc_logvar = nn.Linear(32, latent)
+
+        def forward(self, s):
+            h = self.embedding(s)
+            return self.fc_mu(h), self.fc_logvar(h)
+
+    class DecoderA(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc = nn.Sequential(
+                nn.Linear(latent, 128), nn.ReLU(), nn.Linear(128, dim_a)
+            )
+
+        def forward(self, z):
+            return self.fc(z)
+
+    class DNA2RNAVAE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder_dna = EncoderB()
+            self.encoder_site = EncoderC()
+            self.decoder_rna = DecoderA()
+
+        def forward(self, dna, site, sample=True):
+            import torch
+
+            mu_d, lv_d = self.encoder_dna(dna)
+            mu_s, lv_s = self.encoder_site(site)
+            mu = (mu_d + mu_s) / 2
+            lv = (lv_d + lv_s) / 2
+            if sample:
+                z = mu + torch.randn_like(mu) * torch.exp(0.5 * lv)
+            else:
+                z = mu
+            return self.decoder_rna(z), mu, lv
+
+    return DNA2RNAVAE()
+
+
+def train_torch(model, tr, va, epochs, batch_size=32, patience=15,
+                recon="bce"):
     import torch
     import torch.nn.functional as F
 
@@ -114,16 +182,23 @@ def train_torch(model, tr, va, epochs, batch_size=32, patience=15):
         perm = torch.randperm(n, generator=g)
         for b in range(n_batches):
             idx = perm[b * batch_size : (b + 1) * batch_size]
-            recon, mu, lv = model(x_tr[idx], s_tr[idx])
-            loss = F.binary_cross_entropy(recon, y_tr[idx], reduction="sum")
+            recon_out, mu, lv = model(x_tr[idx], s_tr[idx])
+            if recon == "bce":
+                loss = F.binary_cross_entropy(recon_out, y_tr[idx], reduction="sum")
+            else:
+                loss = F.mse_loss(recon_out, y_tr[idx], reduction="sum")
             loss = loss + beta * (-0.5 * torch.sum(1 + lv - mu.pow(2) - lv.exp()))
             opt.zero_grad()
             loss.backward()
             opt.step()
         model.eval()
         with torch.no_grad():
-            recon, mu, lv = model(x_va, s_va)
-            vloss = F.binary_cross_entropy(recon, y_va, reduction="sum") + beta * (
+            recon_out, mu, lv = model(x_va, s_va)
+            if recon == "bce":
+                vloss = F.binary_cross_entropy(recon_out, y_va, reduction="sum")
+            else:
+                vloss = F.mse_loss(recon_out, y_va, reduction="sum")
+            vloss = vloss + beta * (
                 -0.5 * torch.sum(1 + lv - mu.pow(2) - lv.exp())
             )
             vloss = float(vloss) / n_val_batches
@@ -148,6 +223,9 @@ def main():
     parser.add_argument("--sites", type=int, default=24)
     parser.add_argument("--latent", type=int, default=20)
     parser.add_argument("--epochs", type=int, default=200)
+    parser.add_argument(
+        "--direction", choices=["rna2dna", "dna2rna"], default="rna2dna"
+    )
     args = parser.parse_args()
 
     import torch
@@ -161,8 +239,12 @@ def main():
     from vae_los_angeles_tpu.data.dataset import MultiModalArrays
     from vae_los_angeles_tpu.data.splits import train_val_indices
     from vae_los_angeles_tpu.data.synthetic import generate_synthetic_arrays
-    from vae_los_angeles_tpu.models.decoders import decoder_b_apply
-    from vae_los_angeles_tpu.models.encoders import encoder_a_apply, encoder_c_apply
+    from vae_los_angeles_tpu.models.decoders import decoder_a_apply, decoder_b_apply
+    from vae_los_angeles_tpu.models.encoders import (
+        encoder_a_apply,
+        encoder_b_apply,
+        encoder_c_apply,
+    )
     from vae_los_angeles_tpu.ops.metrics import compute_imputation_metrics
     from vae_los_angeles_tpu.training import engine
 
@@ -170,8 +252,14 @@ def main():
         args.n, args.dim_a, args.dim_b, args.sites, seed=0
     )
     tr_idx, va_idx = train_val_indices(args.n)
-    tr = (tpm[tr_idx], beta[tr_idx], site[tr_idx])
-    va = (tpm[va_idx], beta[va_idx], site[va_idx])
+    if args.direction == "rna2dna":
+        # model input = RNA, target = DNA β-values
+        tr = (tpm[tr_idx], beta[tr_idx], site[tr_idx])
+        va = (tpm[va_idx], beta[va_idx], site[va_idx])
+    else:
+        # model input = DNA β-values, target = RNA
+        tr = (beta[tr_idx], tpm[tr_idx], site[tr_idx])
+        va = (beta[va_idx], tpm[va_idx], site[va_idx])
 
     # --- JAX fused engine ---
     cfg = Config(
@@ -180,25 +268,46 @@ def main():
     arrays = MultiModalArrays(jnp.asarray(tpm), jnp.asarray(beta), jnp.asarray(site))
     t0 = time.perf_counter()
     res = engine.fit(
-        "rna2dna", cfg, arrays.take(tr_idx), arrays.take(va_idx),
+        args.direction, cfg, arrays.take(tr_idx), arrays.take(va_idx),
         jax.random.PRNGKey(0), args.sites, num_epochs=args.epochs,
     )
     res = jax.device_get(res)
     t_jax = time.perf_counter() - t0
-    mu_r, lv_r, _ = encoder_a_apply(
-        res.params["encoder_rna"], res.state["encoder_rna"], jnp.asarray(va[0]),
-        train=False,
-    )
-    mu_s, _, _ = encoder_c_apply(res.params["encoder_site"], {}, jnp.asarray(va[2]))
-    jax_pred = np.asarray(
-        decoder_b_apply(res.params["decoder_dna"], 0.5 * (mu_r + mu_s))
-    )
+    if args.direction == "rna2dna":
+        mu_r, lv_r, _ = encoder_a_apply(
+            res.params["encoder_rna"], res.state["encoder_rna"],
+            jnp.asarray(va[0]), train=False,
+        )
+        mu_s, _, _ = encoder_c_apply(
+            res.params["encoder_site"], {}, jnp.asarray(va[2])
+        )
+        jax_pred = np.asarray(
+            decoder_b_apply(res.params["decoder_dna"], 0.5 * (mu_r + mu_s))
+        )
+    else:
+        mu_d, lv_d, _ = encoder_b_apply(
+            res.params["encoder_dna"], res.state["encoder_dna"],
+            jnp.asarray(va[0]), train=False,
+        )
+        mu_s, _, _ = encoder_c_apply(
+            res.params["encoder_site"], {}, jnp.asarray(va[2])
+        )
+        jax_pred = np.asarray(
+            decoder_a_apply(res.params["decoder_rna"], 0.5 * (mu_d + mu_s))
+        )
     m_jax = compute_imputation_metrics(va[1], jax_pred)
 
     # --- torch oracle ---
     t0 = time.perf_counter()
-    tmodel = build_torch_model(args.dim_a, args.dim_b, args.sites, args.latent)
-    tmodel = train_torch(tmodel, tr, va, args.epochs)
+    if args.direction == "rna2dna":
+        tmodel = build_torch_model(args.dim_a, args.dim_b, args.sites, args.latent)
+        recon_kind = "bce"
+    else:
+        tmodel = build_torch_model_d2r(
+            args.dim_a, args.dim_b, args.sites, args.latent
+        )
+        recon_kind = "mse"
+    tmodel = train_torch(tmodel, tr, va, args.epochs, recon=recon_kind)
     t_torch = time.perf_counter() - t0
     with torch.no_grad():
         torch_pred = (
@@ -211,7 +320,8 @@ def main():
         )
     m_torch = compute_imputation_metrics(va[1], torch_pred)
 
-    print(f"\nJAX/TPU  : Pearson={m_jax['PearsonMean']:.4f}  MSE={m_jax['MSE']:.5f}  "
+    print(f"\ndirection: {args.direction}")
+    print(f"JAX/TPU  : Pearson={m_jax['PearsonMean']:.4f}  MSE={m_jax['MSE']:.5f}  "
           f"R2={m_jax['R2']:.4f}  wall={t_jax:.1f}s (incl. compile)")
     print(f"torch/CPU: Pearson={m_torch['PearsonMean']:.4f}  MSE={m_torch['MSE']:.5f}  "
           f"R2={m_torch['R2']:.4f}  wall={t_torch:.1f}s")

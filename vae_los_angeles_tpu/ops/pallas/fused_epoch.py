@@ -231,6 +231,13 @@ def _epoch_call(flat_p, flat_m, flat_v, rm, rv, x_ep, t_ep, oh_ep, eps_ep,
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
 
+    def noise(arr):
+        # with the in-kernel PRNG the eps/dropout inputs are 1-row dummies
+        # fetched once (constant index map) — zero streamed HBM traffic
+        if use_prng:
+            return const((arr.shape[0], arr.shape[1]))
+        return stream(arr.shape[1])
+
     p_list = [flat_p[k] for k, _ in PARAM_ORDER]
     m_list = [flat_m[k] for k, _ in PARAM_ORDER]
     v_list = [flat_v[k] for k, _ in PARAM_ORDER]
@@ -246,8 +253,8 @@ def _epoch_call(flat_p, flat_m, flat_v, rm, rv, x_ep, t_ep, oh_ep, eps_ep,
             stream(x_ep.shape[1]),
             stream(t_ep.shape[1]),
             stream(oh_ep.shape[1]),
-            stream(eps_ep.shape[1]),
-            stream(drop_ep.shape[1]),
+            noise(eps_ep),
+            noise(drop_ep),
         ]
         + state_specs
     )
@@ -311,12 +318,14 @@ def rna2dna_fused_epoch(
     flat_v = _flatten_params(opt_v)
     onehot = jax.nn.one_hot(jnp.asarray(site_ep), n_sites, dtype=jnp.float32)
     use_prng = eps_ep is None
-    n_rows = x_ep.shape[0]
     latent = flat_p["wmu"].shape[1]
+    # in PRNG mode the noise inputs are 1-row dummies (never read; fetched
+    # once by a constant-index BlockSpec instead of streamed per batch)
+    n_ph = 1 if use_prng else x_ep.shape[0]
     if eps_ep is None:
-        eps_ep = jnp.zeros((n_rows, latent), jnp.float32)
+        eps_ep = jnp.zeros((n_ph, latent), jnp.float32)
     if drop_ep is None:
-        drop_ep = jnp.ones((n_rows, 128), jnp.float32)
+        drop_ep = jnp.ones((n_ph, 128), jnp.float32)
     losses, new_p, new_m, new_v, new_rm, new_rv = _epoch_call(
         flat_p, flat_m, flat_v,
         bn_state["encoder_rna"]["bn"]["mean"],
@@ -516,6 +525,12 @@ def _d2r_epoch_call(flat_p, flat_m, flat_v, rm1, rv1, rm2, rv2, x_ep, t_ep,
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+
+    def noise(arr):
+        if use_prng:
+            return const((arr.shape[0], arr.shape[1]))
+        return stream(arr.shape[1])
+
     p_list = [flat_p[k] for k, _ in PARAM_ORDER_D2R]
     m_list = [flat_m[k] for k, _ in PARAM_ORDER_D2R]
     v_list = [flat_v[k] for k, _ in PARAM_ORDER_D2R]
@@ -529,9 +544,9 @@ def _d2r_epoch_call(flat_p, flat_m, flat_v, rm1, rv1, rm2, rv2, x_ep, t_ep,
             stream(x_ep.shape[1]),
             stream(t_ep.shape[1]),
             stream(oh_ep.shape[1]),
-            stream(eps_ep.shape[1]),
-            stream(drop1_ep.shape[1]),
-            stream(drop2_ep.shape[1]),
+            noise(eps_ep),
+            noise(drop1_ep),
+            noise(drop2_ep),
         ]
         + state_specs
     )
@@ -585,14 +600,14 @@ def dna2rna_fused_epoch(
     flat_v = _flatten_by(opt_v, PARAM_ORDER_D2R)
     onehot = jax.nn.one_hot(jnp.asarray(site_ep), n_sites, dtype=jnp.float32)
     use_prng = eps_ep is None
-    n_rows = x_ep.shape[0]
     latent = flat_p["wmu"].shape[1]
+    n_ph = 1 if use_prng else x_ep.shape[0]
     if eps_ep is None:
-        eps_ep = jnp.zeros((n_rows, latent), jnp.float32)
+        eps_ep = jnp.zeros((n_ph, latent), jnp.float32)
     if drop1_ep is None:
-        drop1_ep = jnp.ones((n_rows, 512), jnp.float32)
+        drop1_ep = jnp.ones((n_ph, 512), jnp.float32)
     if drop2_ep is None:
-        drop2_ep = jnp.ones((n_rows, 256), jnp.float32)
+        drop2_ep = jnp.ones((n_ph, 256), jnp.float32)
     bn = bn_state["encoder_dna"]
     losses, new_p, new_m, new_v, rm1, rv1, rm2, rv2 = _d2r_epoch_call(
         flat_p, flat_m, flat_v,

@@ -334,6 +334,13 @@ def _mm_epoch_call(flat_p, flat_m, flat_v, bn_list, a_ep, b_ep, oh_ep, cw_ep,
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+
+    def noise(arr):
+        # with the in-kernel PRNG the eps/dropout inputs are 1-row dummies
+        # fetched once (constant index map) — zero streamed HBM traffic
+        if use_prng:
+            return const((arr.shape[0], arr.shape[1]))
+        return stream(arr.shape[1])
     p_list = [flat_p[k] for k, _ in PARAM_ORDER_MM]
     m_list = [flat_m[k] for k, _ in PARAM_ORDER_MM]
     v_list = [flat_v[k] for k, _ in PARAM_ORDER_MM]
@@ -348,10 +355,10 @@ def _mm_epoch_call(flat_p, flat_m, flat_v, bn_list, a_ep, b_ep, oh_ep, cw_ep,
             stream(b_ep.shape[1]),
             stream(oh_ep.shape[1]),
             stream(cw_ep.shape[1]),
-            stream(eps_ep.shape[1]),
-            stream(dropa_ep.shape[1]),
-            stream(dropb1_ep.shape[1]),
-            stream(dropb2_ep.shape[1]),
+            noise(eps_ep),
+            noise(dropa_ep),
+            noise(dropb1_ep),
+            noise(dropb2_ep),
         ]
         + state_specs
     )
@@ -417,16 +424,18 @@ def multimodal_fused_epoch(
     else:
         cw_ep = jnp.take(jnp.asarray(class_weights, jnp.float32), site)[:, None]
     use_prng = eps_ep is None
-    n_rows = a_ep.shape[0]
     latent = flat_p["a_wmu"].shape[1]
+    # in PRNG mode the noise inputs are 1-row dummies (never read; the
+    # BlockSpec fetches them once instead of streaming n_rows per epoch)
+    n_ph = 1 if use_prng else a_ep.shape[0]
     if eps_ep is None:
-        eps_ep = jnp.zeros((n_rows, latent), jnp.float32)
+        eps_ep = jnp.zeros((n_ph, latent), jnp.float32)
     if dropa_ep is None:
-        dropa_ep = jnp.ones((n_rows, 128), jnp.float32)
+        dropa_ep = jnp.ones((n_ph, 128), jnp.float32)
     if dropb1_ep is None:
-        dropb1_ep = jnp.ones((n_rows, 512), jnp.float32)
+        dropb1_ep = jnp.ones((n_ph, 512), jnp.float32)
     if dropb2_ep is None:
-        dropb2_ep = jnp.ones((n_rows, 256), jnp.float32)
+        dropb2_ep = jnp.ones((n_ph, 256), jnp.float32)
     bn_list = [
         bn_state["encoder_a"]["bn"]["mean"], bn_state["encoder_a"]["bn"]["var"],
         bn_state["encoder_b"]["bn1"]["mean"], bn_state["encoder_b"]["bn1"]["var"],

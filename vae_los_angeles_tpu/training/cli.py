@@ -193,7 +193,6 @@ def run_training(
         and task_name in ("rna2dna", "dna2rna", "multimodal")
         and on_tpu
     )
-    fused_step = False
     with trace_ctx:
         result = engine.fit(
             task_name,
@@ -206,7 +205,6 @@ def run_training(
             class_weights=class_weights,
             resume_carry=resume_carry,
             start_epoch=start_epoch,
-            fused_step=fused_step,
             fused_epoch=fused_epoch,
         )
         # device_get (not block_until_ready): remote-relay platforms can

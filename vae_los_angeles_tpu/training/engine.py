@@ -154,7 +154,9 @@ def build_fit_fn(
     if fused_epoch:
         if task_name not in ("rna2dna", "dna2rna", "multimodal") or not drop_last:
             raise ValueError(
-                "fused_epoch requires a VAE task with drop_last"
+                "fused_epoch requires drop_last=True and one of the VAE "
+                "tasks 'rna2dna', 'dna2rna', 'multimodal' "
+                f"(got task={task_name!r}, drop_last={drop_last})"
             )
         if task_name == "multimodal":
             from vae_los_angeles_tpu.ops.pallas.fused_epoch_multimodal import (
