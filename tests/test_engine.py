@@ -156,3 +156,21 @@ def test_fit_multimodal_fused_epoch_path(small_data, cfg):
     val_losses = np.asarray(res.val_losses)
     assert np.isfinite(val_losses[:3]).all()
     assert val_losses[2] < val_losses[0]
+
+
+def test_fit_rejects_empty_batch_schedule(small_data, cfg):
+    """n_train < batch_size with drop_last would train nothing (the
+    reference divides by len(loader)=0); the engine fails loudly."""
+    train, val = small_data
+    tiny = train.take(jnp.arange(8))
+    with pytest.raises(ValueError, match="no training batches"):
+        engine.fit(
+            "rna2dna", cfg, tiny, val, jax.random.PRNGKey(0), N_SITES,
+            num_epochs=2,
+        )
+    # drop_last=False with the same data still trains on the remainder batch
+    res = engine.fit(
+        "rna2dna", cfg, tiny, val, jax.random.PRNGKey(0), N_SITES,
+        num_epochs=2, drop_last=False,
+    )
+    assert np.isfinite(np.asarray(res.train_losses)).all()

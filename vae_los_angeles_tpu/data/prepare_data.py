@@ -133,7 +133,10 @@ def main(argv=None):
         help="generate synthetic artifacts instead of downloading from Kaggle",
     )
     parser.add_argument("--n_samples", type=int, default=1024)
-    parser.add_argument("--data_dir", type=str, default="data")
+    # default honors the DATA_DIR env override like every other CLI
+    parser.add_argument(
+        "--data_dir", type=str, default=os.getenv("DATA_DIR", "data")
+    )
     args = parser.parse_args(argv)
 
     cfg = Config.from_env()

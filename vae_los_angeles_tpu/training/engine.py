@@ -119,6 +119,14 @@ def build_fit_fn(
     n_full = n_train // batch_size
     remainder = 0 if drop_last else n_train % batch_size
     n_batches = n_full + (1 if remainder else 0)
+    if n_batches == 0:
+        # the reference crashes on an empty DataLoader (train_rna2dna.py:103
+        # divides by len(loader)); fail loudly instead of training nothing
+        raise ValueError(
+            f"no training batches: n_train={n_train} < batch_size="
+            f"{batch_size} with drop_last=True — lower batch_size or pass "
+            "drop_last=False"
+        )
     n_val_batches = -(-n_val // batch_size)  # val loader never drops last
 
     def train_loss_fn(params, state, key, batch, beta_kl, class_weights, gamma):
