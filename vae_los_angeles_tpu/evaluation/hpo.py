@@ -17,6 +17,12 @@ Two modes:
     is still a single fused device dispatch, with per-epoch
     ``trial.report`` replayed from the returned loss curve.
 
+Pruning: the reference's MedianPruner (:129-131) saves wall-clock only when
+trials run sequentially. In vmapped mode all trials of a bucket advance in
+lockstep inside one program, so "pruning" would free no device time — early
+stopping per trial (carried in the vmapped state) already masks dead trials'
+updates. The optuna mode keeps real pruning for workflow parity.
+
 Note: the reference's objective returns an unmodified ``np.inf``
 (:100,:133 — a bug documented in SURVEY §2.2); this implementation returns
 the actual minimum validation loss, i.e. the intended behavior.
