@@ -54,7 +54,7 @@ def _epoch_kernel(*refs):
     scalars: seed, beta, lr, wd, step0, use_prng                    [SMEM]
     data:    x(B,Da), t(B,Db), oh(B,S), eps(B,L), drop(B,128)       [grid-blocked]
     state-in: p0..p18, m0..m18, v0..v18, rm, rv                     [const blocks]
-    outputs:  loss(1,1 grid-blocked), p'…, m'…, v'…, rm', rv'
+    outputs:  loss rows, grid-streamed in 8-step (8,128) blocks, p'…, m'…, v'…, rm', rv'
     scratch:  VMEM copies of p/m/v/rm/rv, persistent across grid steps
     """
     n_state = 3 * N_P + 2
@@ -62,10 +62,9 @@ def _epoch_kernel(*refs):
     x_ref, t_ref, oh_ref, eps_ref, drop_ref = refs[6:11]
     state_in = refs[11 : 11 + n_state]  # HBM (memory_space=ANY)
     out_refs = refs[11 + n_state : 11 + n_state + 1 + n_state]
-    scratch = refs[11 + n_state + 1 + n_state : -2]
-    loss_acc = refs[-2]  # (NB_pad, 128) VMEM scratch for per-step losses
+    scratch = refs[11 + n_state + 1 + n_state : -1]
     dma_sem = refs[-1]
-    losses_out = out_refs[0]  # (NB_pad, 128) full-array output
+    losses_out = out_refs[0]  # (8, 128) block shared by 8 grid steps
     state_out = out_refs[1:]  # HBM (memory_space=ANY)
 
     i = pl.program_id(0)
@@ -133,8 +132,12 @@ def _epoch_kernel(*refs):
         jnp.maximum(logits, 0.0) - logits * t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     )
     kld = -0.5 * jnp.sum(1.0 + lv - mu * mu - jnp.exp(lv))
-    # Mosaic cannot store scalars to VMEM: broadcast the loss across a row
-    loss_acc[pl.ds(i, 1), :] = jnp.full((1, 128), bce + beta * kld, jnp.float32)
+    # Mosaic cannot store scalars to VMEM: broadcast the loss across row
+    # i%8 of the streamed block (flushed to HBM every 8 steps, so the loss
+    # trace costs O(1) VMEM regardless of n_batches)
+    losses_out[pl.ds(i % 8, 1), :] = jnp.full(
+        (1, 128), bce + beta * kld, jnp.float32
+    )
 
     unbias = batch / max(batch - 1, 1)
     rm_ref[:] = (1.0 - BN_MOMENTUM) * rm_ref[:] + BN_MOMENTUM * mu_b
@@ -205,14 +208,13 @@ def _epoch_kernel(*refs):
     adamw(w1, mw1, vw1, _dot(x.T, da1))
     adamw(b1, mb1, vb1, jnp.sum(da1, axis=0))
 
-    # flush the final state + loss trace to the outputs on the last step
+    # flush the final state to the outputs on the last step
     @pl.when(i == n_steps - 1)
     def _():
         for src, dst in zip(scratch, state_out):
             dma = pltpu.make_async_copy(src, dst, dma_sem)
             dma.start()
             dma.wait()
-        losses_out[:] = loss_acc[:]
 
 
 @functools.partial(jax.jit, static_argnames=("n_batches", "use_prng"))
@@ -264,11 +266,11 @@ def _epoch_call(flat_p, flat_m, flat_v, rm, rv, x_ep, t_ep, oh_ep, eps_ep,
         + [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in state_arrays]
     )
     out_specs = (
-        [const((nb_pad, 128))]
+        # loss rows streamed back to HBM in 8-step blocks: O(1) VMEM
+        [pl.BlockSpec((8, 128), lambda i: (i // 8, 0), memory_space=pltpu.VMEM)]
         + state_specs
     )
     scratch_shapes = [pltpu.VMEM(a.shape, jnp.float32) for a in state_arrays] + [
-        pltpu.VMEM((nb_pad, 128), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     ]
     outs = pl.pallas_call(
@@ -367,10 +369,9 @@ def _d2r_epoch_kernel(*refs):
     x_ref, t_ref, oh_ref, eps_ref, drop1_ref, drop2_ref = refs[6:12]
     state_in = refs[12 : 12 + n_state]  # HBM
     out_refs = refs[12 + n_state : 12 + n_state + 1 + n_state]
-    scratch = refs[12 + n_state + 1 + n_state : -2]
-    loss_acc = refs[-2]
+    scratch = refs[12 + n_state + 1 + n_state : -1]
     dma_sem = refs[-1]
-    losses_out = out_refs[0]
+    losses_out = out_refs[0]  # (8, 128) block shared by 8 grid steps
     state_out = out_refs[1:]
 
     i = pl.program_id(0)
@@ -429,7 +430,7 @@ def _d2r_epoch_kernel(*refs):
     recon = _dot(rd1, d2w[:]) + d2b[:]
     diff = recon - t
     kld = -0.5 * jnp.sum(1.0 + lv - mu * mu - jnp.exp(lv))
-    loss_acc[pl.ds(i, 1), :] = jnp.full(
+    losses_out[pl.ds(i % 8, 1), :] = jnp.full(
         (1, 128), jnp.sum(diff * diff) + beta * kld, jnp.float32
     )
 
@@ -507,7 +508,6 @@ def _d2r_epoch_kernel(*refs):
             dma = pltpu.make_async_copy(src, dst, dma_sem)
             dma.start()
             dma.wait()
-        losses_out[:] = loss_acc[:]
 
 
 @functools.partial(jax.jit, static_argnames=("n_batches", "use_prng"))
@@ -537,7 +537,6 @@ def _d2r_epoch_call(flat_p, flat_m, flat_v, rm1, rv1, rm2, rv2, x_ep, t_ep,
     state_arrays = p_list + m_list + v_list + [rm1, rv1, rm2, rv2]
     state_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in state_arrays]
 
-    nb_pad = -(-n_batches // 8) * 8
     in_specs = (
         [smem] * 6
         + [
@@ -550,13 +549,15 @@ def _d2r_epoch_call(flat_p, flat_m, flat_v, rm1, rv1, rm2, rv2, x_ep, t_ep,
         ]
         + state_specs
     )
+    nb_pad = -(-n_batches // 8) * 8
     out_shape = (
         [jax.ShapeDtypeStruct((nb_pad, 128), jnp.float32)]
         + [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in state_arrays]
     )
-    out_specs = [const((nb_pad, 128))] + state_specs
+    out_specs = [
+        pl.BlockSpec((8, 128), lambda i: (i // 8, 0), memory_space=pltpu.VMEM)
+    ] + state_specs
     scratch_shapes = [pltpu.VMEM(a.shape, jnp.float32) for a in state_arrays] + [
-        pltpu.VMEM((nb_pad, 128), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     ]
     outs = pl.pallas_call(

@@ -61,7 +61,7 @@ def _mm_epoch_kernel(*refs):
     data:    a(B,Da), b(B,Db), oh(B,S), cw(B,1), eps(B,L),
              dropa(B,128), dropb1(B,512), dropb2(B,256)              [grid-blocked]
     state-in: p0..p38, m0..m38, v0..v38, 6 BN arrays                 [HBM/ANY]
-    outputs:  losses(NB_pad,128), then the state arrays
+    outputs:  loss rows, grid-streamed in 8-step (8,128) blocks, then the state arrays
     scratch:  VMEM copies of the state, persistent across grid steps
     """
     n_state = 3 * N_MM + N_BN
@@ -71,10 +71,9 @@ def _mm_epoch_kernel(*refs):
     eps_ref, dropa_ref, dropb1_ref, dropb2_ref = refs[11:15]
     state_in = refs[15 : 15 + n_state]  # HBM (memory_space=ANY)
     out_refs = refs[15 + n_state : 15 + n_state + 1 + n_state]
-    scratch = refs[15 + n_state + 1 + n_state : -2]
-    loss_acc = refs[-2]
+    scratch = refs[15 + n_state + 1 + n_state : -1]
     dma_sem = refs[-1]
-    losses_out = out_refs[0]
+    losses_out = out_refs[0]  # (8, 128) block shared by 8 grid steps
     state_out = out_refs[1:]
 
     i = pl.program_id(0)
@@ -186,7 +185,7 @@ def _mm_epoch_kernel(*refs):
     nll = -jnp.sum(log_probs * oh, axis=1, keepdims=True)
     ce = jnp.sum(w_row * nll)
     kld = -0.5 * jnp.sum(1.0 + lv - mu * mu - jnp.exp(lv))
-    loss_acc[pl.ds(i, 1), :] = jnp.full(
+    losses_out[pl.ds(i % 8, 1), :] = jnp.full(
         (1, 128), mse + bce + gamma_w * ce + beta * kld, jnp.float32
     )
 
@@ -316,7 +315,6 @@ def _mm_epoch_kernel(*refs):
             dma = pltpu.make_async_copy(src, dst, dma_sem)
             dma.start()
             dma.wait()
-        losses_out[:] = loss_acc[:]
 
 
 @functools.partial(jax.jit, static_argnames=("n_batches", "use_prng"))
@@ -347,7 +345,6 @@ def _mm_epoch_call(flat_p, flat_m, flat_v, bn_list, a_ep, b_ep, oh_ep, cw_ep,
     state_arrays = p_list + m_list + v_list + list(bn_list)
     state_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in state_arrays]
 
-    nb_pad = -(-n_batches // 8) * 8
     in_specs = (
         [smem] * 7
         + [
@@ -362,13 +359,17 @@ def _mm_epoch_call(flat_p, flat_m, flat_v, bn_list, a_ep, b_ep, oh_ep, cw_ep,
         ]
         + state_specs
     )
+    nb_pad = -(-n_batches // 8) * 8
     out_shape = (
         [jax.ShapeDtypeStruct((nb_pad, 128), jnp.float32)]
         + [jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in state_arrays]
     )
-    out_specs = [const((nb_pad, 128))] + state_specs
+    out_specs = [
+        # per-step loss rows streamed back to HBM in 8-step blocks:
+        # O(1) VMEM at any n_batches
+        pl.BlockSpec((8, 128), lambda i: (i // 8, 0), memory_space=pltpu.VMEM)
+    ] + state_specs
     scratch_shapes = [pltpu.VMEM(x.shape, jnp.float32) for x in state_arrays] + [
-        pltpu.VMEM((nb_pad, 128), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     ]
     outs = pl.pallas_call(
