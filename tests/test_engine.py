@@ -174,3 +174,13 @@ def test_fit_rejects_empty_batch_schedule(small_data, cfg):
         num_epochs=2, drop_last=False,
     )
     assert np.isfinite(np.asarray(res.train_losses)).all()
+
+
+def test_fit_rejects_empty_validation_set(small_data, cfg):
+    train, _ = small_data
+    empty = train.take(jnp.arange(0))
+    with pytest.raises(ValueError, match="empty validation set"):
+        engine.fit(
+            "rna2dna", cfg, train, empty, jax.random.PRNGKey(0), N_SITES,
+            num_epochs=2,
+        )

@@ -15,12 +15,17 @@ DIM_A, DIM_B, N_SITES, LATENT = 40, 56, 5, 8
 BATCH, N_BATCHES = 8, 4
 LR, WD, BETA = 5e-4, 1e-5, 1e-3
 
+# The rna2dna test runs 20 batches so the grid-streamed loss trace crosses
+# multiple (8,128) output-block boundaries (blocks 0,1,2 incl. a partial
+# tail) — the flush/revisit logic would be invisible at N_BATCHES<=8.
+N_BATCHES_R2D = 20
+
 
 def test_epoch_kernel_matches_step_scan(rng):
     params, state = rna2dna_vae_init(
         jax.random.PRNGKey(0), DIM_A, DIM_B, N_SITES, LATENT
     )
-    n = BATCH * N_BATCHES
+    n = BATCH * N_BATCHES_R2D
     x = jnp.asarray(rng.normal(size=(n, DIM_A)).astype(np.float32))
     t = jnp.asarray(rng.uniform(0.02, 0.98, size=(n, DIM_B)).astype(np.float32))
     site = jnp.asarray(rng.integers(0, N_SITES, size=(n,)))
@@ -32,7 +37,7 @@ def test_epoch_kernel_matches_step_scan(rng):
     s_ref = state
     opt = optim.adamw_init(params)
     losses_ref = []
-    for b in range(N_BATCHES):
+    for b in range(N_BATCHES_R2D):
         sl = slice(b * BATCH, (b + 1) * BATCH)
         loss, grads, bn_new = rna2dna_fused_train_step(
             p_ref, s_ref, x[sl], t[sl], site[sl], N_SITES,
@@ -47,7 +52,7 @@ def test_epoch_kernel_matches_step_scan(rng):
     losses, new_p, new_m, new_v, new_bn = rna2dna_fused_epoch(
         params, zeros, jax.tree.map(jnp.zeros_like, params), state,
         x, t, site, N_SITES,
-        beta=BETA, lr=LR, weight_decay=WD, step0=0, n_batches=N_BATCHES,
+        beta=BETA, lr=LR, weight_decay=WD, step0=0, n_batches=N_BATCHES_R2D,
         eps_ep=eps, drop_ep=drop,
     )
 
@@ -78,11 +83,15 @@ def test_epoch_kernel_matches_step_scan(rng):
             np.asarray(leaf), np.asarray(leaf_ref), atol=atol,
             err_msg=f"m mismatch at {key}",
         )
-    # BN running stats carried across all steps (fp32 reduction-order slack)
+    # BN running stats carried across all steps. The running MEAN absorbs
+    # the degenerate fc-bias drift (batch mean of a1 = x·w1 + b1 moves 1:1
+    # with b1, which the BN recentering makes forward-invariant — see the
+    # bias exception above), so over 20 steps it inherits that drift; the
+    # running VAR is bias-invariant and stays tight.
     np.testing.assert_allclose(
         np.asarray(new_bn["encoder_rna"]["bn"]["mean"]),
         np.asarray(s_ref["encoder_rna"]["bn"]["mean"]),
-        atol=2e-4,
+        atol=5e-3,
     )
     np.testing.assert_allclose(
         np.asarray(new_bn["encoder_rna"]["bn"]["var"]),

@@ -246,7 +246,7 @@ def _epoch_call(flat_p, flat_m, flat_v, rm, rv, x_ep, t_ep, oh_ep, eps_ep,
     state_arrays = p_list + m_list + v_list + [rm, rv]
     # state stays in HBM; the kernel DMAs it into persistent VMEM scratch
     state_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY) for _ in state_arrays
+        pl.BlockSpec(memory_space=pl.ANY) for _ in state_arrays
     ]
 
     in_specs = (
@@ -535,7 +535,7 @@ def _d2r_epoch_call(flat_p, flat_m, flat_v, rm1, rv1, rm2, rv2, x_ep, t_ep,
     m_list = [flat_m[k] for k, _ in PARAM_ORDER_D2R]
     v_list = [flat_v[k] for k, _ in PARAM_ORDER_D2R]
     state_arrays = p_list + m_list + v_list + [rm1, rv1, rm2, rv2]
-    state_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in state_arrays]
+    state_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in state_arrays]
 
     in_specs = (
         [smem] * 6

@@ -187,11 +187,22 @@ def run_training(
     t0 = time.perf_counter()
     on_tpu = jax.default_backend() == "tpu"
     # fastest Pallas path for all three VAE families: the whole-epoch
-    # megakernel (every AdamW step of an epoch in one kernel)
+    # megakernel (every AdamW step of an epoch in one kernel). The tri-modal
+    # kernel holds ~22 MB of params+moments in VMEM — above the 16 MiB/core
+    # of TPU v2/v3 — so on those chips fall back to the per-step fused
+    # kernel, which fits the default budget.
+    device_kind = jax.devices()[0].device_kind if on_tpu else ""
+    old_vmem = any(g in device_kind for g in ("v2", "v3"))
     fused_epoch = (
         cfg.use_pallas
-        and task_name in ("rna2dna", "dna2rna", "multimodal")
         and on_tpu
+        and (
+            task_name in ("rna2dna", "dna2rna")
+            or (task_name == "multimodal" and not old_vmem)
+        )
+    )
+    fused_step = (
+        cfg.use_pallas and on_tpu and task_name == "multimodal" and old_vmem
     )
     with trace_ctx:
         result = engine.fit(
@@ -205,6 +216,7 @@ def run_training(
             class_weights=class_weights,
             resume_carry=resume_carry,
             start_epoch=start_epoch,
+            fused_step=fused_step,
             fused_epoch=fused_epoch,
         )
         # device_get (not block_until_ready): remote-relay platforms can

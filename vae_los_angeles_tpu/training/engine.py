@@ -127,6 +127,10 @@ def build_fit_fn(
             f"{batch_size} with drop_last=True — lower batch_size or pass "
             "drop_last=False"
         )
+    if n_val == 0:
+        # same class of silent failure: val_loss = val_sum / 0 would feed
+        # NaN into the plateau scheduler and early stopping
+        raise ValueError("empty validation set: n_val=0")
     n_val_batches = -(-n_val // batch_size)  # val loader never drops last
 
     def train_loss_fn(params, state, key, batch, beta_kl, class_weights, gamma):
