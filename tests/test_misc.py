@@ -111,3 +111,86 @@ def test_bench_line_format():
         "unit": "s",
         "vs_baseline": 48.6,
     }
+
+
+def test_fused_kernel_noise_args_all_or_nothing():
+    """Supplying only part of the injected noise must raise, not silently
+    fall back to the in-kernel PRNG (review finding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from vae_los_angeles_tpu.models.directional_vae import rna2dna_vae_init
+    from vae_los_angeles_tpu.ops.pallas.fused_train import (
+        rna2dna_fused_train_step,
+    )
+
+    params, state = rna2dna_vae_init(jax.random.PRNGKey(0), 12, 16, 3, 4)
+    rna = jnp.ones((8, 12), jnp.float32)
+    dna = jnp.full((8, 16), 0.5, jnp.float32)
+    site = jnp.zeros((8,), jnp.int32)
+    drop = jnp.ones((8, 128), jnp.float32)
+    with pytest.raises(ValueError, match="all-or-nothing"):
+        rna2dna_fused_train_step(
+            params, state, rna, dna, site, 3, drop_mask=drop
+        )
+
+
+def test_cosine_zero_norm_rows_score_zero():
+    """sklearn cosine_similarity treats zero-norm rows as zero vectors."""
+    import numpy as np
+
+    from vae_los_angeles_tpu.ops.metrics import compute_imputation_metrics
+
+    y_true = np.array([[1.0, 0.0], [1.0, 1.0]], np.float32)
+    y_pred = np.array([[0.0, 0.0], [1.0, 1.0]], np.float32)  # row 0: zero norm
+    m = compute_imputation_metrics(y_true, y_pred)
+    assert np.isfinite(m["CosineSimilarity"])
+    assert abs(m["CosineSimilarity"] - 0.5) < 1e-6  # (0 + 1) / 2
+
+
+def test_r2_mean_constant_column_matches_sklearn():
+    import numpy as np
+    from sklearn.metrics import r2_score
+
+    from vae_los_angeles_tpu.ops.metrics import compute_cv_metrics
+
+    rng = np.random.default_rng(0)
+    y_true = rng.normal(size=(16, 3)).astype(np.float32)
+    y_true[:, 1] = 0.7  # constant column
+    y_pred = y_true.copy()
+    y_pred[:, 0] += 0.1 * rng.normal(size=16).astype(np.float32)
+    # constant column predicted exactly -> sklearn scores it 1.0
+    ours = compute_cv_metrics(y_true, y_pred)["Mean R2"]
+    ref = r2_score(y_true, y_pred)
+    assert abs(ours - ref) < 1e-5
+
+
+def test_batchnorm_rejects_batch_of_one():
+    import jax.numpy as jnp
+    import pytest
+
+    from vae_los_angeles_tpu.ops.nn import batchnorm_apply, batchnorm_init
+
+    params, state = batchnorm_init(4)
+    with pytest.raises(ValueError, match="batch size > 1"):
+        batchnorm_apply(params, state, jnp.ones((1, 4)), train=True)
+
+
+def test_synthetic_dataframe_matches_label_encoder():
+    """make_dataframe's primary_site names decode primary_site_encoded
+    consistently with make_label_encoder (review finding)."""
+    import numpy as np
+
+    from vae_los_angeles_tpu.data.synthetic import (
+        generate_synthetic_arrays,
+        make_dataframe,
+        make_label_encoder,
+    )
+
+    tpm, beta, site = generate_synthetic_arrays(64, 8, 8, 6, seed=1)
+    df = make_dataframe(tpm, beta, site, 6)
+    le = make_label_encoder(6)
+    decoded = le.inverse_transform(df["primary_site_encoded"].to_numpy())
+    assert list(decoded) == list(df["primary_site"])

@@ -109,6 +109,13 @@ def batch_indices(
     `drop_last=True` mirrors the reference train loader
     (train_rna2dna.py:57-62); with shuffle the permutation is threefry-derived
     so epochs are reproducible under jit.
+
+    CAVEAT (`drop_last=False`): a fixed-shape matrix cannot express torch's
+    short final batch, so the last batch WRAPS AROUND and re-uses the first
+    ``n_batches*batch_size - n`` indices of the permutation — those samples
+    appear twice in the epoch. Consumers needing exact torch remainder
+    semantics should use ``training.engine`` (which runs a true short
+    remainder batch) rather than this helper.
     """
     if shuffle:
         perm = jax.random.permutation(key, n)

@@ -47,12 +47,18 @@ def prepare_rna_data(df_expressions, input_dim_a: int):
     df_sorted = df_sorted.drop_duplicates(subset=["case_barcode", "gene_name"])
     grouped = (
         df_sorted.groupby("case_barcode")
-        .agg({"tpm_unstranded": list, "primary_site": "first"})
+        .agg({"tpm_unstranded": list, "gene_name": list, "primary_site": "first"})
         .reset_index()
     )
     filtered = grouped[grouped["tpm_unstranded"].apply(len) == input_dim_a]
-    # gene order within each vector is the sorted gene_name order
-    gene_names = sorted(df_sorted["gene_name"].unique().tolist())[:input_dim_a]
+    # feature_names must be the genes actually composing the kept vectors —
+    # a kept case's own sorted gene list, NOT the alphabetically-first
+    # input_dim_a of ALL genes (which may not match any kept row)
+    if len(filtered):
+        gene_names = list(filtered.iloc[0]["gene_name"])
+    else:
+        gene_names = sorted(df_sorted["gene_name"].unique().tolist())[:input_dim_a]
+    filtered = filtered.drop(columns=["gene_name"])
     print(f"RNA data shape: {filtered.shape}")
     return filtered, gene_names
 
@@ -62,9 +68,18 @@ def prepare_dna_methylation_data(df, input_dim_b: int):
     (reference :55-66)."""
     probe_col = "probe_id_id" if "probe_id_id" in df.columns else "probe_id"
     df_sorted = df.sort_values(by=probe_col)
-    grouped = df_sorted.groupby("case_barcode")["beta_value"].apply(list).reset_index()
+    grouped = (
+        df_sorted.groupby("case_barcode")
+        .agg({"beta_value": list, probe_col: list})
+        .reset_index()
+    )
     filtered = grouped[grouped["beta_value"].apply(len) == input_dim_b]
-    probe_ids = sorted(df_sorted[probe_col].unique().tolist())[:input_dim_b]
+    # same rule as gene_names: the probes of an actual kept vector
+    if len(filtered):
+        probe_ids = list(filtered.iloc[0][probe_col])
+    else:
+        probe_ids = sorted(df_sorted[probe_col].unique().tolist())[:input_dim_b]
+    filtered = filtered.drop(columns=[probe_col])
     print(f"DNA methylation data shape: {filtered.shape}")
     return filtered, probe_ids
 

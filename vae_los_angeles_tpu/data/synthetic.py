@@ -59,7 +59,9 @@ def make_dataframe(tpm, beta, site, n_sites=None):
     import pandas as pd
 
     n_sites = n_sites or int(site.max()) + 1
-    names = (SITE_NAMES * ((n_sites // len(SITE_NAMES)) + 1))[:n_sites]
+    # sorted like LabelEncoder so primary_site and primary_site_encoded are
+    # mutually consistent with make_label_encoder()
+    names = sorted((SITE_NAMES * ((n_sites // len(SITE_NAMES)) + 1))[:n_sites])
     return pd.DataFrame(
         {
             "case_barcode": [f"SYN-{i:05d}" for i in range(len(site))],
@@ -96,10 +98,7 @@ def write_synthetic_artifacts(
     tpm, beta, site = generate_synthetic_arrays(
         n_samples + 2 * n_unmatched, dim_a, dim_b, n_sites, seed=seed
     )
-    # NOTE: sort site names like LabelEncoder would so encodings line up
-    names = sorted((SITE_NAMES * ((n_sites // len(SITE_NAMES)) + 1))[:n_sites])
     df_all = make_dataframe(tpm, beta, site, n_sites)
-    df_all["primary_site"] = [names[s] for s in site]
 
     matched = df_all.iloc[:n_samples].reset_index(drop=True)
     rna_only = (

@@ -48,19 +48,32 @@ def r2_global(y_true, y_pred):
 
 
 def r2_mean(y_true, y_pred):
-    """Uniform average of per-column R² (sklearn multioutput default)."""
+    """Uniform average of per-column R² (sklearn multioutput default).
+
+    sklearn's constant-column rule: ss_tot==0 scores 1.0 when the residual
+    is also ~0 (perfect prediction of a constant) and 0.0 otherwise.
+    """
     ss_res = jnp.sum(jnp.square(y_true - y_pred), axis=0)
     ss_tot = jnp.sum(jnp.square(y_true - jnp.mean(y_true, axis=0)), axis=0)
+    degenerate = jnp.where(ss_res < 1e-12, 1.0, 0.0)
     r2_cols = jnp.where(
-        ss_tot > 0, 1.0 - ss_res / jnp.where(ss_tot > 0, ss_tot, 1.0), 0.0
+        ss_tot > 0,
+        1.0 - ss_res / jnp.where(ss_tot > 0, ss_tot, 1.0),
+        degenerate,
     )
     return jnp.mean(r2_cols)
 
 
 def cosine_rowwise_mean(y_true, y_pred):
-    """Mean over samples of cosine similarity between matching rows."""
-    tn = y_true / jnp.linalg.norm(y_true, axis=1, keepdims=True)
-    pn = y_pred / jnp.linalg.norm(y_pred, axis=1, keepdims=True)
+    """Mean over samples of cosine similarity between matching rows.
+
+    Zero-norm rows contribute 0, matching sklearn's ``cosine_similarity``
+    (whose ``normalize`` leaves all-zero rows as zero vectors).
+    """
+    t_norm = jnp.linalg.norm(y_true, axis=1, keepdims=True)
+    p_norm = jnp.linalg.norm(y_pred, axis=1, keepdims=True)
+    tn = y_true / jnp.where(t_norm > 0, t_norm, 1.0)
+    pn = y_pred / jnp.where(p_norm > 0, p_norm, 1.0)
     return jnp.mean(jnp.sum(tn * pn, axis=1))
 
 

@@ -87,10 +87,17 @@ def batchnorm_apply(params, state, x, *, train: bool):
     ``train`` must be a static Python bool (it selects the traced graph).
     """
     if train:
+        n = x.shape[0]
+        if n <= 1:
+            # torch raises "Expected more than 1 value per channel when
+            # training" — a batch of 1 would normalize to all-zeros and drag
+            # the running var toward 0; fail loudly like the reference
+            raise ValueError(
+                f"train-mode BatchNorm requires batch size > 1, got {n}"
+            )
         mean = jnp.mean(x, axis=0)
         var = jnp.var(x, axis=0)  # biased — used for normalization
-        n = x.shape[0]
-        unbiased = var * (n / max(n - 1, 1))
+        unbiased = var * (n / (n - 1))
         new_state = {
             "mean": (1.0 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
             "var": (1.0 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,

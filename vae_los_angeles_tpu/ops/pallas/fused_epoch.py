@@ -36,7 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 from vae_los_angeles_tpu.ops.nn import BN_EPS, BN_MOMENTUM
 from vae_los_angeles_tpu.ops.optim import ADAM_B1, ADAM_B2, ADAM_EPS
 from vae_los_angeles_tpu.ops.pallas.fused_train import (
+    DROPOUT_RATE,
     PARAM_ORDER,
+    check_noise_args,
     _box_muller,
     _dot,
     _flatten_params,
@@ -44,8 +46,6 @@ from vae_los_angeles_tpu.ops.pallas.fused_train import (
     _rand_uniform,
     _unflatten_grads,
 )
-
-DROPOUT_RATE = 0.1
 N_P = len(PARAM_ORDER)  # 19
 
 
@@ -319,7 +319,7 @@ def rna2dna_fused_epoch(
     flat_m = _flatten_params(opt_m)
     flat_v = _flatten_params(opt_v)
     onehot = jax.nn.one_hot(jnp.asarray(site_ep), n_sites, dtype=jnp.float32)
-    use_prng = eps_ep is None
+    use_prng = check_noise_args(eps_ep=eps_ep, drop_ep=drop_ep)
     latent = flat_p["wmu"].shape[1]
     # in PRNG mode the noise inputs are 1-row dummies (never read; fetched
     # once by a constant-index BlockSpec instead of streamed per batch)
@@ -600,7 +600,9 @@ def dna2rna_fused_epoch(
     flat_m = _flatten_by(opt_m, PARAM_ORDER_D2R)
     flat_v = _flatten_by(opt_v, PARAM_ORDER_D2R)
     onehot = jax.nn.one_hot(jnp.asarray(site_ep), n_sites, dtype=jnp.float32)
-    use_prng = eps_ep is None
+    use_prng = check_noise_args(
+        eps_ep=eps_ep, drop1_ep=drop1_ep, drop2_ep=drop2_ep
+    )
     latent = flat_p["wmu"].shape[1]
     n_ph = 1 if use_prng else x_ep.shape[0]
     if eps_ep is None:

@@ -38,6 +38,7 @@ from vae_los_angeles_tpu.ops.nn import BN_MOMENTUM
 from vae_los_angeles_tpu.ops.optim import ADAM_B1, ADAM_B2, ADAM_EPS
 from vae_los_angeles_tpu.ops.pallas.fused_train import (
     DROPOUT_RATE,
+    check_noise_args,
     _bn_train_bwd,
     _bn_train_fwd,
     _box_muller,
@@ -424,7 +425,10 @@ def multimodal_fused_epoch(
         cw_ep = jnp.ones((a_ep.shape[0], 1), jnp.float32)
     else:
         cw_ep = jnp.take(jnp.asarray(class_weights, jnp.float32), site)[:, None]
-    use_prng = eps_ep is None
+    use_prng = check_noise_args(
+        eps_ep=eps_ep, dropa_ep=dropa_ep, dropb1_ep=dropb1_ep,
+        dropb2_ep=dropb2_ep,
+    )
     latent = flat_p["a_wmu"].shape[1]
     # in PRNG mode the noise inputs are 1-row dummies (never read; the
     # BlockSpec fetches them once instead of streaming n_rows per epoch)

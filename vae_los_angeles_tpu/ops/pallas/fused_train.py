@@ -37,34 +37,38 @@ from vae_los_angeles_tpu.ops.nn import BN_EPS, BN_MOMENTUM
 
 DROPOUT_RATE = 0.1
 
+# PRNG/bit-twiddling helpers shared with the inference kernels — single
+# source of truth so the noise streams cannot drift between kernel families
+from vae_los_angeles_tpu.ops.pallas.fused_vae import (  # noqa: E402
+    _box_muller,
+    _dot,
+    _interpret,
+    _uniform_from_bits,
+)
 
-def _interpret():
-    if jax.default_backend() == "tpu":
-        return False
-    return pltpu.InterpretParams()
 
+def check_noise_args(**named):
+    """All injected-noise inputs must be supplied together or not at all.
 
-def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
-
-def _uniform_from_bits(bits):
-    mant = jnp.bitwise_or(
-        jnp.right_shift(bits, jnp.uint32(9)), jnp.uint32(0x3F800000)
-    )
-    return 2.0 - pltpu.bitcast(mant, jnp.float32)
+    A partial set would be SILENTLY ignored (the kernel has one use_prng
+    flag covering eps and every dropout mask), so fail loudly instead.
+    Returns use_prng (True = no noise supplied, use the in-kernel TPU PRNG).
+    """
+    missing = [k for k, v in named.items() if v is None]
+    if missing and len(missing) != len(named):
+        given = sorted(set(named) - set(missing))
+        raise ValueError(
+            "fused kernels take injected noise all-or-nothing: got "
+            f"{given} but not {sorted(missing)} — supply every noise input "
+            "(deterministic mode) or none (in-kernel PRNG)"
+        )
+    return len(missing) == len(named)
 
 
 def _rand_uniform(shape):
     return _uniform_from_bits(
         pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     )
-
-
-def _box_muller(shape):
-    u1 = _rand_uniform(shape)
-    u2 = _rand_uniform(shape)
-    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)
 
 
 # Parameter layout (flat name → tree path) shared by wrapper and kernel.
@@ -505,7 +509,9 @@ def dna2rna_fused_train_step(
     """One fused DNA→RNA train step: (loss, grads_pytree, new_state)."""
     flat = _flatten_by(params, PARAM_ORDER_D2R)
     onehot = jax.nn.one_hot(jnp.asarray(site), n_sites, dtype=jnp.float32)
-    use_prng = eps is None
+    use_prng = check_noise_args(
+        eps=eps, drop_mask1=drop_mask1, drop_mask2=drop_mask2
+    )
     batch = dna.shape[0]
     latent = flat["wmu"].shape[1]
     if eps is None:
@@ -547,7 +553,7 @@ def rna2dna_fused_train_step(
     """
     flat = _flatten_params(params)
     onehot = jax.nn.one_hot(jnp.asarray(site), n_sites, dtype=jnp.float32)
-    use_prng = eps is None
+    use_prng = check_noise_args(eps=eps, drop_mask=drop_mask)
     batch = rna.shape[0]
     latent = flat["wmu"].shape[1]
     if eps is None:

@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from vae_los_angeles_tpu.ops.nn import BN_EPS, BN_MOMENTUM
 from vae_los_angeles_tpu.ops.pallas.fused_train import (
     DROPOUT_RATE,
+    check_noise_args,
     _bn_train_bwd,
     _bn_train_fwd,
     _box_muller,
@@ -366,7 +367,9 @@ def multimodal_fused_train_step(
         cw_row = jnp.ones((a.shape[0], 1), jnp.float32)
     else:
         cw_row = jnp.take(jnp.asarray(class_weights, jnp.float32), site)[:, None]
-    use_prng = eps is None
+    use_prng = check_noise_args(
+        eps=eps, drop_a=drop_a, drop_b1=drop_b1, drop_b2=drop_b2
+    )
     batch = a.shape[0]
     latent = flat["a_wmu"].shape[1]
     if eps is None:

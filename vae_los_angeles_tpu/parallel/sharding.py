@@ -116,7 +116,7 @@ def shard_params(params, mesh: Mesh):
 
 
 @functools.lru_cache(maxsize=None)
-def build_sharded_train_step(task_name: str, has_class_weights: bool = False):
+def build_sharded_train_step(task_name: str):
     """One fused forward+backward+AdamW step, jittable over a mesh.
 
     All sharding is carried by the committed input arrays; GSPMD propagates
