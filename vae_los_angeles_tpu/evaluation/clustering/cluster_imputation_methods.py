@@ -34,7 +34,16 @@ def _train_arrays(train_df):
 
 
 def apply_mean_imputation(train_df, rna_only_df, dna_only_df):
-    """Column-mean imputation fitted on the training table (reference :259-294)."""
+    """Column-mean imputation fitted on the training table (reference :259-294).
+
+    DOCUMENTED DEVIATION from the reference (same for the two kNN variants
+    below): the reference queries its log1p-trained imputers with RAW
+    unmatched TPM (:311-316 — the unmatched pickles are saved before the
+    log1p step) and then re-applies np.log1p to imputed RNA that is already
+    in log1p space (:290, :333, :408). Here the unmatched TPM is log1p'd
+    before querying (exactly like reconstruct_unmatched.py:33 handles the
+    same cohort) and imputed RNA is left in the log1p space it was predicted
+    in, so all RNA representations in the comparison share one scale."""
     print("\nAPPLYING MEAN IMPUTATION")
     train_rna, train_dna = _train_arrays(train_df)
     rna_mean = train_rna.mean(axis=0)
@@ -45,9 +54,8 @@ def apply_mean_imputation(train_df, rna_only_df, dna_only_df):
         rna_only_imputed["imputed_beta_value"] = [dna_mean] * len(rna_only_imputed)
     dna_only_imputed = dna_only_df.copy() if dna_only_df is not None else None
     if dna_only_imputed is not None:
-        # training RNA is log1p'd; the mean vector is log-normalized on the
-        # way out like the reference (:311 — np.log1p on the imputed RNA)
-        dna_only_imputed["imputed_tpm_unstranded"] = [np.log1p(rna_mean)] * len(
+        # rna_mean is a mean of log1p'd training vectors — already log space
+        dna_only_imputed["imputed_tpm_unstranded"] = [rna_mean] * len(
             dna_only_imputed
         )
     return rna_only_imputed, dna_only_imputed
@@ -62,8 +70,12 @@ def apply_knn_imputation(train_df, rna_only_df, dna_only_df, n_neighbors=5):
 
     rna_only_imputed = rna_only_df.copy() if rna_only_df is not None else None
     if rna_only_imputed is not None:
-        rna_val = np.array(rna_only_imputed["tpm_unstranded"].tolist()).astype(
-            np.float32
+        # unmatched cohorts ship raw TPM; bring queries into the imputer's
+        # log1p training space (reconstruct_unmatched.py:33 does the same)
+        rna_val = np.log1p(
+            np.array(rna_only_imputed["tpm_unstranded"].tolist()).astype(
+                np.float32
+            )
         )
         knn_dna = KNeighborsRegressor(n_neighbors=n_neighbors, n_jobs=-1)
         knn_dna.fit(train_rna, train_dna)
@@ -74,9 +86,8 @@ def apply_knn_imputation(train_df, rna_only_df, dna_only_df, n_neighbors=5):
         dna_val = np.array(dna_only_imputed["beta_value"].tolist()).astype(np.float32)
         knn_rna = KNeighborsRegressor(n_neighbors=n_neighbors, n_jobs=-1)
         knn_rna.fit(train_dna, train_rna)
-        dna_only_imputed["imputed_tpm_unstranded"] = list(
-            np.log1p(knn_rna.predict(dna_val))
-        )
+        # predictions are in the log1p space the imputer was trained in
+        dna_only_imputed["imputed_tpm_unstranded"] = list(knn_rna.predict(dna_val))
     return rna_only_imputed, dna_only_imputed
 
 
@@ -102,7 +113,9 @@ def apply_conditioned_knn_imputation(train_df, rna_only_df, dna_only_df,
         ].copy()
         if len(valid) > 0:
             sites = _encode_sites(valid)
-            rna_val = np.array(valid["tpm_unstranded"].tolist()).astype(np.float32)
+            rna_val = np.log1p(
+                np.array(valid["tpm_unstranded"].tolist()).astype(np.float32)
+            )
             rna_val_cond = np.hstack((rna_val, sites[:, np.newaxis]))
             knn = ConditionedKNeighborsRegressor(n_neighbors=n_neighbors)
             knn.fit(train_rna_cond, train_dna)
@@ -120,7 +133,7 @@ def apply_conditioned_knn_imputation(train_df, rna_only_df, dna_only_df,
             dna_val_cond = np.hstack((dna_val, sites[:, np.newaxis]))
             knn = ConditionedKNeighborsRegressor(n_neighbors=n_neighbors)
             knn.fit(train_dna_cond, train_rna)
-            valid["imputed_tpm_unstranded"] = list(np.log1p(knn.predict(dna_val_cond)))
+            valid["imputed_tpm_unstranded"] = list(knn.predict(dna_val_cond))
             dna_only_imputed = valid
     return rna_only_imputed, dna_only_imputed
 

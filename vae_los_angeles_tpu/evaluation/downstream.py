@@ -61,9 +61,11 @@ def train_and_evaluate_fold(X_train, X_val, y_train, y_val, n_classes,
     )
 
 
-def run_classification_scenario(features, labels, n_classes, class_weights,
+def run_classification_scenario(features, labels, n_classes,
                                 scenario_name, le_new, n_folds=5, seed=42):
-    """StratifiedKFold scenario evaluation (reference :164-237)."""
+    """StratifiedKFold scenario evaluation (reference :164-237). Class
+    weights are balanced PER FOLD from that fold's training labels
+    (reference :182), so no global weights are taken."""
     from sklearn.model_selection import StratifiedKFold
     from sklearn.preprocessing import StandardScaler
     from sklearn.utils.class_weight import compute_class_weight
@@ -200,9 +202,17 @@ def plot_per_tissue_comparison(metrics_dict, le_new, run_id=None,
     print(f"Per-tissue F1 comparison plot saved to {path}")
 
 
-def prepare_filtered_val_data(cfg: Config):
+def prepare_filtered_val_data(cfg: Config, return_orig_codes: bool = False):
     """Validation split with rare classes dropped + labels re-encoded
-    (reference :406-424)."""
+    (reference :406-424).
+
+    With ``return_orig_codes`` the ORIGINAL label-encoder codes of the kept
+    samples are returned too. The directional VAEs were trained on those
+    codes, so site conditioning must use them — the reference feeds the
+    RE-ENCODED codes to the models (downstream_task_directional.py:303,322),
+    silently conditioning on wrong site embeddings whenever a class is
+    dropped; that is a documented upstream bug this framework fixes.
+    """
     from sklearn.preprocessing import LabelEncoder
 
     dataset, label_encoder, tr_idx, va_idx = evaluate_mod.load_val_split(cfg)
@@ -213,33 +223,38 @@ def prepare_filtered_val_data(cfg: Config):
     keep_mask = np.isin(val_sites, keep_codes)
     kept_idx = va_idx[keep_mask]
 
-    site_names = label_encoder.inverse_transform(dataset.primary_site[kept_idx])
+    orig_codes = dataset.primary_site[kept_idx].astype(np.int64)
+    site_names = label_encoder.inverse_transform(orig_codes)
     le_new = LabelEncoder()
     labels = le_new.fit_transform(site_names)
-    return (
+    out = (
         dataset.tpm_data[kept_idx],
         dataset.beta_data[kept_idx],
         labels.astype(np.int64),
         le_new,
     )
+    if return_orig_codes:
+        return out + (orig_codes,)
+    return out
 
 
 def main(cfg: Optional[Config] = None, n_folds: int = 5):
-    from sklearn.utils.class_weight import compute_class_weight
-
     cfg = cfg or Config.from_env()
     run_id = evaluate_mod.get_run_id()
-    vae_model, _, run_id_from_load = evaluate_mod.load_model_and_data(cfg)
-    if run_id_from_load:
-        run_id = run_id_from_load
+    # load the model directly (load_model_and_data would deserialize the
+    # full processed_data.pkl a second time just to discard it)
+    from vae_los_angeles_tpu.evaluation.loading import load_multimodal
+
+    vae_model = load_multimodal(cfg=cfg)
+    if vae_model is None:
+        raise FileNotFoundError(
+            "no trained MultiModalVAE checkpoint; run `python train.py` first"
+        )
+    if vae_model.run_id:
+        run_id = vae_model.run_id
 
     rna_data, dna_data, labels, le_new = prepare_filtered_val_data(cfg)
     n_classes = len(le_new.classes_)
-    class_weights = compute_class_weight(
-        "balanced", classes=np.unique(labels), y=labels
-    )
-    cw_full = np.ones(n_classes, np.float32)
-    cw_full[np.unique(labels)] = class_weights
 
     est_dna_data = generate_estimated_dna(vae_model, rna_data)
     est_rna_data = generate_estimated_rna(vae_model, dna_data)
@@ -258,7 +273,7 @@ def main(cfg: Optional[Config] = None, n_folds: int = 5):
     metrics_dict = {}
     for name, data in scenarios.items():
         metrics_dict[name] = run_classification_scenario(
-            data, labels, n_classes, cw_full, name, le_new, n_folds=n_folds
+            data, labels, n_classes, name, le_new, n_folds=n_folds
         )
 
     plot_comparison(metrics_dict, run_id, plots_dir=cfg.plots_dir)

@@ -82,7 +82,11 @@ def main(cfg: Optional[Config] = None):
         print("Error: both directional models must be trained first.")
         return None
 
-    rna_data, dna_data, labels, le_new = prepare_filtered_val_data(cfg)
+    # orig_codes condition the VAEs (what they were trained on); `labels`
+    # (re-encoded, contiguous) are the classification targets only
+    rna_data, dna_data, labels, le_new, orig_codes = prepare_filtered_val_data(
+        cfg, return_orig_codes=True
+    )
     n_classes = len(le_new.classes_)
     cw = compute_class_weight("balanced", classes=np.unique(labels), y=labels)
     cw_full = np.ones(n_classes, np.float32)
@@ -91,8 +95,8 @@ def main(cfg: Optional[Config] = None):
     print("\n" + "=" * 80)
     print("GENERATING ESTIMATED DATA")
     print("=" * 80)
-    est_dna_data = generate_estimated_dna(rna2dna_model, rna_data, labels)
-    est_rna_data = generate_estimated_rna(dna2rna_model, dna_data, labels)
+    est_dna_data = generate_estimated_dna(rna2dna_model, rna_data, orig_codes)
+    est_rna_data = generate_estimated_rna(dna2rna_model, dna_data, orig_codes)
     print(f"✓ Estimated DNA shape: {est_dna_data.shape}")
     print(f"✓ Estimated RNA shape: {est_rna_data.shape}")
 

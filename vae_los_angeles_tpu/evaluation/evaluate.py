@@ -75,24 +75,24 @@ def evaluate_model(
     _, est_dna, _, _, _ = model(a=tpm)
     # estimated RNA from DNA alone (downstream_task.py:48 slot-1 convention)
     est_rna, _, _, _, _ = model(b=beta)
-    return [
+    records = [
         compute_imputation_metrics(beta, est_dna, "DNA methylation", "MultiModalVAE"),
         compute_imputation_metrics(tpm, est_rna, "RNA expression", "MultiModalVAE"),
     ]
+    return records, est_dna, est_rna
 
 
-def plot_reconstruction_examples(model, tpm, beta, plots_dir="plots", n_samples=3,
-                                 seed=42):
+def plot_reconstruction_examples(tpm, beta, est_rna, est_dna,
+                                 plots_dir="plots", n_samples=3, seed=42):
     """Scatter plots of true-vs-reconstructed values for a few validation
     samples → ``plots/reconstruction_example_{i}.png`` (the artifact
-    run_pipeline.sh:35 promises from the missing evaluate.py)."""
+    run_pipeline.sh:35 promises from the missing evaluate.py). Takes the
+    reconstructions evaluate_model already computed (no repeat forward)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    _, est_dna, _, _, _ = model(a=tpm)
-    est_rna, _, _, _, _ = model(b=beta)
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(tpm), size=min(n_samples, len(tpm)), replace=False)
     os.makedirs(plots_dir, exist_ok=True)
@@ -123,8 +123,8 @@ def main(cfg: Optional[Config] = None, output_path: Optional[str] = None):
     model, (tpm, beta, site), run_id = load_model_and_data(cfg)
     print(f"Evaluating MultiModalVAE run {run_id} on {len(tpm)} validation samples")
 
-    results = evaluate_model(model, tpm, beta)
-    plot_reconstruction_examples(model, tpm, beta, cfg.plots_dir)
+    results, est_dna, est_rna = evaluate_model(model, tpm, beta)
+    plot_reconstruction_examples(tpm, beta, est_rna, est_dna, cfg.plots_dir)
     for rec in results:
         print(
             f"  {rec['Modality']:>16s}: MSE={rec['MSE']:.4f} MAE={rec['MAE']:.4f} "

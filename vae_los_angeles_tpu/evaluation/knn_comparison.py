@@ -45,6 +45,9 @@ def optimize_knn(X_train, y_train, X_val, y_val, name="KNN", model_class=None):
     for combo in itertools.product(*values):
         p = dict(zip(keys, combo))
         # clamp k to the training size like the reference's conditioned model
+        # (sklearn raises 'Expected n_neighbors <= n_samples' otherwise)
+        if "n_neighbors" in p:
+            p["n_neighbors"] = min(p["n_neighbors"], len(X_train))
         model = model_class(**p)
         model.fit(X_train, y_train)
         preds = model.predict(X_val)

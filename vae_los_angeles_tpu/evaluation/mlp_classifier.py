@@ -92,10 +92,20 @@ class ClassifierFit(NamedTuple):
 def _build_classifier_fit(arch: str, num_epochs: int, batch_size: int,
                           n_train: int, n_val: int, early_stop: bool):
     n_batches = -(-n_train // batch_size)  # torch loaders keep partial batches
+    # fixed-shape batches are padded cyclically; `mask` zeroes the padded
+    # rows out of the loss so each sample contributes exactly once per epoch
+    # (torch's short-final-batch semantics) and any n_train works
+    n_slots = n_batches * batch_size
+    pos_mask = (jnp.arange(n_slots) < n_train).astype(jnp.float32).reshape(
+        n_batches, batch_size
+    )
 
-    def loss_fn(params, key, x, y, class_weights):
+    def loss_fn(params, key, x, y, class_weights, mask):
         logits = mlp_apply(params, x, arch=arch, train=True, key=key)
-        return weighted_ce_mean(logits, y, class_weights)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(log_probs, y[:, None], axis=-1)[:, 0]
+        w = jnp.take(class_weights, y) * mask
+        return jnp.sum(w * nll) / jnp.sum(w)
 
     grad_fn = jax.value_and_grad(loss_fn)
 
@@ -117,17 +127,16 @@ def _build_classifier_fit(arch: str, num_epochs: int, batch_size: int,
             ekey = jax.random.fold_in(key, epoch)
             pkey, dkey = jax.random.split(ekey)
             perm = jax.random.permutation(pkey, n_train)
-            pad = n_batches * batch_size - n_train
-            perm = jnp.concatenate([perm, perm[:pad]]) if pad else perm
-            idx = perm.reshape(n_batches, batch_size)
+            idx = jnp.resize(perm, n_slots).reshape(n_batches, batch_size)
             lr_now = carry["plateau"]["lr"]
 
             def batch_step(bstate, scan_in):
-                b_i, bidx = scan_in
+                b_i, bidx, bmask = scan_in
                 params, opt = bstate
                 bkey = jax.random.fold_in(dkey, b_i)
                 loss, grads = grad_fn(
-                    params, bkey, x_train[bidx], y_train[bidx], class_weights
+                    params, bkey, x_train[bidx], y_train[bidx], class_weights,
+                    bmask,
                 )
                 params, opt = optim.adam_update(
                     params, grads, opt, lr_now, weight_decay
@@ -136,7 +145,7 @@ def _build_classifier_fit(arch: str, num_epochs: int, batch_size: int,
 
             (params, opt), losses = jax.lax.scan(
                 batch_step, (carry["params"], carry["opt"]),
-                (jnp.arange(n_batches), idx),
+                (jnp.arange(n_batches), idx, pos_mask),
             )
             logits = mlp_apply(params, x_val, arch=arch, train=False)
             val_loss = weighted_ce_mean(logits, y_val, class_weights)

@@ -41,10 +41,13 @@ def setup_directories(cfg: Config):
     os.makedirs(cfg.plots_dir, exist_ok=True)
 
 
-def load_data(cfg: Config):
-    """Load processed data + label encoder (reference train_rna2dna.py:26-37)."""
-    data_path = os.path.join(cfg.data_dir, "processed_data.pkl")
-    le_path = os.path.join(cfg.data_dir, "label_encoder.pkl")
+def load_data(cfg: Config, data_path=None):
+    """Load processed data + label encoder (reference train_rna2dna.py:26-37).
+
+    ``data_path``, when given, names the exact pickle to load (the
+    label encoder is looked up next to it)."""
+    data_path = data_path or os.path.join(cfg.data_dir, "processed_data.pkl")
+    le_path = os.path.join(os.path.dirname(data_path) or ".", "label_encoder.pkl")
     if not os.path.exists(data_path):
         raise FileNotFoundError(
             f"{data_path} not found. Run `python scripts/prepare_data.py` "
@@ -138,9 +141,10 @@ def run_training(
 
     setup_directories(cfg)
     if args.data_path:
+        # honor the exact file named, not just its directory
         cfg = cfg.replace(data_dir=os.path.dirname(args.data_path) or ".")
     if args.synthetic and not os.path.exists(
-        os.path.join(cfg.data_dir, "processed_data.pkl")
+        args.data_path or os.path.join(cfg.data_dir, "processed_data.pkl")
     ):
         from vae_los_angeles_tpu.data.synthetic import write_synthetic_artifacts
 
@@ -149,7 +153,7 @@ def run_training(
             cfg.data_dir, dim_a=cfg.input_dim_a, dim_b=cfg.input_dim_b
         )
 
-    dataset, label_encoder = load_data(cfg)
+    dataset, label_encoder = load_data(cfg, data_path=args.data_path)
     n_sites = len(label_encoder.classes_)
 
     # env-derived dims must match the data (reference treats dims as config)
