@@ -217,6 +217,53 @@ def build_torch_model_mm(dim_a, dim_b, n_sites, latent):
     return MultiModalVAE()
 
 
+def build_torch_model_ae(direction, dim_a, dim_b, n_sites, latent):
+    """Deterministic AE oracles (SURVEY §2.1 directional_ae.py:10-134).
+    forward returns (recon, zeros, zeros) so train_torch's β·KLD term is
+    exactly 0 and the shared loop reduces to the pure AE loss."""
+    import torch
+    import torch.nn as nn
+
+    class DirectionalAE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            if direction == "rna2dna_ae":
+                self.enc = nn.Sequential(
+                    nn.Linear(dim_a, 128), nn.BatchNorm1d(128), nn.ReLU(),
+                    nn.Dropout(0.1),
+                )
+                self.to_latent = nn.Linear(128, latent)
+                self.dec = nn.Sequential(
+                    nn.Linear(latent, 256), nn.ReLU(), nn.Linear(256, 512),
+                    nn.ReLU(), nn.Linear(512, dim_b), nn.Sigmoid(),
+                )
+            else:
+                self.enc = nn.Sequential(
+                    nn.Linear(dim_b, 512), nn.BatchNorm1d(512), nn.ReLU(),
+                    nn.Dropout(0.1),
+                    nn.Linear(512, 256), nn.BatchNorm1d(256), nn.ReLU(),
+                    nn.Dropout(0.1),
+                )
+                self.to_latent = nn.Linear(256, latent)
+                self.dec = nn.Sequential(
+                    nn.Linear(latent, 128), nn.ReLU(), nn.Linear(128, dim_a)
+                )
+            self.embedding = nn.Embedding(n_sites, 32)
+            self.site_proj = nn.Linear(32, latent)
+
+        def forward(self, x, site, sample=True):
+            import torch
+
+            z = self.to_latent(self.enc(x))
+            z_site = self.site_proj(self.embedding(site))
+            z = (z + z_site) / 2
+            recon = self.dec(z)
+            zeros = torch.zeros_like(z)
+            return recon, zeros, zeros
+
+    return DirectionalAE()
+
+
 def train_torch_mm(model, tr, va, epochs, class_weights, batch_size=32,
                    patience=15, gamma=1.0):
     """Tri-modal training with the reference's vae_loss
@@ -351,7 +398,8 @@ def main():
     parser.add_argument("--epochs", type=int, default=200)
     parser.add_argument(
         "--direction",
-        choices=["rna2dna", "dna2rna", "multimodal"],
+        choices=["rna2dna", "dna2rna", "multimodal", "rna2dna_ae",
+                 "dna2rna_ae"],
         default="rna2dna",
         help="directional VAEs compare their native imputation; multimodal "
         "compares est-DNA from RNA-only input (downstream_task.py:32 usage)",
@@ -382,7 +430,7 @@ def main():
         args.n, args.dim_a, args.dim_b, args.sites, seed=0
     )
     tr_idx, va_idx = train_val_indices(args.n)
-    if args.direction == "dna2rna":
+    if args.direction in ("dna2rna", "dna2rna_ae"):
         # model input = DNA β-values, target = RNA
         tr = (beta[tr_idx], tpm[tr_idx], site[tr_idx])
         va = (beta[va_idx], tpm[va_idx], site[va_idx])
@@ -409,7 +457,13 @@ def main():
     )
     res = jax.device_get(res)
     t_jax = time.perf_counter() - t0
-    if args.direction == "multimodal":
+    if args.direction in ("rna2dna_ae", "dna2rna_ae"):
+        # deterministic AE: eval-mode forward IS the prediction
+        val_arrays = arrays.take(va_idx)
+        jax_pred = np.asarray(
+            engine.predict(args.direction, res.params, res.state, val_arrays)
+        )
+    elif args.direction == "multimodal":
         # est-DNA from RNA-only input, mu-decoded (downstream_task.py:22-51)
         mu_a, _, _ = encoder_a_apply(
             res.params["encoder_a"], res.state["encoder_a"],
@@ -442,7 +496,13 @@ def main():
 
     # --- torch oracle ---
     t0 = time.perf_counter()
-    if args.direction == "multimodal":
+    if args.direction in ("rna2dna_ae", "dna2rna_ae"):
+        tmodel = build_torch_model_ae(
+            args.direction, args.dim_a, args.dim_b, args.sites, args.latent
+        )
+        recon_kind = "bce" if args.direction == "rna2dna_ae" else "mse"
+        tmodel = train_torch(tmodel, tr, va, args.epochs, recon=recon_kind)
+    elif args.direction == "multimodal":
         tmodel = build_torch_model_mm(
             args.dim_a, args.dim_b, args.sites, args.latent
         )
