@@ -71,3 +71,36 @@ def test_resume_roundtrip_through_disk(tmp_path):
     np.testing.assert_allclose(
         np.asarray(resumed.val_losses), np.asarray(in_memory.val_losses), rtol=1e-6
     )
+
+
+def test_resume_bit_exact_fused_epoch_path():
+    """Resume through the whole-epoch megakernel: its per-step PRNG seeds
+    derive deterministically from (key, epoch), so 3 epochs + 3 resumed
+    epochs must equal 6 straight epochs on the same noise schedule."""
+    train, val = _data()
+    key = jax.random.PRNGKey(5)
+    kw = dict(num_epochs=3, fused_epoch=True)
+
+    straight = engine.fit(
+        "rna2dna", CFG, train, val, key, N_SITES, num_epochs=6,
+        fused_epoch=True,
+    )
+    first = engine.fit("rna2dna", CFG, train, val, key, N_SITES, **kw)
+    resumed = engine.fit(
+        "rna2dna", CFG, train, val, key, N_SITES,
+        resume_carry=first.carry, start_epoch=3, **kw,
+    )
+    np.testing.assert_allclose(
+        np.concatenate(
+            [np.asarray(first.val_losses), np.asarray(resumed.val_losses)]
+        ),
+        np.asarray(straight.val_losses),
+        rtol=1e-6,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6
+        ),
+        resumed.carry["params"],
+        straight.carry["params"],
+    )
