@@ -74,3 +74,32 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     assert (tmp_path / "latest_rna2dna_run_id.txt").read_text() == run_id
     assert (tmp_path / "checkpoints" / f"best_rna2dna_{run_id}.npz").exists()
     assert any((tmp_path / "plots").glob("training_losses_rna2dna_*.png"))
+
+
+def test_empty_dict_subtree_roundtrips(tmp_path):
+    """Empty subtrees (a stateless model's {}) must survive save/load."""
+    path = str(tmp_path / "c.npz")
+    checkpoint.save(path, {"a": {"w": np.ones(3)}, "empty": {}}, state={})
+    p2, s2 = checkpoint.load(path)
+    assert p2["empty"] == {}
+    assert s2 == {}
+    np.testing.assert_array_equal(p2["a"]["w"], np.ones(3))
+
+
+def test_tuple_leaves_rejected_loudly(tmp_path):
+    """Tuples would round-trip as string-keyed dicts and break the jitted
+    fit with an opaque structure mismatch — refuse at save time."""
+    import pytest
+
+    with pytest.raises(TypeError, match="tuple"):
+        checkpoint.save(
+            str(tmp_path / "t.npz"), {"a": (np.ones(2), np.ones(2))}
+        )
+
+
+def test_resume_seed_absent_in_legacy_checkpoint(tmp_path):
+    """Checkpoints written without a seed load with seed=None."""
+    carry = {"params": {"w": np.ones(2)}}
+    checkpoint.save_resume("m", "r1", carry, 5, str(tmp_path))
+    _, done, rid, seed = checkpoint.load_resume("m", "r1", str(tmp_path))
+    assert done == 5 and rid == "r1" and seed is None

@@ -184,3 +184,29 @@ def test_fit_rejects_empty_validation_set(small_data, cfg):
             "rna2dna", cfg, train, empty, jax.random.PRNGKey(0), N_SITES,
             num_epochs=2,
         )
+
+
+def test_epochs_ran_field(small_data, cfg):
+    """FitResult.epochs_ran reflects the engine's own executed-epoch count."""
+    train, val = small_data
+    cfg2 = cfg.replace(patience=2)
+    res = engine.fit(
+        "rna2dna", cfg2, train, val, jax.random.PRNGKey(3), N_SITES, num_epochs=40
+    )
+    val_losses = np.asarray(res.val_losses)
+    n_ran = int(res.epochs_ran)
+    # healthy (non-diverging) run: matches the non-NaN prefix exactly
+    assert n_ran == int((~np.isnan(val_losses)).sum())
+    assert 0 < n_ran <= 40
+
+
+def test_beta_warmup_zero_means_no_warmup(small_data, cfg):
+    """beta_warmup_epochs=0 gives full-strength β from epoch 0 (0/0 would
+    otherwise NaN-poison the entire run)."""
+    train, val = small_data
+    cfg2 = cfg.replace(beta_warmup_epochs=0)
+    res = engine.fit(
+        "rna2dna", cfg2, train, val, jax.random.PRNGKey(5), N_SITES, num_epochs=3
+    )
+    np.testing.assert_allclose(np.asarray(res.betas)[:3], cfg.beta_start)
+    assert np.isfinite(np.asarray(res.val_losses)[:3]).all()

@@ -125,3 +125,22 @@ def test_fit_trials_population():
     assert np.isfinite(best_vals).all()
     # the tiny-lr trial should be clearly worse than the mid-lr trials
     assert best_vals[0] > best_vals.min()
+
+
+def test_tp_specs_skip_narrow_ae_encoder():
+    """RNA2DNAAE's narrow rna→128→latent encoder reuses DNA2RNAAE's
+    enc_fc1/enc_fc2 layer names; the TP policy must shard only the genuinely
+    512-wide layers and replicate the narrow name-collisions."""
+    from jax.sharding import PartitionSpec as P
+
+    from vae_los_angeles_tpu.training.tasks import TASKS
+
+    p_narrow, _ = TASKS["rna2dna_ae"].init(jax.random.PRNGKey(0), CFG, N_SITES)
+    specs = sharding.param_specs(p_narrow)
+    assert specs["enc_fc1"]["w"] == P()
+    assert specs["enc_fc2"]["w"] == P()
+
+    p_wide, _ = TASKS["dna2rna_ae"].init(jax.random.PRNGKey(0), CFG, N_SITES)
+    specs_w = sharding.param_specs(p_wide)
+    assert specs_w["enc_fc1"]["w"] == P(None, "model")
+    assert specs_w["enc_fc2"]["w"] == P("model", None)

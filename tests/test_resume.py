@@ -55,11 +55,13 @@ def test_resume_roundtrip_through_disk(tmp_path):
     train, val = _data()
     key = jax.random.PRNGKey(4)
     first = engine.fit("rna2dna", CFG, train, val, key, N_SITES, num_epochs=3)
-    path = checkpoint.save_resume("rna2dna", "testrun", first.carry, 3, str(tmp_path))
-    carry, epochs_done, run_id = checkpoint.load_resume(
+    path = checkpoint.save_resume(
+        "rna2dna", "testrun", first.carry, 3, str(tmp_path), seed=4
+    )
+    carry, epochs_done, run_id, seed = checkpoint.load_resume(
         "rna2dna", "testrun", str(tmp_path)
     )
-    assert epochs_done == 3 and run_id == "testrun"
+    assert epochs_done == 3 and run_id == "testrun" and seed == 4
     resumed = engine.fit(
         "rna2dna", CFG, train, val, key, N_SITES, num_epochs=3,
         resume_carry=carry, start_epoch=epochs_done,

@@ -87,13 +87,20 @@ def param_specs(params) -> dict:
 
     Tensor-shards the wide 512-unit layers over "model"; replicates the rest.
     BN params tied to column-sharded activations stay replicated (cheap, and
-    BN reduces over batch, not features).
+    BN reduces over batch, not features). A suffix match alone is not enough:
+    RNA2DNAAE's narrow rna→128→latent encoder reuses the ``enc_fc1``/
+    ``enc_fc2`` names of DNA2RNAAE's 512-wide encoder, so the sharded
+    dimension must also be ≥512 wide — sharding a 128/latent-dim tensor over
+    "model" would add collectives around tiny matmuls (and uneven padding).
     """
 
     def walk(tree, path):
         if isinstance(tree, dict) and "w" in tree and "b" in tree:
             for tp_path, col in _TP_LAYERS.items():
                 if path[-len(tp_path) :] == tp_path:
+                    sharded_width = tree["w"].shape[1 if col else 0]
+                    if sharded_width < 512:
+                        break  # narrow layer with a colliding name: replicate
                     if col:
                         return {"w": P(None, "model"), "b": P("model")}
                     return {"w": P("model", None), "b": P()}

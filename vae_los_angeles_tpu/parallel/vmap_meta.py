@@ -39,6 +39,23 @@ def _stack_arrays(list_of_arrays: Sequence[MultiModalArrays]) -> MultiModalArray
 
 
 _VMAP_FIT_CACHE: dict = {}
+_VMAP_INIT_CACHE: dict = {}
+
+
+def _vmapped_init(task_name: str, cfg: Config, n_sites: int):
+    """jit(vmap(population init)), cached — a fresh lambda per call would
+    defeat the jit cache and recompile init on every fit_folds/fit_trials."""
+    import dataclasses
+
+    cache_key = (task_name, dataclasses.astuple(cfg), n_sites)
+    if cache_key not in _VMAP_INIT_CACHE:
+        task = TASKS[task_name]
+        _VMAP_INIT_CACHE[cache_key] = jax.jit(
+            jax.vmap(
+                lambda k, lr: engine.init_carry(*task.init(k, cfg, n_sites), lr)
+            )
+        )
+    return _VMAP_INIT_CACHE[cache_key]
 
 
 def _vmapped_fit(task_name, num_epochs, batch_size, n_train, n_val, drop_last,
@@ -72,8 +89,8 @@ def fit_folds(
     Returns a list of per-fold FitResults in the input order. ``drop_last``
     defaults False to match the CV inner loaders (vae_cross_modality_cv.py:121).
     """
-    task = TASKS[task_name]
-    num_epochs = num_epochs or cfg.num_epochs
+    if num_epochs is None:
+        num_epochs = cfg.num_epochs
     # group folds by (n_train, n_val)
     groups: Dict[tuple, list] = {}
     for i, (tr, va) in enumerate(zip(fold_train, fold_val)):
@@ -86,12 +103,8 @@ def fit_folds(
         stacked_tr = _stack_arrays([fold_train[i] for i in idxs])
         stacked_va = _stack_arrays([fold_val[i] for i in idxs])
         group_keys = keys[np.asarray(idxs)]
-        init = jax.jit(
-            jax.vmap(
-                lambda k: engine.init_carry(*task.init(k, cfg, n_sites), hp["lr"])
-            )
-        )
-        carry0 = init(group_keys)
+        init = _vmapped_init(task_name, cfg, n_sites)
+        carry0 = init(group_keys, jnp.broadcast_to(hp["lr"], (len(idxs),)))
         fit_v = _vmapped_fit(
             task_name, int(num_epochs), int(cfg.batch_size), n_tr, n_va,
             bool(drop_last), False, 0, None,
@@ -123,8 +136,8 @@ def fit_trials(
     (cfg.latent_dim / cfg.embed_dim); callers bucket trials by shape.
     Returns a FitResult whose leaves have a leading trial axis.
     """
-    task = TASKS[task_name]
-    num_epochs = num_epochs or cfg.num_epochs
+    if num_epochs is None:
+        num_epochs = cfg.num_epochs
     n_trials = len(next(iter(hp_population.values())))
     base = engine.hyperparams(cfg)
     hp = {
@@ -137,11 +150,7 @@ def fit_trials(
     }
 
     keys = jax.random.split(key, n_trials)
-    init = jax.jit(
-        jax.vmap(
-            lambda k, lr: engine.init_carry(*task.init(k, cfg, n_sites), lr)
-        )
-    )
+    init = _vmapped_init(task_name, cfg, n_sites)
     carry0 = init(keys, hp["lr"])
     fit_v = _vmapped_fit(
         task_name, int(num_epochs), int(cfg.batch_size),

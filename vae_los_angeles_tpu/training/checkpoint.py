@@ -32,14 +32,32 @@ def new_run_id() -> str:
     return datetime.now().strftime("%Y%m%d_%H%M%S")
 
 
+# marker key so empty dict subtrees (e.g. a stateless model's {}) survive
+# the flatten/unflatten round-trip instead of silently vanishing
+_EMPTY = "__empty_dict__"
+
+
 def _flatten(tree, prefix=""):
     out = {}
     if isinstance(tree, dict):
+        if not tree:
+            out[prefix + _EMPTY] = np.asarray(0)
+            return out
         for k, v in tree.items():
+            if "/" in str(k):
+                raise ValueError(
+                    f"checkpoint key {k!r} (at '{prefix}') contains '/', "
+                    "which is the flattened-path separator"
+                )
             out.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(tree, (tuple, list)):
-        for i, v in enumerate(tree):
-            out.update(_flatten(v, f"{prefix}{i}/"))
+        # refuse rather than round-trip a tuple into a string-keyed dict —
+        # the jitted fit would later reject the carry with an opaque
+        # pytree-structure mismatch
+        raise TypeError(
+            "checkpoint pytrees must be nested dicts with array leaves; got "
+            f"{type(tree).__name__} at '{prefix[:-1] or '<root>'}'"
+        )
     else:
         out[prefix[:-1]] = np.asarray(tree)
     return out
@@ -52,7 +70,8 @@ def _unflatten(flat):
         node = tree
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = val
+        if parts[-1] != _EMPTY:
+            node[parts[-1]] = val
     return tree
 
 
@@ -102,19 +121,27 @@ def resume_path(model_name: str, run_id: str, checkpoint_dir: str = "checkpoints
 
 
 def save_resume(model_name: str, run_id: str, carry, n_epochs_done: int,
-                checkpoint_dir: str = "checkpoints"):
-    """Persist the full fused-training carry for later resume."""
+                checkpoint_dir: str = "checkpoints", seed: Optional[int] = None):
+    """Persist the full fused-training carry for later resume.
+
+    ``seed`` records the run PRNG seed: the per-epoch noise schedule derives
+    from fold_in(PRNGKey(seed), epoch), so bit-exact continuation requires
+    resuming with the SAME seed — persisting it makes that automatic."""
     path = resume_path(model_name, run_id, checkpoint_dir)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    payload = {"carry": jax.device_get(carry),
-               "meta": {"epochs_done": np.asarray(n_epochs_done)}}
+    meta = {"epochs_done": np.asarray(n_epochs_done)}
+    if seed is not None:
+        meta["seed"] = np.asarray(seed)
+    payload = {"carry": jax.device_get(carry), "meta": meta}
     np.savez(path, **_flatten(payload))
     return path
 
 
 def load_resume(model_name: str, run_id: Optional[str] = None,
                 checkpoint_dir: str = "checkpoints", root: str = "."):
-    """Returns (carry, epochs_done, run_id) for continuing a training run."""
+    """Returns (carry, epochs_done, run_id, seed) for continuing a run.
+
+    ``seed`` is None for checkpoints written before seeds were recorded."""
     if run_id is None:
         run_id = get_run_id(model_name, root)
     if run_id is None:
@@ -125,7 +152,9 @@ def load_resume(model_name: str, run_id: Optional[str] = None,
     with np.load(path) as archive:
         flat = {k: archive[k] for k in archive.files}
     tree = _unflatten(flat)
-    return tree["carry"], int(tree["meta"]["epochs_done"]), run_id
+    meta = tree["meta"]
+    seed = int(meta["seed"]) if "seed" in meta else None
+    return tree["carry"], int(meta["epochs_done"]), run_id, seed
 
 
 def get_run_id(model_name: str = "rna2dna", root: str = ".") -> Optional[str]:

@@ -72,16 +72,19 @@ def compute_class_weights(site_labels, n_classes):
     return weights
 
 
-def plot_losses(train_losses, val_losses, run_id, model_name, plots_dir="plots"):
-    """Loss plot (reference train_rna2dna.py:134-147)."""
+def plot_losses(train_losses, val_losses, run_id, model_name, plots_dir="plots",
+                start_epoch=0):
+    """Loss plot (reference train_rna2dna.py:134-147). ``start_epoch`` keeps
+    the x-axis in global epoch numbers on resumed runs."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    epochs = range(start_epoch, start_epoch + len(train_losses))
     plt.figure(figsize=(10, 6))
-    plt.plot(train_losses, label="Train Loss")
-    plt.plot(val_losses, label="Validation Loss")
+    plt.plot(epochs, train_losses, label="Train Loss")
+    plt.plot(epochs, val_losses, label="Validation Loss")
     plt.title(f"Training & Validation Loss for {model_name}")
     plt.xlabel("Epoch")
     plt.ylabel("Loss")
@@ -104,7 +107,11 @@ def run_training(
     parser = argparse.ArgumentParser(description=f"Train {model_name} on TPU")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--data_path", type=str, default=None)
-    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--seed", type=int, default=None,
+        help="run PRNG seed (default 0; on --resume, defaults to the seed "
+        "recorded in the checkpoint so the noise schedule continues exactly)",
+    )
     parser.add_argument(
         "--synthetic",
         action="store_true",
@@ -131,11 +138,22 @@ def run_training(
             print(f"Note: could not switch platform to {cfg.platform!r}: {e}")
     resume_carry, start_epoch = None, 0
     if args.resume:
-        resume_carry, start_epoch, run_id = checkpoint.load_resume(
+        resume_carry, start_epoch, run_id, saved_seed = checkpoint.load_resume(
             model_name, checkpoint_dir=cfg.checkpoint_dir
         )
+        if args.seed is None:
+            seed = saved_seed if saved_seed is not None else 0
+        else:
+            seed = args.seed
+            if saved_seed is not None and saved_seed != seed:
+                print(
+                    f"WARNING: --seed {seed} differs from the checkpoint's "
+                    f"recorded seed {saved_seed}; the resumed noise schedule "
+                    "will not bit-match the original run"
+                )
         print(f"Resuming {model_name} run {run_id} from epoch {start_epoch}")
     else:
+        seed = 0 if args.seed is None else args.seed
         run_id = checkpoint.new_run_id()
         print(f"Starting {model_name} training run: {run_id}")
 
@@ -143,15 +161,19 @@ def run_training(
     if args.data_path:
         # honor the exact file named, not just its directory
         cfg = cfg.replace(data_dir=os.path.dirname(args.data_path) or ".")
-    if args.synthetic and not os.path.exists(
-        args.data_path or os.path.join(cfg.data_dir, "processed_data.pkl")
-    ):
+    target_pkl = args.data_path or os.path.join(cfg.data_dir, "processed_data.pkl")
+    if args.synthetic and not os.path.exists(target_pkl):
         from vae_los_angeles_tpu.data.synthetic import write_synthetic_artifacts
 
         print("Generating synthetic data artifacts...")
         write_synthetic_artifacts(
             cfg.data_dir, dim_a=cfg.input_dim_a, dim_b=cfg.input_dim_b
         )
+        generated = os.path.join(cfg.data_dir, "processed_data.pkl")
+        if os.path.abspath(generated) != os.path.abspath(target_pkl):
+            # honor a custom --data_path basename: the loader reads the exact
+            # file named, so the generated pickle must live there
+            os.replace(generated, target_pkl)
 
     dataset, label_encoder = load_data(cfg, data_path=args.data_path)
     n_sites = len(label_encoder.classes_)
@@ -177,7 +199,7 @@ def run_training(
             dataset.primary_site[tr_idx], n_sites
         )
 
-    num_epochs = args.epochs or cfg.num_epochs
+    num_epochs = cfg.num_epochs if args.epochs is None else args.epochs
     print(f"\nStarting training for {num_epochs} epochs...")
     print(f"Early stopping patience: {cfg.patience}")
 
@@ -214,7 +236,7 @@ def run_training(
             cfg,
             train_arrays,
             val_arrays,
-            jax.random.PRNGKey(args.seed),
+            jax.random.PRNGKey(seed),
             n_sites,
             num_epochs=num_epochs,
             class_weights=class_weights,
@@ -233,24 +255,29 @@ def run_training(
 
     train_losses = np.asarray(result.train_losses)
     val_losses = np.asarray(result.val_losses)
-    ran = ~np.isnan(val_losses)
-    n_ran = int(ran.sum())
+    # epochs_ran comes from the engine's own bookkeeping: counting non-NaN
+    # val losses would conflate "skipped after early stop" with "ran but
+    # diverged to NaN". Epoch numbers are GLOBAL (offset by start_epoch) so
+    # resumed-run logs line up with the metrics JSONL.
+    n_ran = int(result.epochs_ran)
+    total = start_epoch + num_epochs
     for epoch in range(n_ran):
         print(
-            f"Epoch [{epoch + 1}/{num_epochs}] | "
+            f"Epoch [{start_epoch + epoch + 1}/{total}] | "
             f"Train Loss: {train_losses[epoch]:.2f} | "
             f"Val Loss: {val_losses[epoch]:.2f} | "
             f"β={float(result.betas[epoch]):.5f}"
         )
     if bool(result.stopped):
-        print(f"\nEarly stopping triggered at epoch {n_ran}!")
+        print(f"\nEarly stopping triggered at epoch {start_epoch + n_ran}!")
 
     model_path = checkpoint.save_best(
         model_name, run_id, result.params, result.state, cfg.checkpoint_dir
     )
     print(f"✓ Best model saved (val_loss: {float(result.best_val_loss):.2f})")
     checkpoint.save_resume(
-        model_name, run_id, result.carry, start_epoch + n_ran, cfg.checkpoint_dir
+        model_name, run_id, result.carry, start_epoch + n_ran,
+        cfg.checkpoint_dir, seed=seed,
     )
 
     # observability: per-epoch metrics as JSONL (the reference only prints)
@@ -277,7 +304,8 @@ def run_training(
 
     print("\nGenerating loss plots...")
     plot_losses(
-        train_losses[:n_ran], val_losses[:n_ran], run_id, model_name, cfg.plots_dir
+        train_losses[:n_ran], val_losses[:n_ran], run_id, model_name,
+        cfg.plots_dir, start_epoch=start_epoch,
     )
     checkpoint.write_run_id(model_name, run_id)
 

@@ -56,6 +56,8 @@ class FitResult(NamedTuple):
     carry: dict  # full final training state (params/opt/scheduler/early-stop)
                  # — pass back as ``resume_carry`` for true mid-run resume,
                  # a capability the reference lacks (SURVEY §5 checkpoint row)
+    epochs_ran: jnp.ndarray  # scalar: epochs actually executed (counts
+                             # NaN-diverged epochs, unlike isnan(val_losses))
 
 
 def init_carry(params0, state0, lr):
@@ -199,10 +201,15 @@ def build_fit_fn(
             ekey = jax.random.fold_in(key, epoch)
             pkey, dkey, vkey = jax.random.split(ekey, 3)
             if task.uses_kl_warmup:
-                beta_kl = (
-                    jnp.minimum(1.0, epoch.astype(jnp.float32) / hp["warmup_epochs"])
-                    * hp["beta_start"]
+                # warmup_epochs=0 means "no warmup" (β at full strength from
+                # epoch 0) — the unguarded 0/0 would silently NaN the run
+                warm = hp["warmup_epochs"]
+                frac = jnp.where(
+                    warm > 0,
+                    epoch.astype(jnp.float32) / jnp.maximum(warm, 1.0),
+                    1.0,
                 )
+                beta_kl = jnp.minimum(1.0, frac) * hp["beta_start"]
             else:
                 beta_kl = jnp.float32(0.0)
 
@@ -284,7 +291,7 @@ def build_fit_fn(
                         "estop": estop,
                         "best": best,
                     },
-                    (train_loss, val_loss, beta_kl, lr),
+                    (train_loss, val_loss, beta_kl, lr, jnp.bool_(True)),
                 )
 
             def batch_step(bstate, scan_in):
@@ -293,8 +300,14 @@ def build_fit_fn(
                 batch = gather(bidx)
                 if fused_step:
                     # whole fwd+bwd as ONE Pallas kernel (in-kernel PRNG);
-                    # step seed derived from (epoch, batch) for reproducibility
-                    seed = epoch * jnp.int32(100003) + b_i
+                    # step seed derived from (run key, epoch, batch) — dkey is
+                    # already fold_in(key, epoch)-derived, so different --seed
+                    # runs get independent noise streams (same contract as the
+                    # fused_epoch path above)
+                    seed = jax.random.randint(
+                        jax.random.fold_in(dkey, b_i), (), 0, 2**31 - 1,
+                        jnp.int32,
+                    )
                     if task_name == "multimodal":
                         n_sites_ = params["encoder_c"]["embedding"][
                             "table"
@@ -368,18 +381,18 @@ def build_fit_fn(
                 "estop": estop,
                 "best": best,
             }
-            return new_carry, (train_loss, val_loss, beta_kl, lr)
+            return new_carry, (train_loss, val_loss, beta_kl, lr, jnp.bool_(True))
 
         def epoch_step(carry, epoch):
             nan = jnp.float32(jnp.nan)
             return jax.lax.cond(
                 carry["estop"]["stopped"],
-                lambda c: (c, (nan, nan, nan, nan)),
+                lambda c: (c, (nan, nan, nan, nan, jnp.bool_(False))),
                 lambda c: run_epoch(c, epoch),
                 carry,
             )
 
-        carry, (train_losses, val_losses, betas, lrs) = jax.lax.scan(
+        carry, (train_losses, val_losses, betas, lrs, ran) = jax.lax.scan(
             epoch_step, carry0, jnp.arange(num_epochs) + epoch_offset
         )
         return FitResult(
@@ -395,6 +408,7 @@ def build_fit_fn(
             betas=betas,
             lrs=lrs,
             carry=carry,
+            epochs_ran=jnp.sum(ran.astype(jnp.int32)),
         )
 
     return _fit
@@ -431,7 +445,8 @@ def fit(
     its inner loaders (vae_cross_modality_cv.py:121).
     """
     task = TASKS[task_name]
-    num_epochs = num_epochs or cfg.num_epochs
+    if num_epochs is None:  # explicit 0 means "no training epochs", not 200
+        num_epochs = cfg.num_epochs
     if hp is None:
         hp = hyperparams(cfg)
     if resume_carry is not None:
