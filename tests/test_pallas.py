@@ -170,3 +170,38 @@ def test_fused_loss_value_and_grads(rng):
         np.testing.assert_allclose(
             np.asarray(g_fused), np.asarray(g_ref), atol=1e-5
         )
+
+
+def test_fused_loss_traced_beta(rng):
+    """β must be a differentiable (traceable) argument: the engine's KL-warmup
+    β is a tracer inside lax.scan, and dL/dβ = KLD analytically."""
+    from vae_los_angeles_tpu.ops.losses import rna2dna_loss
+    from vae_los_angeles_tpu.ops.pallas.fused_loss import rna2dna_loss_fused
+
+    logits = jnp.asarray(rng.normal(size=(8, 24)).astype(np.float32))
+    dna = jnp.asarray(rng.uniform(0.05, 0.95, size=(8, 24)).astype(np.float32))
+    mu = jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))
+    logvar = jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))
+
+    # traced beta through scan (exactly the engine's warmup pattern)
+    def body(carry, beta_t):
+        loss, g = jax.value_and_grad(
+            lambda m: rna2dna_loss_fused(logits, dna, m, logvar, beta_t)
+        )(mu)
+        return carry, (loss, g)
+
+    _, (losses, _) = jax.lax.scan(
+        body, 0.0, jnp.asarray([1e-4, 5e-4, 1e-3], jnp.float32)
+    )
+    for i, b in enumerate([1e-4, 5e-4, 1e-3]):
+        want = float(rna2dna_loss(logits, dna, mu, logvar, beta=b)[0])
+        np.testing.assert_allclose(float(losses[i]), want, rtol=1e-5)
+
+    # dL/dβ equals the KLD term
+    dbeta = jax.grad(
+        lambda b: rna2dna_loss_fused(logits, dna, mu, logvar, b)
+    )(jnp.float32(1e-3))
+    kld = -0.5 * float(
+        jnp.sum(1.0 + logvar - mu * mu - jnp.exp(logvar))
+    )
+    np.testing.assert_allclose(float(dbeta), kld, rtol=1e-5)

@@ -278,3 +278,25 @@ def test_prng_mode_statistically_matches_xla_path(rng):
     v_prng = float(np.asarray(res_prng.val_losses)[-1])
     tol = 0.10 if jax.default_backend() == "tpu" else 0.60
     assert abs(v_prng - v_xla) / v_xla < tol, (v_prng, v_xla)
+
+
+def test_epoch_kernel_rejects_indivisible_rows():
+    """Row counts not divisible by n_batches would silently drop samples and
+    shift every batch boundary — the wrappers must refuse."""
+    import pytest
+
+    from vae_los_angeles_tpu.config import Config
+    from vae_los_angeles_tpu.ops.pallas.fused_epoch import rna2dna_fused_epoch
+    from vae_los_angeles_tpu.training.tasks import TASKS
+
+    cfg = Config(input_dim_a=12, input_dim_b=16, latent_dim=4)
+    params, state = TASKS["rna2dna"].init(jax.random.PRNGKey(0), cfg, 3)
+    opt_m = jax.tree.map(jnp.zeros_like, params)
+    opt_v = jax.tree.map(jnp.zeros_like, params)
+    x = jnp.zeros((10, 12), jnp.float32)  # 10 rows, n_batches=3 → refuse
+    t = jnp.zeros((10, 16), jnp.float32)
+    s = jnp.zeros((10,), jnp.int32)
+    with pytest.raises(ValueError, match="not divisible"):
+        rna2dna_fused_epoch(
+            params, opt_m, opt_v, state, x, t, s, 3, n_batches=3
+        )

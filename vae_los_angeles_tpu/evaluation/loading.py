@@ -60,9 +60,15 @@ class LoadedDirectionalVAE:
     def __call__(self, site=None, key=None, **kwargs):
         x = kwargs.get(self._kw)
         if self._fused is not None and x is not None:
+            # honor the caller's key exactly like the XLA path does: distinct
+            # keys must give distinct in-kernel PRNG streams (multi-draw
+            # stochastic imputation would otherwise return identical draws)
+            k = key if key is not None else self._key
+            seed = int(jax.random.randint(k, (), 0, 2**31 - 1))
             recon, mu, logvar = self._fused(
                 np.asarray(x, np.float32),
                 None if site is None else np.asarray(site),
+                seed=seed,
             )
             return _np(recon), _np(mu), _np(logvar)
         call_kwargs = {self._kw: None if x is None else np.asarray(x, np.float32)}

@@ -4,9 +4,10 @@ inside ONE Pallas kernel, with parameters AND AdamW moments VMEM-resident.
 Why: at batch 32 the per-step fused kernel is bound by optimizer-state HBM
 traffic — each step reads/writes params+m+v (~28 MB) from HBM. Here the
 grid iterates over the epoch's batches while params/m/v live in VMEM for the
-entire epoch via input→output aliasing with constant index maps (Mosaic
-fetches each such block once and writes it back after the last grid step).
-HBM sees only the streaming batch data (~0.3 MB/step, double-buffered by the
+entire epoch: the state operands sit in ANY (HBM) space as separate input
+and output buffers, the kernel DMAs them into VMEM scratch once at grid
+step 0 and DMAs the updated state back out at the last grid step. HBM sees
+only the streaming batch data (~0.3 MB/step, double-buffered by the
 pipeline) plus one param/opt load+store per EPOCH instead of per STEP.
 
 Per grid step i the kernel runs the full train step in-place:
@@ -315,6 +316,12 @@ def rna2dna_fused_epoch(
     new_bn_state). ``opt_m``/``opt_v`` are the AdamW moment pytrees; ``step0``
     the global step count before this epoch.
     """
+    if x_ep.shape[0] % n_batches:
+        raise ValueError(
+            f"epoch row count {x_ep.shape[0]} not divisible by n_batches="
+            f"{n_batches}: rows would be silently dropped and every batch "
+            "boundary shifted relative to the caller's batching"
+        )
     flat_p = _flatten_params(params)
     flat_m = _flatten_params(opt_m)
     flat_v = _flatten_params(opt_v)
@@ -327,7 +334,7 @@ def rna2dna_fused_epoch(
     if eps_ep is None:
         eps_ep = jnp.zeros((n_ph, latent), jnp.float32)
     if drop_ep is None:
-        drop_ep = jnp.ones((n_ph, 128), jnp.float32)
+        drop_ep = jnp.ones((n_ph, flat_p["w1"].shape[1]), jnp.float32)
     losses, new_p, new_m, new_v, new_rm, new_rv = _epoch_call(
         flat_p, flat_m, flat_v,
         bn_state["encoder_rna"]["bn"]["mean"],
@@ -597,6 +604,12 @@ def dna2rna_fused_epoch(
     """One full DNA→RNA epoch (n_batches AdamW steps) in a single kernel.
     ``x_ep`` is the epoch's DNA input, ``t_ep`` the RNA target."""
     flat_p = _flatten_by(params, PARAM_ORDER_D2R)
+    if x_ep.shape[0] % n_batches:
+        raise ValueError(
+            f"epoch row count {x_ep.shape[0]} not divisible by n_batches="
+            f"{n_batches}: rows would be silently dropped and every batch "
+            "boundary shifted relative to the caller's batching"
+        )
     flat_m = _flatten_by(opt_m, PARAM_ORDER_D2R)
     flat_v = _flatten_by(opt_v, PARAM_ORDER_D2R)
     onehot = jax.nn.one_hot(jnp.asarray(site_ep), n_sites, dtype=jnp.float32)
@@ -608,9 +621,9 @@ def dna2rna_fused_epoch(
     if eps_ep is None:
         eps_ep = jnp.zeros((n_ph, latent), jnp.float32)
     if drop1_ep is None:
-        drop1_ep = jnp.ones((n_ph, 512), jnp.float32)
+        drop1_ep = jnp.ones((n_ph, flat_p["w1"].shape[1]), jnp.float32)
     if drop2_ep is None:
-        drop2_ep = jnp.ones((n_ph, 256), jnp.float32)
+        drop2_ep = jnp.ones((n_ph, flat_p["w2"].shape[1]), jnp.float32)
     bn = bn_state["encoder_dna"]
     losses, new_p, new_m, new_v, rm1, rv1, rm2, rv2 = _d2r_epoch_call(
         flat_p, flat_m, flat_v,

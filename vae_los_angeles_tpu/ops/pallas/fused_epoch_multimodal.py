@@ -416,6 +416,12 @@ def multimodal_fused_epoch(
     Inputs are the epoch's pre-permuted, batch-concatenated arrays
     (n_batches*B rows). Returns (per-batch losses, new_params, new_m, new_v,
     new_bn_state)."""
+    if a_ep.shape[0] % n_batches:
+        raise ValueError(
+            f"epoch row count {a_ep.shape[0]} not divisible by n_batches="
+            f"{n_batches}: rows would be silently dropped and every batch "
+            "boundary shifted relative to the caller's batching"
+        )
     flat_p = _flatten_mm(params)
     flat_m = _flatten_mm(opt_m)
     flat_v = _flatten_mm(opt_v)
@@ -436,11 +442,11 @@ def multimodal_fused_epoch(
     if eps_ep is None:
         eps_ep = jnp.zeros((n_ph, latent), jnp.float32)
     if dropa_ep is None:
-        dropa_ep = jnp.ones((n_ph, 128), jnp.float32)
+        dropa_ep = jnp.ones((n_ph, flat_p["a_w1"].shape[1]), jnp.float32)
     if dropb1_ep is None:
-        dropb1_ep = jnp.ones((n_ph, 512), jnp.float32)
+        dropb1_ep = jnp.ones((n_ph, flat_p["b_w1"].shape[1]), jnp.float32)
     if dropb2_ep is None:
-        dropb2_ep = jnp.ones((n_ph, 256), jnp.float32)
+        dropb2_ep = jnp.ones((n_ph, flat_p["b_w2"].shape[1]), jnp.float32)
     bn_list = [
         bn_state["encoder_a"]["bn"]["mean"], bn_state["encoder_a"]["bn"]["var"],
         bn_state["encoder_b"]["bn1"]["mean"], bn_state["encoder_b"]["bn1"]["var"],

@@ -38,7 +38,8 @@ def _interpret():
     return pltpu.InterpretParams()
 
 
-def _loss_kernel(beta_ref, logits_ref, dna_ref, mu_ref, logvar_ref, out_ref):
+def _loss_kernel(beta_ref, logits_ref, dna_ref, mu_ref, logvar_ref, out_ref,
+                 kld_ref):
     logits = logits_ref[:]
     dna = dna_ref[:]
     # BCE with logits: max(l,0) - l*t + log1p(exp(-|l|))
@@ -50,6 +51,7 @@ def _loss_kernel(beta_ref, logits_ref, dna_ref, mu_ref, logvar_ref, out_ref):
     mu = mu_ref[:]
     logvar = logvar_ref[:]
     kld = -0.5 * jnp.sum(1.0 + logvar - mu * mu - jnp.exp(logvar))
+    kld_ref[0, 0] = kld  # residual: dL/dβ = KLD (β is differentiable)
     out_ref[0, 0] = bce + beta_ref[0] * kld
 
 
@@ -72,14 +74,20 @@ def _vmem():
 
 @jax.jit
 def _loss_fwd_call(logits, dna, mu, logvar, beta):
-    out = pl.pallas_call(
+    out, kld = pl.pallas_call(
         _loss_kernel,
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
         in_specs=[_smem(), _vmem(), _vmem(), _vmem(), _vmem()],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
         interpret=_interpret(),
     )(jnp.asarray([beta], jnp.float32), logits, dna, mu, logvar)
-    return out[0, 0]
+    return out[0, 0], kld[0, 0]
 
 
 @jax.jit
@@ -104,20 +112,27 @@ def _loss_bwd_call(logits, dna, mu, logvar, beta, g):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@jax.custom_vjp
 def rna2dna_loss_fused(logits, dna, mu, logvar, beta=1e-3):
-    """BCE-with-logits-sum + β·KLD as one fused kernel with analytic VJP."""
-    return _loss_fwd_call(logits, dna, mu, logvar, beta)
+    """BCE-with-logits-sum + β·KLD as one fused kernel with analytic VJP.
+
+    β is a DIFFERENTIABLE argument (dL/dβ = KLD, saved as a kernel residual)
+    so the traced per-epoch warmup β the training engine produces flows
+    through jax.grad — a nondiff_argnums β would raise on the first traced
+    value and make the kernel unusable inside lax.scan training loops."""
+    loss, _ = _loss_fwd_call(logits, dna, mu, logvar, beta)
+    return loss
 
 
 def _fwd(logits, dna, mu, logvar, beta):
-    return _loss_fwd_call(logits, dna, mu, logvar, beta), (logits, dna, mu, logvar)
+    loss, kld = _loss_fwd_call(logits, dna, mu, logvar, beta)
+    return loss, (logits, dna, mu, logvar, beta, kld)
 
 
-def _bwd(beta, residuals, g):
-    logits, dna, mu, logvar = residuals
+def _bwd(residuals, g):
+    logits, dna, mu, logvar, beta, kld = residuals
     dlogits, dmu, dlogvar = _loss_bwd_call(logits, dna, mu, logvar, beta, g)
-    return dlogits, jnp.zeros_like(dna), dmu, dlogvar
+    return dlogits, jnp.zeros_like(dna), dmu, dlogvar, kld * g
 
 
 rna2dna_loss_fused.defvjp(_fwd, _bwd)

@@ -123,7 +123,6 @@ def _train_kernel(
     x = x_ref[:]
     t = t_ref[:]
     batch = x.shape[0]
-    inv_n = 1.0 / batch
 
     # ---------------- forward ----------------
     a1 = _dot(x, w1_ref[:]) + b1_ref[:]
@@ -254,23 +253,11 @@ def _train_step_call(flat_params, rm, rv, x, t, onehot, seed, beta, eps_in,
 
 
 def _flatten_params(params):
-    flat = {}
-    for name, path in PARAM_ORDER:
-        node = params
-        for p in path[:-1]:
-            node = node[p]
-        flat[name] = node[path[-1]]
-    return flat
+    return _flatten_by(params, PARAM_ORDER)
 
 
 def _unflatten_grads(grads_flat):
-    tree = {}
-    for name, path in PARAM_ORDER:
-        node = tree
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = grads_flat[name]
-    return tree
+    return _unflatten_by(grads_flat, PARAM_ORDER)
 
 
 # ---------------------------------------------------------------------------
@@ -517,9 +504,9 @@ def dna2rna_fused_train_step(
     if eps is None:
         eps = jnp.zeros((batch, latent), jnp.float32)
     if drop_mask1 is None:
-        drop_mask1 = jnp.ones((batch, 512), jnp.float32)
+        drop_mask1 = jnp.ones((batch, flat["w1"].shape[1]), jnp.float32)
     if drop_mask2 is None:
-        drop_mask2 = jnp.ones((batch, 256), jnp.float32)
+        drop_mask2 = jnp.ones((batch, flat["w2"].shape[1]), jnp.float32)
     bn = state["encoder_dna"]
     loss, grads_flat, rm1, rv1, rm2, rv2 = _d2r_train_step_call(
         flat,
@@ -559,7 +546,7 @@ def rna2dna_fused_train_step(
     if eps is None:
         eps = jnp.zeros((batch, latent), jnp.float32)
     if drop_mask is None:
-        drop_mask = jnp.ones((batch, 128), jnp.float32)
+        drop_mask = jnp.ones((batch, flat["w1"].shape[1]), jnp.float32)
     loss, grads_flat, new_rm, new_rv = _train_step_call(
         flat,
         state["encoder_rna"]["bn"]["mean"],

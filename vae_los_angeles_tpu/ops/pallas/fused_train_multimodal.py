@@ -37,7 +37,9 @@ from vae_los_angeles_tpu.ops.pallas.fused_train import (
     _bn_train_fwd,
     _box_muller,
     _dot,
+    _flatten_by,
     _interpret,
+    _unflatten_by,
     _rand_uniform,
 )
 
@@ -336,23 +338,11 @@ def _mm_call(flat_params, bn_list, a, b, oh, cw_row, eps_in, dropa, dropb1,
 
 
 def _flatten_mm(params):
-    flat = {}
-    for name, path in PARAM_ORDER_MM:
-        node = params
-        for q in path[:-1]:
-            node = node[q]
-        flat[name] = node[path[-1]]
-    return flat
+    return _flatten_by(params, PARAM_ORDER_MM)
 
 
 def _unflatten_mm(flat):
-    tree = {}
-    for name, path in PARAM_ORDER_MM:
-        node = tree
-        for q in path[:-1]:
-            node = node.setdefault(q, {})
-        node[path[-1]] = flat[name]
-    return tree
+    return _unflatten_by(flat, PARAM_ORDER_MM)
 
 
 def multimodal_fused_train_step(
@@ -375,11 +365,11 @@ def multimodal_fused_train_step(
     if eps is None:
         eps = jnp.zeros((batch, latent), jnp.float32)
     if drop_a is None:
-        drop_a = jnp.ones((batch, 128), jnp.float32)
+        drop_a = jnp.ones((batch, flat["a_w1"].shape[1]), jnp.float32)
     if drop_b1 is None:
-        drop_b1 = jnp.ones((batch, 512), jnp.float32)
+        drop_b1 = jnp.ones((batch, flat["b_w1"].shape[1]), jnp.float32)
     if drop_b2 is None:
-        drop_b2 = jnp.ones((batch, 256), jnp.float32)
+        drop_b2 = jnp.ones((batch, flat["b_w2"].shape[1]), jnp.float32)
     bn_list = [
         state["encoder_a"]["bn"]["mean"], state["encoder_a"]["bn"]["var"],
         state["encoder_b"]["bn1"]["mean"], state["encoder_b"]["bn1"]["var"],

@@ -79,48 +79,54 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _rna2dna_kernel(
-    seed_ref,  # SMEM (1,)
-    x_ref,  # (B, Da) RNA
-    onehot_ref,  # (B, S) site one-hot (all-zero row → site-less sample)
-    has_site_ref,  # SMEM (1,) int32: 1 → fuse site posterior
-    w1_ref, b1_ref,  # Da→128 with BN folded
-    wmu_ref, bmu_ref, wlv_ref, blv_ref,  # 128→L heads
-    emb_ref,  # (S, E) site embedding table
-    smu_w_ref, smu_b_ref, slv_w_ref, slv_b_ref,  # E→L site heads
-    d1w_ref, d1b_ref, d2w_ref, d2b_ref, d3w_ref, d3b_ref,  # decoder
-    use_noise_ref,  # SMEM (1,) int32: 0 → z = mu (deterministic parity path)
-    recon_ref, mu_ref, logvar_ref,  # outputs
-):
-    pltpu.prng_seed(seed_ref[0])
+def _make_rna2dna_kernel(has_site: bool, use_noise: bool):
+    """Build the kernel specialized at trace time: ``has_site``/``use_noise``
+    are jit-static in the callers, so each combination is a separate compile
+    anyway — a Python-level branch drops the dead site matmuls and the
+    PRNG/Box–Muller transcendentals from the deterministic parity path
+    instead of computing noise just to multiply it by zero."""
 
-    # EncoderA with folded BN: h = relu(x @ W1' + b1')
-    h = jnp.maximum(_dot(x_ref[:], w1_ref[:]) + b1_ref[:], 0.0)
-    mu = _dot(h, wmu_ref[:]) + bmu_ref[:]
-    logvar = _dot(h, wlv_ref[:]) + blv_ref[:]
+    def kernel(
+        seed_ref,  # SMEM (1,) (unread when use_noise=False)
+        x_ref,  # (B, Da) RNA
+        onehot_ref,  # (B, S) site one-hot (unread when has_site=False)
+        w1_ref, b1_ref,  # Da→128 with BN folded
+        wmu_ref, bmu_ref, wlv_ref, blv_ref,  # 128→L heads
+        emb_ref,  # (S, E) site embedding table
+        smu_w_ref, smu_b_ref, slv_w_ref, slv_b_ref,  # E→L site heads
+        d1w_ref, d1b_ref, d2w_ref, d2b_ref, d3w_ref, d3b_ref,  # decoder
+        recon_ref, mu_ref, logvar_ref,  # outputs
+    ):
+        # EncoderA with folded BN: h = relu(x @ W1' + b1')
+        h = jnp.maximum(_dot(x_ref[:], w1_ref[:]) + b1_ref[:], 0.0)
+        mu = _dot(h, wmu_ref[:]) + bmu_ref[:]
+        logvar = _dot(h, wlv_ref[:]) + blv_ref[:]
 
-    # EncoderC via one-hot matmul; arithmetic-mean posterior fusion
-    @pl.when(has_site_ref[0] == 1)
-    def _():
-        emb = _dot(onehot_ref[:], emb_ref[:])
-        mu_s = _dot(emb, smu_w_ref[:]) + smu_b_ref[:]
-        lv_s = _dot(emb, slv_w_ref[:]) + slv_b_ref[:]
-        mu_ref[:] = 0.5 * (mu + mu_s)
-        logvar_ref[:] = 0.5 * (logvar + lv_s)
+        # EncoderC via one-hot matmul; arithmetic-mean posterior fusion
+        if has_site:
+            emb = _dot(onehot_ref[:], emb_ref[:])
+            mu_s = _dot(emb, smu_w_ref[:]) + smu_b_ref[:]
+            lv_s = _dot(emb, slv_w_ref[:]) + slv_b_ref[:]
+            mu_ref[:] = 0.5 * (mu + mu_s)
+            logvar_ref[:] = 0.5 * (logvar + lv_s)
+        else:
+            mu_ref[:] = mu
+            logvar_ref[:] = logvar
 
-    @pl.when(has_site_ref[0] == 0)
-    def _():
-        mu_ref[:] = mu
-        logvar_ref[:] = logvar
+        if use_noise:
+            # Reparameterize in-kernel (Box–Muller from the TPU PRNG)
+            pltpu.prng_seed(seed_ref[0])
+            eps = _box_muller(mu_ref.shape)
+            z = mu_ref[:] + eps * jnp.exp(0.5 * logvar_ref[:])
+        else:
+            z = mu_ref[:]  # deterministic parity path
 
-    # Reparameterize in-kernel (Box–Muller from the TPU PRNG)
-    eps = _box_muller(mu_ref.shape) * (use_noise_ref[0] == 1).astype(jnp.float32)
-    z = mu_ref[:] + eps * jnp.exp(0.5 * logvar_ref[:])
+        # DecoderB chain with sigmoid epilogue
+        h1 = jnp.maximum(_dot(z, d1w_ref[:]) + d1b_ref[:], 0.0)
+        h2 = jnp.maximum(_dot(h1, d2w_ref[:]) + d2b_ref[:], 0.0)
+        recon_ref[:] = jax.nn.sigmoid(_dot(h2, d3w_ref[:]) + d3b_ref[:])
 
-    # DecoderB chain with sigmoid epilogue
-    h1 = jnp.maximum(_dot(z, d1w_ref[:]) + d1b_ref[:], 0.0)
-    h2 = jnp.maximum(_dot(h1, d2w_ref[:]) + d2b_ref[:], 0.0)
-    recon_ref[:] = jax.nn.sigmoid(_dot(h2, d3w_ref[:]) + d3b_ref[:])
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("has_site", "use_noise"))
@@ -131,73 +137,71 @@ def _rna2dna_call(folded, rna, onehot, seed, has_site: bool, use_noise: bool):
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _rna2dna_kernel,
+        _make_rna2dna_kernel(has_site, use_noise),
         out_shape=(
             jax.ShapeDtypeStruct((batch, dna_dim), jnp.float32),
             jax.ShapeDtypeStruct((batch, latent), jnp.float32),
             jax.ShapeDtypeStruct((batch, latent), jnp.float32),
         ),
-        in_specs=[smem(), vmem(), vmem(), smem()]
-        + [vmem()] * 17
-        + [smem()],
+        in_specs=[smem(), vmem(), vmem()] + [vmem()] * 17,
         out_specs=(vmem(), vmem(), vmem()),
         interpret=_interpret(),
     )(
         jnp.asarray([seed], jnp.int32),
         rna,
         onehot,
-        jnp.asarray([1 if has_site else 0], jnp.int32),
         folded["w1"], folded["b1"],
         folded["wmu"], folded["bmu"], folded["wlv"], folded["blv"],
         folded["emb"], folded["smu_w"], folded["smu_b"],
         folded["slv_w"], folded["slv_b"],
         folded["d1w"], folded["d1b"], folded["d2w"], folded["d2b"],
         folded["d3w"], folded["d3b"],
-        jnp.asarray([1 if use_noise else 0], jnp.int32),
     )
     return out
 
 
-def _dna2rna_kernel(
-    seed_ref,  # SMEM (1,)
-    x_ref,  # (B, Db) DNA
-    onehot_ref,  # (B, S)
-    has_site_ref,  # SMEM (1,)
-    w1_ref, b1_ref,  # Db→512 with BN1 folded
-    w2_ref, b2_ref,  # 512→256 with BN2 folded
-    wmu_ref, bmu_ref, wlv_ref, blv_ref,  # 256→L heads
-    emb_ref, smu_w_ref, smu_b_ref, slv_w_ref, slv_b_ref,  # site path
-    d1w_ref, d1b_ref, d2w_ref, d2b_ref,  # DecoderA: L→128→Da (linear)
-    use_noise_ref,  # SMEM (1,)
-    recon_ref, mu_ref, logvar_ref,
-):
-    pltpu.prng_seed(seed_ref[0])
+def _make_dna2rna_kernel(has_site: bool, use_noise: bool):
+    """Trace-time-specialized kernel builder (see _make_rna2dna_kernel)."""
 
-    # EncoderB: two BN-folded blocks
-    h = jnp.maximum(_dot(x_ref[:], w1_ref[:]) + b1_ref[:], 0.0)
-    h = jnp.maximum(_dot(h, w2_ref[:]) + b2_ref[:], 0.0)
-    mu = _dot(h, wmu_ref[:]) + bmu_ref[:]
-    logvar = _dot(h, wlv_ref[:]) + blv_ref[:]
+    def kernel(
+        seed_ref,  # SMEM (1,) (unread when use_noise=False)
+        x_ref,  # (B, Db) DNA
+        onehot_ref,  # (B, S) (unread when has_site=False)
+        w1_ref, b1_ref,  # Db→512 with BN1 folded
+        w2_ref, b2_ref,  # 512→256 with BN2 folded
+        wmu_ref, bmu_ref, wlv_ref, blv_ref,  # 256→L heads
+        emb_ref, smu_w_ref, smu_b_ref, slv_w_ref, slv_b_ref,  # site path
+        d1w_ref, d1b_ref, d2w_ref, d2b_ref,  # DecoderA: L→128→Da (linear)
+        recon_ref, mu_ref, logvar_ref,
+    ):
+        # EncoderB: two BN-folded blocks
+        h = jnp.maximum(_dot(x_ref[:], w1_ref[:]) + b1_ref[:], 0.0)
+        h = jnp.maximum(_dot(h, w2_ref[:]) + b2_ref[:], 0.0)
+        mu = _dot(h, wmu_ref[:]) + bmu_ref[:]
+        logvar = _dot(h, wlv_ref[:]) + blv_ref[:]
 
-    @pl.when(has_site_ref[0] == 1)
-    def _():
-        emb = _dot(onehot_ref[:], emb_ref[:])
-        mu_s = _dot(emb, smu_w_ref[:]) + smu_b_ref[:]
-        lv_s = _dot(emb, slv_w_ref[:]) + slv_b_ref[:]
-        mu_ref[:] = 0.5 * (mu + mu_s)
-        logvar_ref[:] = 0.5 * (logvar + lv_s)
+        if has_site:
+            emb = _dot(onehot_ref[:], emb_ref[:])
+            mu_s = _dot(emb, smu_w_ref[:]) + smu_b_ref[:]
+            lv_s = _dot(emb, slv_w_ref[:]) + slv_b_ref[:]
+            mu_ref[:] = 0.5 * (mu + mu_s)
+            logvar_ref[:] = 0.5 * (logvar + lv_s)
+        else:
+            mu_ref[:] = mu
+            logvar_ref[:] = logvar
 
-    @pl.when(has_site_ref[0] == 0)
-    def _():
-        mu_ref[:] = mu
-        logvar_ref[:] = logvar
+        if use_noise:
+            pltpu.prng_seed(seed_ref[0])
+            eps = _box_muller(mu_ref.shape)
+            z = mu_ref[:] + eps * jnp.exp(0.5 * logvar_ref[:])
+        else:
+            z = mu_ref[:]
 
-    eps = _box_muller(mu_ref.shape) * (use_noise_ref[0] == 1).astype(jnp.float32)
-    z = mu_ref[:] + eps * jnp.exp(0.5 * logvar_ref[:])
+        # DecoderA: linear output head (RNA expression)
+        h1 = jnp.maximum(_dot(z, d1w_ref[:]) + d1b_ref[:], 0.0)
+        recon_ref[:] = _dot(h1, d2w_ref[:]) + d2b_ref[:]
 
-    # DecoderA: linear output head (RNA expression)
-    h1 = jnp.maximum(_dot(z, d1w_ref[:]) + d1b_ref[:], 0.0)
-    recon_ref[:] = _dot(h1, d2w_ref[:]) + d2b_ref[:]
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("has_site", "use_noise"))
@@ -208,26 +212,24 @@ def _dna2rna_call(folded, dna, onehot, seed, has_site: bool, use_noise: bool):
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _dna2rna_kernel,
+        _make_dna2rna_kernel(has_site, use_noise),
         out_shape=(
             jax.ShapeDtypeStruct((batch, rna_dim), jnp.float32),
             jax.ShapeDtypeStruct((batch, latent), jnp.float32),
             jax.ShapeDtypeStruct((batch, latent), jnp.float32),
         ),
-        in_specs=[smem(), vmem(), vmem(), smem()] + [vmem()] * 17 + [smem()],
+        in_specs=[smem(), vmem(), vmem()] + [vmem()] * 17,
         out_specs=(vmem(), vmem(), vmem()),
         interpret=_interpret(),
     )(
         jnp.asarray([seed], jnp.int32),
         dna,
         onehot,
-        jnp.asarray([1 if has_site else 0], jnp.int32),
         folded["w1"], folded["b1"], folded["w2"], folded["b2"],
         folded["wmu"], folded["bmu"], folded["wlv"], folded["blv"],
         folded["emb"], folded["smu_w"], folded["smu_b"],
         folded["slv_w"], folded["slv_b"],
         folded["d1w"], folded["d1b"], folded["d2w"], folded["d2b"],
-        jnp.asarray([1 if use_noise else 0], jnp.int32),
     )
 
 
