@@ -144,3 +144,45 @@ def test_tp_specs_skip_narrow_ae_encoder():
     specs_w = sharding.param_specs(p_wide)
     assert specs_w["enc_fc1"]["w"] == P(None, "model")
     assert specs_w["enc_fc2"]["w"] == P("model", None)
+
+
+def test_population_sharding_matches_unsharded():
+    """Folds/trials sharded over the 8-device mesh train EXACTLY as the
+    unsharded vmapped population (member trainings are independent, so
+    GSPMD partitions with zero collectives). Uses an uneven population
+    (3 folds on 8 devices) to cover the padded case."""
+    arrays = _arrays(n=200, seed=9)
+    fold_train = [arrays.take(np.arange(0, 96)),
+                  arrays.take(np.arange(48, 144)),
+                  arrays.take(np.arange(96, 192))]
+    fold_val = [arrays.take(np.arange(96, 128)),
+                arrays.take(np.arange(144, 176)),
+                arrays.take(np.arange(0, 32))]
+    key = jax.random.PRNGKey(11)
+    mesh = vmap_meta.population_mesh()
+    assert mesh is not None  # 8 virtual devices in CI
+
+    plain = vmap_meta.fit_folds(
+        "rna2dna", CFG, fold_train, fold_val, key, N_SITES, num_epochs=3
+    )
+    sharded = vmap_meta.fit_folds(
+        "rna2dna", CFG, fold_train, fold_val, key, N_SITES, num_epochs=3,
+        mesh=mesh,
+    )
+    for a, b in zip(plain, sharded):
+        np.testing.assert_allclose(
+            np.asarray(a.val_losses), np.asarray(b.val_losses), rtol=2e-5
+        )
+
+    pop = {"lr": np.asarray([1e-4, 5e-4, 1e-3], np.float32)}
+    tr, va = arrays.take(np.arange(160)), arrays.take(np.arange(160, 200))
+    t_plain = vmap_meta.fit_trials(
+        "rna2dna", CFG, tr, va, key, N_SITES, pop, num_epochs=3
+    )
+    t_shard = vmap_meta.fit_trials(
+        "rna2dna", CFG, tr, va, key, N_SITES, pop, num_epochs=3, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(t_plain.val_losses), np.asarray(t_shard.val_losses),
+        rtol=2e-4,  # fp reduction-order noise from the partitioned layout
+    )

@@ -143,6 +143,8 @@ def run_cross_validation(
                 task_name, cfg, inner_train, inner_val,
                 jax.random.PRNGKey(seed), n_sites,
                 num_epochs=param, drop_last=False,
+                # multi-chip: folds shard over all visible devices
+                mesh=vmap_meta.population_mesh(),
             )
             for fold_idx, fit_res in enumerate(fits):
                 pred = np.asarray(

@@ -123,6 +123,8 @@ def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
             "multimodal", bucket_cfg, train_arrays, val_arrays,
             jax.random.PRNGKey(seed), n_sites, pop,
             num_epochs=num_epochs, class_weights=class_weights,
+            # multi-chip: trials shard over all visible devices
+            mesh=vmap_meta.population_mesh(),
         )
         best_vals = np.asarray(jax.device_get(res.best_val_loss))
         for j, i in enumerate(idxs):

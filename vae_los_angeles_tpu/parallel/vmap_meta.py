@@ -14,15 +14,25 @@ Shape discipline (SURVEY hard-part #4):
   * trials vmap over the shape-free hyperparameters (lr, weight-decay,
     beta_start, gamma). Shape-carrying ones (latent_dim, embed_dim) select
     the executable; trials sharing them batch together.
+
+Multi-chip scaling: pass ``mesh`` (or let the CLIs build one when more than
+one device is visible) and the POPULATION axis is sharded over the mesh's
+"data" axis — each chip trains its share of the folds/trials with ZERO
+cross-chip communication (the member trainings are independent, so GSPMD
+partitions the whole scanned program along the vmapped axis; no collectives
+are inserted). This is the natural TPU mapping for this workload: the
+reference's wall-clock hot spot is folds×directions sequential trainings
+(SURVEY §3.4), which here become population_size/n_chips per chip.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vae_los_angeles_tpu.config import Config
 from vae_los_angeles_tpu.data.dataset import MultiModalArrays
@@ -36,6 +46,52 @@ def _stack_arrays(list_of_arrays: Sequence[MultiModalArrays]) -> MultiModalArray
         beta=jnp.stack([a.beta for a in list_of_arrays]),
         site=jnp.stack([a.site for a in list_of_arrays]),
     )
+
+
+def population_mesh(devices=None) -> Optional[Mesh]:
+    """1-axis ("data",) mesh over all visible devices, or None single-chip."""
+    devices = jax.devices() if devices is None else devices
+    if len(devices) < 2:
+        return None
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def _shard_population(tree, mesh: Mesh):
+    """Lay a stacked population pytree out with axis 0 over mesh axis "data".
+
+    Every leaf's leading axis is the population; the rest replicate. The
+    leading axis must already be a multiple of the mesh size (see
+    `_pad_population`)."""
+
+    def put(x):
+        x = jnp.asarray(x)
+        spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+def _padded_size(n: int, mesh: Mesh) -> int:
+    d = mesh.devices.size
+    return -(-n // d) * d
+
+
+def _pad_population(tree, target: int):
+    """Pad every leaf's population axis to ``target`` by repeating the last
+    member. Sharded device_put demands divisibility; padding (rather than
+    shrinking the mesh) keeps every chip busy — the duplicate members train
+    in the same wall-clock slot and their results are discarded."""
+
+    def pad(x):
+        x = jnp.asarray(x)
+        n = x.shape[0]
+        if n == target:
+            return x
+        return jnp.concatenate(
+            [x, jnp.repeat(x[-1:], target - n, axis=0)], axis=0
+        )
+
+    return jax.tree.map(pad, tree)
 
 
 _VMAP_FIT_CACHE: dict = {}
@@ -83,11 +139,14 @@ def fit_folds(
     *,
     num_epochs=None,
     drop_last: bool = False,
+    mesh: Optional[Mesh] = None,
 ) -> List[engine.FitResult]:
     """Train one model per CV fold, folds of equal shape batched via vmap.
 
     Returns a list of per-fold FitResults in the input order. ``drop_last``
     defaults False to match the CV inner loaders (vae_cross_modality_cv.py:121).
+    With ``mesh``, the fold axis is sharded over the mesh's "data" axis —
+    each chip trains its share of the folds (see module docstring).
     """
     if num_epochs is None:
         num_epochs = cfg.num_epochs
@@ -104,7 +163,16 @@ def fit_folds(
         stacked_va = _stack_arrays([fold_val[i] for i in idxs])
         group_keys = keys[np.asarray(idxs)]
         init = _vmapped_init(task_name, cfg, n_sites)
-        carry0 = init(group_keys, jnp.broadcast_to(hp["lr"], (len(idxs),)))
+        if mesh is not None:
+            padded = _padded_size(len(idxs), mesh)
+            stacked_tr = _pad_population(stacked_tr, padded)
+            stacked_va = _pad_population(stacked_va, padded)
+            group_keys = _pad_population(group_keys, padded)
+            stacked_tr = _shard_population(stacked_tr, mesh)
+            stacked_va = _shard_population(stacked_va, mesh)
+            group_keys = _shard_population(group_keys, mesh)
+        pop_n = group_keys.shape[0]
+        carry0 = init(group_keys, jnp.broadcast_to(hp["lr"], (pop_n,)))
         fit_v = _vmapped_fit(
             task_name, int(num_epochs), int(cfg.batch_size), n_tr, n_va,
             bool(drop_last), False, 0, None,
@@ -128,13 +196,15 @@ def fit_trials(
     *,
     num_epochs=None,
     class_weights=None,
+    mesh: Optional[Mesh] = None,
 ) -> engine.FitResult:
     """Train a population of hyperparameter trials in ONE compiled program.
 
     ``hp_population`` maps hyperparam name → (n_trials,) array for any of
     {lr, weight_decay, beta_start, gamma}. All trials share the model shape
     (cfg.latent_dim / cfg.embed_dim); callers bucket trials by shape.
-    Returns a FitResult whose leaves have a leading trial axis.
+    Returns a FitResult whose leaves have a leading trial axis. With
+    ``mesh``, the trial axis is sharded over the mesh's "data" axis.
     """
     if num_epochs is None:
         num_epochs = cfg.num_epochs
@@ -151,6 +221,10 @@ def fit_trials(
 
     keys = jax.random.split(key, n_trials)
     init = _vmapped_init(task_name, cfg, n_sites)
+    if mesh is not None:
+        padded = _padded_size(n_trials, mesh)
+        keys = _shard_population(_pad_population(keys, padded), mesh)
+        hp = _shard_population(_pad_population(hp, padded), mesh)
     carry0 = init(keys, hp["lr"])
     fit_v = _vmapped_fit(
         task_name, int(num_epochs), int(cfg.batch_size),
@@ -158,4 +232,8 @@ def fit_trials(
         class_weights is not None, None, 0,
     )
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
-    return fit_v(carry0, train_arrays, val_arrays, hp, cw, keys, jnp.int32(0))
+    res = fit_v(carry0, train_arrays, val_arrays, hp, cw, keys, jnp.int32(0))
+    if mesh is not None and keys.shape[0] != n_trials:
+        # drop the pad-replicated trials
+        res = jax.tree.map(lambda x: x[:n_trials], res)
+    return res
