@@ -186,3 +186,44 @@ def test_population_sharding_matches_unsharded():
         np.asarray(t_plain.val_losses), np.asarray(t_shard.val_losses),
         rtol=2e-4,  # fp reduction-order noise from the partitioned layout
     )
+
+
+def test_dp_fit_matches_unsharded():
+    """A single training run sharded sample-wise over the 8-device mesh
+    (engine.fit(mesh=...), the CLI --dp path) trains like the single-chip
+    run: GSPMD partitions the whole fused scan, psum-reducing the loss sums,
+    BatchNorm batch statistics, and gradients. Equal up to float
+    reduction order."""
+    from vae_los_angeles_tpu.training.tasks import TASKS
+
+    arrays = _arrays(n=200, seed=13)
+    tr, va = arrays.take(np.arange(160)), arrays.take(np.arange(160, 200))
+    key = jax.random.PRNGKey(17)
+    p0, s0 = TASKS["rna2dna"].init(key, CFG, N_SITES)
+
+    plain = engine.fit(
+        "rna2dna", CFG, tr, va, key, N_SITES, num_epochs=4,
+        init_params=p0, init_state=s0,
+    )
+    mesh = vmap_meta.population_mesh()
+    assert mesh is not None  # 8 virtual devices in CI
+    dp = engine.fit(
+        "rna2dna", CFG, tr, va, key, N_SITES, num_epochs=4,
+        init_params=p0, init_state=s0, mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain.val_losses), np.asarray(dp.val_losses), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain.params["decoder_dna"]["fc2"]["w"]),
+        np.asarray(dp.params["decoder_dna"]["fc2"]["w"]),
+        atol=2e-4,
+    )
+    # Pallas paths are single-chip by design: mesh + fused must fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="single-chip"):
+        engine.fit(
+            "rna2dna", CFG, tr, va, key, N_SITES, num_epochs=1,
+            init_params=p0, init_state=s0, mesh=mesh, fused_epoch=True,
+        )

@@ -127,6 +127,14 @@ def run_training(
         help="continue the latest run from its saved training state "
         "(full carry: params, optimizer moments, scheduler, early-stop)",
     )
+    parser.add_argument(
+        "--dp",
+        action="store_true",
+        help="data-parallel training: shard the sample axis over all visible "
+        "chips (replicated params, GSPMD-inserted psums). XLA path only — "
+        "overrides USE_PALLAS. Worthwhile for large cohorts/batches; at the "
+        "reference's batch-32 scale one chip is faster",
+    )
     args = parser.parse_args(argv)
 
     cfg = cfg or Config.from_env()
@@ -230,6 +238,18 @@ def run_training(
     fused_step = (
         cfg.use_pallas and on_tpu and task_name == "multimodal" and old_vmem
     )
+    mesh = None
+    if args.dp:
+        if len(jax.devices()) > 1:
+            from vae_los_angeles_tpu.parallel import sharding as _sharding
+
+            mesh = _sharding.make_mesh()
+            if fused_step or fused_epoch:
+                print("--dp: using the XLA path (Pallas kernels are single-chip)")
+                fused_step = fused_epoch = False
+            print(f"Data-parallel over {mesh.devices.size} devices")
+        else:
+            print("--dp requested but only one device is visible; running single-chip")
     with trace_ctx:
         result = engine.fit(
             task_name,
@@ -244,6 +264,7 @@ def run_training(
             start_epoch=start_epoch,
             fused_step=fused_step,
             fused_epoch=fused_epoch,
+            mesh=mesh,
         )
         # device_get (not block_until_ready): remote-relay platforms can
         # return from block_until_ready before execution completes

@@ -108,6 +108,7 @@ def build_fit_fn(
     has_class_weights: bool,
     fused_step: bool = False,
     fused_epoch: bool = False,
+    data_sharding=None,
 ):
     """Construct the PURE fused training function for a static problem shape.
 
@@ -189,6 +190,18 @@ def build_fit_fn(
 
     def _fit(carry0, train_arrays, val_arrays, hp, class_weights, key,
              epoch_offset):
+
+        if data_sharding is not None:
+            # Data-parallel SPMD: constrain the sample axis of both tables to
+            # the mesh's "data" axis INSIDE the program — GSPMD pads uneven
+            # row counts transparently (a concrete device_put would demand
+            # divisibility) and propagates the layout through the whole scan,
+            # inserting psums for loss sums, BatchNorm batch statistics and
+            # gradient reduction.
+            train_arrays, val_arrays = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, data_sharding),
+                (train_arrays, val_arrays),
+            )
 
         def gather(idx):
             return MultiModalArrays(
@@ -437,12 +450,22 @@ def fit(
     start_epoch: int = 0,
     fused_step: bool = False,
     fused_epoch: bool = False,
+    mesh=None,
 ) -> FitResult:
     """Train a task end-to-end on device. Returns the best-val snapshot.
 
     ``drop_last=True`` matches the standalone training CLIs
     (train_rna2dna.py:61); the CV harness passes ``drop_last=False`` to match
     its inner loaders (vae_cross_modality_cv.py:121).
+
+    ``mesh``: a Mesh with a "data" axis turns the whole fused run into a
+    data-parallel SPMD program — the sample axis of the train/val tables is
+    sharded over "data", the carry (params/opt/scheduler) is replicated, and
+    GSPMD inserts the psums for the batch reductions (loss sums, BatchNorm
+    statistics, gradient accumulation). Same math as the single-chip run up
+    to float reduction order. XLA path only: the Pallas kernels are
+    single-chip programs (multi-chip Pallas use goes through the population
+    sharding in parallel/vmap_meta instead).
     """
     task = TASKS[task_name]
     if num_epochs is None:  # explicit 0 means "no training epochs", not 200
@@ -455,6 +478,17 @@ def fit(
         if init_params is None:
             init_params, init_state = task.init(key, cfg, n_sites)
         carry0 = init_carry(init_params, init_state, hp["lr"])
+    data_sharding = None
+    if mesh is not None:
+        if fused_step or fused_epoch:
+            raise ValueError(
+                "mesh-sharded fit requires the XLA path: the Pallas kernels "
+                "are single-chip programs (use parallel/vmap_meta population "
+                "sharding for multi-chip Pallas workloads)"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        data_sharding = NamedSharding(mesh, PartitionSpec("data"))
     fit_fn = _build_fit(
         task_name,
         int(num_epochs),
@@ -465,8 +499,15 @@ def fit(
         class_weights is not None,
         bool(fused_step),
         bool(fused_epoch),
+        data_sharding,
     )
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
+    if mesh is not None:
+        # replicate the small state explicitly so every chip starts identical
+        repl = NamedSharding(mesh, PartitionSpec())
+        carry0, hp, cw, key = jax.tree.map(
+            lambda x: jax.device_put(x, repl), (carry0, hp, cw, key)
+        )
     return fit_fn(
         carry0, train_arrays, val_arrays, hp, cw, key, jnp.int32(start_epoch)
     )
