@@ -180,13 +180,15 @@ def fit_folds(
         batched: engine.FitResult = fit_v(
             carry0, stacked_tr, stacked_va, hp, None, group_keys, jnp.int32(0)
         )
-        if mesh is not None:
-            # Assemble sharded results on host in ONE transfer. Slicing
-            # member j directly out of a population-sharded leaf would
-            # dispatch a gather per leaf per member on the mesh — wasteful,
-            # and the XLA CPU backend (8 virtual devices) intermittently
-            # aborts on exactly that dispatch under long test sessions.
-            batched = jax.device_get(batched)
+        # Assemble results on host in ONE transfer before the per-member
+        # slice-back (results are host-consumed by every caller). Slicing
+        # member j directly out of a device leaf would dispatch a gather per
+        # leaf per member — wasteful, and on population-SHARDED leaves the
+        # XLA CPU backend (8 virtual devices) intermittently aborts on
+        # exactly that dispatch under long test sessions. Host assembly in
+        # both paths keeps the FitResult leaf type (numpy) independent of
+        # device count.
+        batched = jax.device_get(batched)
         for j, i in enumerate(idxs):
             results[i] = jax.tree.map(lambda x: x[j], batched)
     return results
@@ -240,11 +242,10 @@ def fit_trials(
     )
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
     res = fit_v(carry0, train_arrays, val_arrays, hp, cw, keys, jnp.int32(0))
-    if mesh is not None:
-        # host-side assembly + pad-drop in one transfer (see fit_folds:
-        # per-trial gathers on sharded leaves are both slower and a flaky
-        # abort site on the virtual-device CPU backend)
-        res = jax.device_get(res)
-        if keys.shape[0] != n_trials:
-            res = jax.tree.map(lambda x: x[:n_trials], res)
+    # host-side assembly (+ pad-drop) in one transfer — see fit_folds for
+    # why slicing device leaves per trial is both slower and a flaky abort
+    # site on the virtual-device CPU backend
+    res = jax.device_get(res)
+    if keys.shape[0] != n_trials:
+        res = jax.tree.map(lambda x: x[:n_trials], res)
     return res

@@ -240,16 +240,18 @@ def run_training(
     )
     mesh = None
     if args.dp:
-        if len(jax.devices()) > 1:
-            from vae_los_angeles_tpu.parallel import sharding as _sharding
+        from vae_los_angeles_tpu.parallel.vmap_meta import population_mesh
 
-            mesh = _sharding.make_mesh()
+        # same "all visible devices, or None single-chip" policy as the
+        # CV/HPO CLIs' population sharding
+        mesh = population_mesh()
+        if mesh is None:
+            print("--dp requested but only one device is visible; running single-chip")
+        else:
             if fused_step or fused_epoch:
                 print("--dp: using the XLA path (Pallas kernels are single-chip)")
                 fused_step = fused_epoch = False
             print(f"Data-parallel over {mesh.devices.size} devices")
-        else:
-            print("--dp requested but only one device is visible; running single-chip")
     with trace_ctx:
         result = engine.fit(
             task_name,

@@ -504,9 +504,9 @@ def fit(
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
     if mesh is not None:
         # replicate the small state explicitly so every chip starts identical
-        repl = NamedSharding(mesh, PartitionSpec())
-        carry0, hp, cw, key = jax.tree.map(
-            lambda x: jax.device_put(x, repl), (carry0, hp, cw, key)
+        # (one pytree-level device_put: transfers batch into a single dispatch)
+        carry0, hp, cw, key = jax.device_put(
+            (carry0, hp, cw, key), NamedSharding(mesh, PartitionSpec())
         )
     return fit_fn(
         carry0, train_arrays, val_arrays, hp, cw, key, jnp.int32(start_epoch)
