@@ -227,3 +227,22 @@ def test_dp_fit_matches_unsharded():
             "rna2dna", CFG, tr, va, key, N_SITES, num_epochs=1,
             init_params=p0, init_state=s0, mesh=mesh, fused_epoch=True,
         )
+
+
+def test_dp_predict_matches_unsharded():
+    """Sample-sharded eval forward (cohort-scale imputation serving)
+    matches the single-chip prediction to float precision: rows are
+    independent and params replicated, so GSPMD inserts no collectives
+    (per-shard codegen may still fuse differently → one-ulp wiggle). Odd
+    row count (77 on 8 devices) covers GSPMD's uneven-shard padding."""
+    from vae_los_angeles_tpu.training.tasks import TASKS
+
+    arrays = _arrays(n=77, seed=19)
+    key = jax.random.PRNGKey(23)
+    p0, s0 = TASKS["rna2dna"].init(key, CFG, N_SITES)
+    mesh = vmap_meta.population_mesh()
+    assert mesh is not None  # 8 virtual devices in CI
+
+    plain = engine.predict("rna2dna", p0, s0, arrays)
+    dp = engine.predict("rna2dna", p0, s0, arrays, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(dp), atol=1e-6)

@@ -514,13 +514,38 @@ def fit(
 
 
 @functools.lru_cache(maxsize=None)
-def _build_predict(task_name: str):
+def _build_predict(task_name: str, data_sharding=None):
     task = TASKS[task_name]
-    return jax.jit(lambda params, state, arrays, key: task.predict(params, state, key, arrays))
+
+    def _predict(params, state, arrays, key):
+        if data_sharding is not None:
+            # cohort-scale imputation serving: shard the sample axis over the
+            # mesh's "data" axis; the eval forward is embarrassingly parallel
+            # row-wise so GSPMD inserts no collectives (params replicated)
+            arrays = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, data_sharding),
+                arrays,
+            )
+        return task.predict(params, state, key, arrays)
+
+    return jax.jit(_predict)
 
 
-def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None):
-    """Eval-mode cross-modal prediction over a full table (jitted & cached)."""
+def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None,
+            mesh=None):
+    """Eval-mode cross-modal prediction over a full table (jitted & cached).
+
+    ``mesh``: shard the sample axis over the mesh's "data" axis — the
+    multi-chip path for imputing large unmatched cohorts
+    (reconstruct_unmatched.py's serving workload)."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    return _build_predict(task_name)(params, state, arrays, key)
+    data_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        data_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        params, state, key = jax.device_put(
+            (params, state, key), NamedSharding(mesh, PartitionSpec())
+        )
+    return _build_predict(task_name, data_sharding)(params, state, arrays, key)
