@@ -61,6 +61,84 @@ def test_plateau_matches_torch():
         ), f"mismatch at metric {m}"
 
 
+def test_plateau_matches_torch_fuzz(rng):
+    """40 random metric traces (drifts, plateaus, spikes, exact ties) must
+    reproduce torch ReduceLROnPlateau's LR trajectory step for step."""
+    factor, patience = 0.5, 5
+    lr0 = 5e-4
+    for trial in range(40):
+        n = int(rng.integers(5, 40))
+        # random walk with occasional exact repeats (plateau ties) and spikes
+        trace = np.round(rng.normal(10.0, 2.0, size=n), 2)
+        for i in range(1, n):
+            r = rng.random()
+            if r < 0.35:
+                trace[i] = trace[i - 1]  # exact tie — threshold-mode edge
+            elif r < 0.45:
+                trace[i] = trace[i - 1] + 5.0  # spike
+
+        p = torch.nn.Parameter(torch.zeros(1))
+        topt = torch.optim.SGD([p], lr=lr0)
+        tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            topt, mode="min", factor=factor, patience=patience
+        )
+        state = optim.plateau_init(lr0)
+        for step, m in enumerate(trace):
+            tsched.step(float(m))
+            state = optim.plateau_step(
+                state, jnp.float32(m), jnp.float32(factor), jnp.int32(patience)
+            )
+            np.testing.assert_allclose(
+                float(state["lr"]),
+                topt.param_groups[0]["lr"],
+                rtol=1e-6,
+                err_msg=f"trial {trial} step {step} trace {trace[:step+1]}",
+            )
+
+
+def test_early_stop_matches_reference_loop_fuzz(rng):
+    """Random val-loss traces against a literal transcription of the
+    reference's early-stop bookkeeping (train_rna2dna.py:225-237: strict
+    improvement saves + resets the counter, else counter += 1, break when
+    counter >= patience)."""
+    for trial in range(40):
+        patience = int(rng.integers(1, 6))
+        n = int(rng.integers(3, 30))
+        vals = np.round(rng.normal(5.0, 1.0, size=n), 2)
+        for i in range(1, n):
+            if rng.random() < 0.3:
+                vals[i] = vals[i - 1]  # tie: NOT an improvement
+
+        # reference loop
+        best, counter, stopped_at, ref_snaps = np.inf, 0, None, []
+        for i, v in enumerate(vals):
+            if stopped_at is not None:
+                ref_snaps.append(False)
+                continue
+            if v < best:
+                best, counter = v, 0
+                ref_snaps.append(True)
+            else:
+                counter += 1
+                ref_snaps.append(False)
+                if counter >= patience:
+                    stopped_at = i
+
+        state = optim.early_stop_init()
+        got_snaps = []
+        for i, v in enumerate(vals):
+            state, snap = optim.early_stop_step(
+                state, jnp.float32(v), jnp.int32(i), jnp.int32(patience)
+            )
+            got_snaps.append(bool(snap))
+        assert got_snaps == ref_snaps, (
+            f"trial {trial} patience {patience} vals {vals}"
+        )
+        assert bool(state["stopped"]) == (stopped_at is not None)
+        if np.isfinite(best):
+            np.testing.assert_allclose(float(state["best_val"]), best)
+
+
 def test_early_stop_state_machine():
     patience = 3
     state = optim.early_stop_init()
