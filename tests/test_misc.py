@@ -194,3 +194,30 @@ def test_synthetic_dataframe_matches_label_encoder():
     le = make_label_encoder(6)
     decoded = le.inverse_transform(df["primary_site_encoded"].to_numpy())
     assert list(decoded) == list(df["primary_site"])
+
+
+def test_loaded_wrapper_sharded_serving_matches_eager(rng):
+    """The jitted (and, on this 8-device CI mesh, sample-sharded) forward in
+    the evaluation loading wrappers must reproduce the eager un-jitted apply
+    to float precision, for both the with-site and site=None traces."""
+    from vae_los_angeles_tpu.evaluation.loading import LoadedDirectionalVAE
+    from vae_los_angeles_tpu.models import rna2dna_vae_apply, rna2dna_vae_init
+
+    dim_a, dim_b, n_sites, latent = 13, 17, 4, 5
+    params, state = rna2dna_vae_init(
+        jax.random.PRNGKey(0), dim_a, dim_b, n_sites, latent, 8
+    )
+    model = LoadedDirectionalVAE(rna2dna_vae_apply, "rna", params, state)
+    x = rng.normal(size=(21, dim_a)).astype(np.float32)  # odd row count
+    site = rng.integers(0, n_sites, size=21).astype(np.int64)
+    key = jax.random.PRNGKey(7)
+
+    for s in (site, None):
+        recon, mu, logvar = model(rna=x, site=s, key=key)
+        ref = rna2dna_vae_apply(
+            params, state, key, rna=jnp.asarray(x),
+            site=None if s is None else jnp.asarray(s), train=False,
+        )
+        np.testing.assert_allclose(recon, np.asarray(ref.recon), atol=1e-6)
+        np.testing.assert_allclose(mu, np.asarray(ref.mu), atol=1e-6)
+        np.testing.assert_allclose(logvar, np.asarray(ref.logvar), atol=1e-6)

@@ -13,6 +13,7 @@ Dims honor the same env overrides as the reference loaders
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -29,6 +30,67 @@ from vae_los_angeles_tpu.training import checkpoint
 
 def _np(x):
     return np.asarray(jax.device_get(x))
+
+
+def _serving_sharding():
+    """Sample-axis NamedSharding over all visible devices, or None.
+
+    Eval forwards are row-independent with replicated params, so on a
+    multi-chip host every loaded-model call automatically serves its cohort
+    sharded over the chips (float-identical to single-chip, zero
+    collectives) — mirroring the CV/HPO CLIs' auto population sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from vae_los_angeles_tpu.parallel.vmap_meta import population_mesh
+
+    mesh = population_mesh()
+    if mesh is None:
+        return None
+    return NamedSharding(mesh, PartitionSpec("data"))
+
+
+def _constrain_rows(x, data_sharding):
+    if x is None or data_sharding is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, data_sharding)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_directional(apply_fn, input_kw: str, data_sharding):
+    """One-dispatch eval forward (the eager per-op path costs a host↔device
+    round-trip per primitive on remote-relay platforms). Cached per
+    (model family, sharding); a None input (e.g. site-less imputation)
+    simply traces its own specialization."""
+
+    def fwd(params, state, key, x, site):
+        out = apply_fn(
+            params,
+            state,
+            key,
+            site=_constrain_rows(site, data_sharding),
+            train=False,
+            **{input_kw: _constrain_rows(x, data_sharding)},
+        )
+        return out.recon, out.mu, out.logvar
+
+    return jax.jit(fwd)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_multimodal(data_sharding):
+    def fwd(params, state, key, a, b, site):
+        out = multimodal_vae_apply(
+            params,
+            state,
+            key,
+            a=_constrain_rows(a, data_sharding),
+            b=_constrain_rows(b, data_sharding),
+            site=_constrain_rows(site, data_sharding),
+            train=False,
+        )
+        return out.out_a, out.out_b, out.out_c, out.mu, out.logvar
+
+    return jax.jit(fwd)
 
 
 class LoadedDirectionalVAE:
@@ -71,16 +133,15 @@ class LoadedDirectionalVAE:
                 seed=seed,
             )
             return _np(recon), _np(mu), _np(logvar)
-        call_kwargs = {self._kw: None if x is None else np.asarray(x, np.float32)}
-        out = self._apply(
+        fwd = _jitted_directional(self._apply, self._kw, _serving_sharding())
+        recon, mu, logvar = fwd(
             self.params,
             self.state,
             key if key is not None else self._key,
-            site=None if site is None else np.asarray(site),
-            train=False,
-            **call_kwargs,
+            None if x is None else np.asarray(x, np.float32),
+            None if site is None else np.asarray(site),
         )
-        return _np(out.recon), _np(out.mu), _np(out.logvar)
+        return _np(recon), _np(mu), _np(logvar)
 
 
 class LoadedMultiModalVAE:
@@ -94,16 +155,16 @@ class LoadedMultiModalVAE:
         self._key = jax.random.PRNGKey(0)
 
     def __call__(self, a=None, b=None, site=None, key=None):
-        out = multimodal_vae_apply(
+        fwd = _jitted_multimodal(_serving_sharding())
+        out_a, out_b, out_c, mu, logvar = fwd(
             self.params,
             self.state,
             key if key is not None else self._key,
-            a=None if a is None else np.asarray(a, np.float32),
-            b=None if b is None else np.asarray(b, np.float32),
-            site=None if site is None else np.asarray(site),
-            train=False,
+            None if a is None else np.asarray(a, np.float32),
+            None if b is None else np.asarray(b, np.float32),
+            None if site is None else np.asarray(site),
         )
-        return _np(out.out_a), _np(out.out_b), _np(out.out_c), _np(out.mu), _np(out.logvar)
+        return _np(out_a), _np(out_b), _np(out_c), _np(mu), _np(logvar)
 
 
 def load_rna2dna(
