@@ -89,3 +89,48 @@ def test_dropout_semantics():
     np.testing.assert_array_equal(
         np.asarray(vnn.dropout_apply(key, x, 0.1, train=False)), np.asarray(x)
     )
+
+
+def test_batchnorm_multi_step_fuzz(rng):
+    """Random shapes × several train steps of running-stat accumulation,
+    then eval — the BN lifecycle a whole training run exercises — must track
+    torch step for step (biased batch norm, unbiased running var,
+    momentum 0.1; SURVEY hard-part #1)."""
+    for trial in range(10):
+        n = int(rng.integers(2, 40))
+        d = int(rng.integers(1, 70))
+        steps = int(rng.integers(1, 6))
+        tbn = torch.nn.BatchNorm1d(d)
+        with torch.no_grad():
+            tbn.weight.copy_(torch.from_numpy(rng.random(d).astype(np.float32) + 0.5))
+            tbn.bias.copy_(torch.from_numpy(rng.random(d).astype(np.float32) - 0.5))
+        params = {
+            "gamma": jnp.asarray(tbn.weight.detach().numpy()),
+            "beta": jnp.asarray(tbn.bias.detach().numpy()),
+        }
+        state = {
+            "mean": jnp.asarray(tbn.running_mean.numpy().copy()),
+            "var": jnp.asarray(tbn.running_var.numpy().copy()),
+        }
+        tbn.train(True)
+        for _ in range(steps):
+            x = (rng.normal(size=(n, d)) * rng.uniform(0.1, 5) + rng.normal()).astype(
+                np.float32
+            )
+            want = tbn(torch.from_numpy(x)).detach().numpy()
+            got, state = vnn.batchnorm_apply(params, state, jnp.asarray(x), train=True)
+            np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+        tbn.train(False)
+        xe = rng.normal(size=(n, d)).astype(np.float32)
+        want = tbn(torch.from_numpy(xe)).detach().numpy()
+        got, _ = vnn.batchnorm_apply(params, state, jnp.asarray(xe), train=False)
+        np.testing.assert_allclose(
+            np.asarray(got), want, atol=1e-4,
+            err_msg=f"trial {trial} n={n} d={d} steps={steps}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(state["mean"]), tbn.running_mean.numpy(), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(state["var"]), tbn.running_var.numpy(), atol=1e-4
+        )

@@ -156,3 +156,29 @@ def test_early_stop_state_machine():
     assert int(state["best_epoch"]) == 1
     # after stopping, no further snapshots even on improvement
     assert snapshots[-1] is False
+
+
+def test_adamw_hyperparam_fuzz(rng):
+    """AdamW parity vs torch across random lr/weight-decay combinations
+    (incl. wd=0 and large-wd regimes where the decoupled-decay order shows)."""
+    for trial in range(6):
+        lr = float(10.0 ** rng.uniform(-5, -2))
+        wd = 0.0 if trial == 0 else float(10.0 ** rng.uniform(-6, -1))
+        w0 = rng.normal(size=(4, 6)).astype(np.float32)
+        x = rng.normal(size=(8, 4)).astype(np.float32)
+        y = rng.normal(size=(8, 6)).astype(np.float32)
+
+        tw = torch.tensor(w0, requires_grad=True)
+        topt = torch.optim.AdamW([tw], lr=lr, weight_decay=wd)
+        params = {"w": jnp.asarray(w0)}
+        state = optim.adamw_init(params)
+        grad_fn = jax.grad(lambda p: jnp.sum(jnp.square(x @ p["w"] - y)))
+        for _ in range(15):
+            topt.zero_grad()
+            ((torch.from_numpy(x) @ tw - torch.from_numpy(y)) ** 2).sum().backward()
+            topt.step()
+            params, state = optim.adamw_update(params, grad_fn(params), state, lr, wd)
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), tw.detach().numpy(), atol=1e-5,
+            err_msg=f"trial {trial} lr={lr} wd={wd}",
+        )
