@@ -125,3 +125,64 @@ def test_build_imputed_matrix():
     p2b = out[(out.case_barcode == "P2") & (out.probe_id == "b")]["beta_value"].iloc[0]
     np.testing.assert_allclose(p2b, 0.6)
     assert not out["beta_value"].isnull().any()
+
+
+def test_build_imputed_matrix_native_matches_pandas():
+    """The C++ pivot/impute kernel must reproduce the pandas (reference)
+    formulation exactly — same grid, same row order, same keep='first'
+    dedup (including a first-occurrence NaN shadowing a later value), same
+    per-patient mean imputation, same all-NaN-patient behavior."""
+    from vae_los_angeles_tpu.utils.native import load_pivot_impute
+
+    assert load_pivot_impute() is not None, "native toolchain expected in CI"
+
+    rng = np.random.default_rng(5)
+    for trial in range(5):
+        n_pat = int(rng.integers(2, 12))
+        n_probe = int(rng.integers(2, 20))
+        n_rows = int(rng.integers(4, n_pat * n_probe + 20))
+        df = pd.DataFrame(
+            {
+                "case_barcode": rng.choice(
+                    [f"P{i}" for i in range(n_pat)], size=n_rows
+                ),
+                "probe_id": rng.choice(
+                    [f"pr{i}" for i in range(n_probe)], size=n_rows
+                ),
+                "beta_value": rng.random(n_rows),
+            }
+        )
+        # sprinkle NaNs (incl. possibly a first-occurrence NaN that must
+        # shadow a later duplicate's value under keep='first')
+        nan_mask = rng.random(n_rows) < 0.25
+        df.loc[nan_mask, "beta_value"] = np.nan
+        # one patient whose every row is NaN → mean undefined, stays NaN
+        df.loc[df.case_barcode == "P0", "beta_value"] = np.nan
+
+        want = build_imputed_matrix(df, engine="pandas")
+        got = build_imputed_matrix(df, engine="native")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            want.reset_index(drop=True),
+            check_dtype=False,
+            atol=1e-6,
+        )
+
+
+def test_build_imputed_matrix_native_fallback_on_extra_columns():
+    """Inputs with extra columns must ride the pandas path (the native
+    dense-matrix path would drop them silently)."""
+    df = pd.DataFrame(
+        {
+            "case_barcode": ["P1", "P2"],
+            "probe_id": ["a", "a"],
+            "beta_value": [0.2, 0.4],
+            "platform": ["450k", "450k"],
+        }
+    )
+    out = build_imputed_matrix(df)  # auto → pandas because of extra column
+    assert "platform" in out.columns
+    import pytest
+
+    with pytest.raises(RuntimeError, match="native"):
+        build_imputed_matrix(df, engine="native")
