@@ -102,6 +102,11 @@ def _build_imputed_matrix_native(combined_df):
 
     pat_codes, patients = pd.factorize(combined_df["case_barcode"])
     probe_codes, probes = pd.factorize(combined_df["probe_id"])
+    if (pat_codes < 0).any() or (probe_codes < 0).any():
+        # factorize maps null keys to code -1; the pandas path groups NaN
+        # keys fine, so fall back rather than reject
+        return None
+    beta_dtype = combined_df["beta_value"].to_numpy().dtype
     beta = np.ascontiguousarray(
         combined_df["beta_value"].to_numpy(), dtype=np.float64
     )
@@ -133,7 +138,9 @@ def _build_imputed_matrix_native(combined_df):
                 np.tile(np.asarray(probes, dtype=object), P),
                 dtype=object, copy=False,
             ),
-            "beta_value": pd.Series(out.ravel(), copy=False),
+            # preserve the input's dtype so the written parquet schema does
+            # not depend on whether a C++ toolchain was present
+            "beta_value": pd.Series(out.ravel().astype(beta_dtype, copy=False)),
         },
         copy=False,
     )
