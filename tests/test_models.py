@@ -267,3 +267,151 @@ def test_models_vmap_over_params(rng):
     assert recons.shape == (n_pop, 4, DIM_B)
     # different params → different outputs
     assert not np.allclose(np.asarray(recons[0]), np.asarray(recons[1]))
+
+
+def _copy_embedding(torch_emb, params):
+    with torch.no_grad():
+        torch_emb.weight.copy_(_t(params["table"]))
+
+
+def test_rna2dna_vae_full_forward_parity(rng):
+    """WHOLE-model integration parity: EncoderA + EncoderC → arithmetic-mean
+    posterior fusion, vs a torch assembly of the reference's RNA2DNAVAE
+    (directional_vae.py:12-60). The sampled z differs by RNG, so the locked
+    contract is the fused (mu, logvar) — the complete deterministic part."""
+    params, state = rna2dna_vae_init(
+        jax.random.PRNGKey(3), DIM_A, DIM_B, N_SITES, LATENT, EMBED
+    )
+
+    enc_rna = TorchEncoderA(DIM_A, LATENT).eval()
+    _copy_linear(enc_rna.fc[0], params["encoder_rna"]["fc"])
+    with torch.no_grad():
+        enc_rna.fc[1].weight.copy_(_t(params["encoder_rna"]["bn"]["gamma"]))
+        enc_rna.fc[1].bias.copy_(_t(params["encoder_rna"]["bn"]["beta"]))
+    _copy_linear(enc_rna.fc_mu, params["encoder_rna"]["mu"])
+    _copy_linear(enc_rna.fc_logvar, params["encoder_rna"]["logvar"])
+
+    emb = tnn.Embedding(N_SITES, EMBED)
+    site_mu = tnn.Linear(EMBED, LATENT)
+    site_lv = tnn.Linear(EMBED, LATENT)
+    _copy_embedding(emb, params["encoder_site"]["embedding"])
+    _copy_linear(site_mu, params["encoder_site"]["mu"])
+    _copy_linear(site_lv, params["encoder_site"]["logvar"])
+
+    x = rng.normal(size=(11, DIM_A)).astype(np.float32)
+    site = rng.integers(0, N_SITES, size=11)
+
+    out = rna2dna_vae_apply(
+        params, state, jax.random.PRNGKey(0),
+        rna=jnp.asarray(x), site=jnp.asarray(site), train=False,
+    )
+    with torch.no_grad():
+        tmu_r, tlv_r = enc_rna(_t(x))
+        e = emb(_t(site))
+        tmu = torch.stack([tmu_r, site_mu(e)]).mean(0)
+        tlv = torch.stack([tlv_r, site_lv(e)]).mean(0)
+    np.testing.assert_allclose(np.asarray(out.mu), tmu.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.logvar), tlv.numpy(), atol=2e-5)
+
+    # site=None path: posterior collapses to the RNA encoder alone
+    out_ns = rna2dna_vae_apply(
+        params, state, jax.random.PRNGKey(0),
+        rna=jnp.asarray(x), site=None, train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ns.mu), enc_rna(_t(x))[0].detach().numpy(), atol=2e-5
+    )
+
+
+def test_rna2dna_ae_full_recon_parity(rng):
+    """The deterministic AE's ENTIRE eval forward (encoder + site projection
+    + mean fusion + DecoderB sigmoid) matches the torch reference assembly
+    bit-for-tolerance — no sampling, so the full recon is comparable
+    (directional_ae.py:10-68)."""
+    params, state = rna2dna_ae_init(
+        jax.random.PRNGKey(4), DIM_A, DIM_B, N_SITES, LATENT, EMBED
+    )
+
+    enc = tnn.Sequential(
+        tnn.Linear(DIM_A, 128), tnn.BatchNorm1d(128), tnn.ReLU(),
+        tnn.Dropout(0.1), tnn.Linear(128, LATENT),
+    ).eval()
+    _copy_linear(enc[0], params["enc_fc1"])
+    with torch.no_grad():
+        enc[1].weight.copy_(_t(params["enc_bn"]["gamma"]))
+        enc[1].bias.copy_(_t(params["enc_bn"]["beta"]))
+    _copy_linear(enc[4], params["enc_fc2"])
+
+    emb = tnn.Embedding(N_SITES, EMBED)
+    proj = tnn.Linear(EMBED, LATENT)
+    _copy_embedding(emb, params["site_embedding"])
+    _copy_linear(proj, params["site_projection"])
+
+    dec = tnn.Sequential(
+        tnn.Linear(LATENT, 256), tnn.ReLU(), tnn.Linear(256, 512), tnn.ReLU(),
+        tnn.Linear(512, DIM_B), tnn.Sigmoid(),
+    ).eval()
+    _copy_linear(dec[0], params["decoder_dna"]["fc1"])
+    _copy_linear(dec[2], params["decoder_dna"]["fc2"])
+    _copy_linear(dec[4], params["decoder_dna"]["fc3"])
+
+    x = rng.normal(size=(10, DIM_A)).astype(np.float32)
+    site = rng.integers(0, N_SITES, size=10)
+    out = rna2dna_ae_apply(
+        params, state, None, rna=jnp.asarray(x), site=jnp.asarray(site),
+        train=False,
+    )
+    with torch.no_grad():
+        latent = torch.stack([enc(_t(x)), proj(emb(_t(site)))]).mean(0)
+        want = dec(latent).numpy()
+    np.testing.assert_allclose(np.asarray(out.recon), want, atol=2e-5)
+
+
+def test_multimodal_vae_full_fusion_parity(rng):
+    """Tri-modal posterior fusion over all three encoders matches the torch
+    reference assembly (vae.py:37-79: stack-mean of available posteriors)."""
+    params, state = multimodal_vae_init(
+        jax.random.PRNGKey(5), DIM_A, DIM_B, N_SITES, LATENT, EMBED
+    )
+    enc_a = TorchEncoderA(DIM_A, LATENT).eval()
+    _copy_linear(enc_a.fc[0], params["encoder_a"]["fc"])
+    with torch.no_grad():
+        enc_a.fc[1].weight.copy_(_t(params["encoder_a"]["bn"]["gamma"]))
+        enc_a.fc[1].bias.copy_(_t(params["encoder_a"]["bn"]["beta"]))
+    _copy_linear(enc_a.fc_mu, params["encoder_a"]["mu"])
+    _copy_linear(enc_a.fc_logvar, params["encoder_a"]["logvar"])
+
+    enc_b = TorchEncoderB(DIM_B, LATENT).eval()
+    _copy_linear(enc_b.fc[0], params["encoder_b"]["fc1"])
+    _copy_linear(enc_b.fc[4], params["encoder_b"]["fc2"])
+    with torch.no_grad():
+        enc_b.fc[1].weight.copy_(_t(params["encoder_b"]["bn1"]["gamma"]))
+        enc_b.fc[1].bias.copy_(_t(params["encoder_b"]["bn1"]["beta"]))
+        enc_b.fc[5].weight.copy_(_t(params["encoder_b"]["bn2"]["gamma"]))
+        enc_b.fc[5].bias.copy_(_t(params["encoder_b"]["bn2"]["beta"]))
+    _copy_linear(enc_b.fc_mu, params["encoder_b"]["mu"])
+    _copy_linear(enc_b.fc_logvar, params["encoder_b"]["logvar"])
+
+    emb = tnn.Embedding(N_SITES, EMBED)
+    c_mu = tnn.Linear(EMBED, LATENT)
+    c_lv = tnn.Linear(EMBED, LATENT)
+    _copy_embedding(emb, params["encoder_c"]["embedding"])
+    _copy_linear(c_mu, params["encoder_c"]["mu"])
+    _copy_linear(c_lv, params["encoder_c"]["logvar"])
+
+    a = rng.normal(size=(8, DIM_A)).astype(np.float32)
+    b = rng.normal(size=(8, DIM_B)).astype(np.float32)
+    site = rng.integers(0, N_SITES, size=8)
+
+    out = multimodal_vae_apply(
+        params, state, jax.random.PRNGKey(0),
+        a=jnp.asarray(a), b=jnp.asarray(b), site=jnp.asarray(site), train=False,
+    )
+    with torch.no_grad():
+        mu_a, lv_a = enc_a(_t(a))
+        mu_b, lv_b = enc_b(_t(b))
+        e = emb(_t(site))
+        tmu = torch.stack([mu_a, mu_b, c_mu(e)]).mean(0)
+        tlv = torch.stack([lv_a, lv_b, c_lv(e)]).mean(0)
+    np.testing.assert_allclose(np.asarray(out.mu), tmu.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.logvar), tlv.numpy(), atol=2e-5)
