@@ -415,3 +415,85 @@ def test_multimodal_vae_full_fusion_parity(rng):
         tlv = torch.stack([lv_a, lv_b, c_lv(e)]).mean(0)
     np.testing.assert_allclose(np.asarray(out.mu), tmu.numpy(), atol=2e-5)
     np.testing.assert_allclose(np.asarray(out.logvar), tlv.numpy(), atol=2e-5)
+
+
+def test_dna2rna_vae_full_forward_parity(rng):
+    """Same whole-model lock for the DNA→RNA direction (EncoderB + EncoderC
+    fusion, directional_vae.py:63-111)."""
+    params, state = dna2rna_vae_init(
+        jax.random.PRNGKey(6), DIM_A, DIM_B, N_SITES, LATENT, EMBED
+    )
+    enc_b = TorchEncoderB(DIM_B, LATENT).eval()
+    _copy_linear(enc_b.fc[0], params["encoder_dna"]["fc1"])
+    _copy_linear(enc_b.fc[4], params["encoder_dna"]["fc2"])
+    with torch.no_grad():
+        enc_b.fc[1].weight.copy_(_t(params["encoder_dna"]["bn1"]["gamma"]))
+        enc_b.fc[1].bias.copy_(_t(params["encoder_dna"]["bn1"]["beta"]))
+        enc_b.fc[5].weight.copy_(_t(params["encoder_dna"]["bn2"]["gamma"]))
+        enc_b.fc[5].bias.copy_(_t(params["encoder_dna"]["bn2"]["beta"]))
+    _copy_linear(enc_b.fc_mu, params["encoder_dna"]["mu"])
+    _copy_linear(enc_b.fc_logvar, params["encoder_dna"]["logvar"])
+
+    emb = tnn.Embedding(N_SITES, EMBED)
+    site_mu = tnn.Linear(EMBED, LATENT)
+    site_lv = tnn.Linear(EMBED, LATENT)
+    _copy_embedding(emb, params["encoder_site"]["embedding"])
+    _copy_linear(site_mu, params["encoder_site"]["mu"])
+    _copy_linear(site_lv, params["encoder_site"]["logvar"])
+
+    x = rng.normal(size=(9, DIM_B)).astype(np.float32)
+    site = rng.integers(0, N_SITES, size=9)
+    out = dna2rna_vae_apply(
+        params, state, jax.random.PRNGKey(0),
+        dna=jnp.asarray(x), site=jnp.asarray(site), train=False,
+    )
+    with torch.no_grad():
+        tmu_d, tlv_d = enc_b(_t(x))
+        e = emb(_t(site))
+        tmu = torch.stack([tmu_d, site_mu(e)]).mean(0)
+        tlv = torch.stack([tlv_d, site_lv(e)]).mean(0)
+    np.testing.assert_allclose(np.asarray(out.mu), tmu.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.logvar), tlv.numpy(), atol=2e-5)
+
+
+def test_dna2rna_ae_full_recon_parity(rng):
+    """Full deterministic eval recon of DNA2RNAAE (dna→512→256→latent + site
+    projection, mean fusion, DecoderA; directional_ae.py:71-134)."""
+    params, state = dna2rna_ae_init(
+        jax.random.PRNGKey(7), DIM_A, DIM_B, N_SITES, LATENT, EMBED
+    )
+    enc = tnn.Sequential(
+        tnn.Linear(DIM_B, 512), tnn.BatchNorm1d(512), tnn.ReLU(), tnn.Dropout(0.1),
+        tnn.Linear(512, 256), tnn.BatchNorm1d(256), tnn.ReLU(), tnn.Dropout(0.1),
+        tnn.Linear(256, LATENT),
+    ).eval()
+    _copy_linear(enc[0], params["enc_fc1"])
+    _copy_linear(enc[4], params["enc_fc2"])
+    _copy_linear(enc[8], params["enc_fc3"])
+    with torch.no_grad():
+        enc[1].weight.copy_(_t(params["enc_bn1"]["gamma"]))
+        enc[1].bias.copy_(_t(params["enc_bn1"]["beta"]))
+        enc[5].weight.copy_(_t(params["enc_bn2"]["gamma"]))
+        enc[5].bias.copy_(_t(params["enc_bn2"]["beta"]))
+
+    emb = tnn.Embedding(N_SITES, EMBED)
+    proj = tnn.Linear(EMBED, LATENT)
+    _copy_embedding(emb, params["site_embedding"])
+    _copy_linear(proj, params["site_projection"])
+
+    dec = tnn.Sequential(
+        tnn.Linear(LATENT, 128), tnn.ReLU(), tnn.Linear(128, DIM_A),
+    ).eval()
+    _copy_linear(dec[0], params["decoder_rna"]["fc1"])
+    _copy_linear(dec[2], params["decoder_rna"]["fc2"])
+
+    x = rng.normal(size=(10, DIM_B)).astype(np.float32)
+    site = rng.integers(0, N_SITES, size=10)
+    out = dna2rna_ae_apply(
+        params, state, None, dna=jnp.asarray(x), site=jnp.asarray(site),
+        train=False,
+    )
+    with torch.no_grad():
+        latent = torch.stack([enc(_t(x)), proj(emb(_t(site)))]).mean(0)
+        want = dec(latent).numpy()
+    np.testing.assert_allclose(np.asarray(out.recon), want, atol=2e-5)
