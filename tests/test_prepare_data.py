@@ -227,3 +227,81 @@ def test_build_imputed_matrix_native_preserves_dtype():
     )
     out = build_imputed_matrix(df, engine="native")
     assert out["beta_value"].dtype == np.float32
+
+
+def test_grouping_vectorized_matches_pandas_fuzz():
+    """The vectorized grouping (engine='auto') must reproduce the pandas
+    (reference-formulation) oracle on random long-format tables: shuffled
+    input, duplicate (case, feature) rows, cases with missing or extra
+    features, per-case site labels."""
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n_cases = int(rng.integers(2, 10))
+        width = int(rng.integers(2, 7))
+        rows = []
+        for c in range(n_cases):
+            feats = [f"F{j}" for j in range(width)]
+            r = rng.random()
+            if r < 0.25 and width > 2:
+                feats = feats[:-1]  # missing feature → dropped
+            elif r < 0.5:
+                feats = feats + [f"F{width}"]  # extra feature → dropped
+            for f in feats:
+                rows.append(
+                    {
+                        "case_barcode": f"C{c:03d}",
+                        "gene_name": f,
+                        "tpm_unstranded": float(rng.random()),
+                        "primary_site": f"Site{c % 3}",
+                    }
+                )
+        df = pd.DataFrame(rows)
+        # duplicate rows (same value — the reference's non-stable sort makes
+        # the survivor of CONFLICTING duplicates unspecified)
+        dups = df.sample(frac=0.2, random_state=trial)
+        df = (
+            pd.concat([df, dups], ignore_index=True)
+            .sample(frac=1.0, random_state=trial)  # shuffle
+            .reset_index(drop=True)
+        )
+
+        fast, fast_names = prepare_rna_data(df, width)
+        ref, ref_names = prepare_rna_data(df, width, engine="pandas")
+        assert fast_names == [str(g) for g in ref_names]
+        pd.testing.assert_frame_equal(
+            fast.reset_index(drop=True), ref.reset_index(drop=True)
+        )
+
+        dna = df.rename(
+            columns={"gene_name": "probe_id", "tpm_unstranded": "beta_value"}
+        )[["case_barcode", "probe_id", "beta_value"]]
+        fast_d, fast_p = prepare_dna_methylation_data(dna, width)
+        ref_d, ref_p = prepare_dna_methylation_data(dna, width, engine="pandas")
+        assert fast_p == [str(p) for p in ref_p]
+        pd.testing.assert_frame_equal(
+            fast_d.reset_index(drop=True), ref_d.reset_index(drop=True)
+        )
+
+
+def test_grouping_vectorized_empty_and_none_keys():
+    """Empty tables and null keys must not crash the vectorized path."""
+    empty = pd.DataFrame(
+        {"case_barcode": [], "gene_name": [], "tpm_unstranded": [],
+         "primary_site": []}
+    )
+    out, names = prepare_rna_data(empty, 3)
+    assert len(out) == 0
+    # null keys: np.unique cannot sort None vs str → pandas fallback
+    df = pd.DataFrame(
+        {
+            "case_barcode": ["C1", None],
+            "gene_name": ["G1", "G1"],
+            "tpm_unstranded": [1.0, 2.0],
+            "primary_site": ["S", "S"],
+        }
+    )
+    out2, _ = prepare_rna_data(df, 1)
+    want2, _ = prepare_rna_data(df, 1, engine="pandas")
+    pd.testing.assert_frame_equal(
+        out2.reset_index(drop=True), want2.reset_index(drop=True)
+    )
