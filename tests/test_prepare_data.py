@@ -267,7 +267,7 @@ def test_grouping_vectorized_matches_pandas_fuzz():
 
         fast, fast_names = prepare_rna_data(df, width)
         ref, ref_names = prepare_rna_data(df, width, engine="pandas")
-        assert fast_names == [str(g) for g in ref_names]
+        assert list(fast_names) == list(ref_names)
         pd.testing.assert_frame_equal(
             fast.reset_index(drop=True), ref.reset_index(drop=True)
         )
@@ -277,7 +277,7 @@ def test_grouping_vectorized_matches_pandas_fuzz():
         )[["case_barcode", "probe_id", "beta_value"]]
         fast_d, fast_p = prepare_dna_methylation_data(dna, width)
         ref_d, ref_p = prepare_dna_methylation_data(dna, width, engine="pandas")
-        assert fast_p == [str(p) for p in ref_p]
+        assert list(fast_p) == list(ref_p)
         pd.testing.assert_frame_equal(
             fast_d.reset_index(drop=True), ref_d.reset_index(drop=True)
         )
@@ -291,7 +291,7 @@ def test_grouping_vectorized_empty_and_none_keys():
     )
     out, names = prepare_rna_data(empty, 3)
     assert len(out) == 0
-    # null keys: np.unique cannot sort None vs str → pandas fallback
+    # null keys: factorize maps them to -1 → ValueError → pandas fallback
     df = pd.DataFrame(
         {
             "case_barcode": ["C1", None],
@@ -304,4 +304,42 @@ def test_grouping_vectorized_empty_and_none_keys():
     want2, _ = prepare_rna_data(df, 1, engine="pandas")
     pd.testing.assert_frame_equal(
         out2.reset_index(drop=True), want2.reset_index(drop=True)
+    )
+
+
+def test_grouping_nan_site_uses_first_non_null():
+    """groupby-'first' semantics: a leading null primary_site must be
+    skipped, not propagated (a NaN site would silently drop the case at the
+    top-N-sites filter downstream)."""
+    df = pd.DataFrame(
+        {
+            "case_barcode": ["C1", "C1"],
+            "gene_name": ["G1", "G2"],
+            "tpm_unstranded": [1.0, 2.0],
+            "primary_site": [None, "Lung"],
+        }
+    )
+    fast, _ = prepare_rna_data(df, 2)
+    ref, _ = prepare_rna_data(df, 2, engine="pandas")
+    assert fast["primary_site"].tolist() == ["Lung"]
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), ref.reset_index(drop=True)
+    )
+
+
+def test_grouping_preserves_feature_name_types():
+    """Integer probe ids must come back as ints from both engines (the
+    feature_names.pkl content type must not depend on the engine)."""
+    df = pd.DataFrame(
+        {
+            "case_barcode": ["C1", "C1"],
+            "probe_id_id": [2, 1],
+            "beta_value": [0.5, 0.25],
+        }
+    )
+    fast, fast_ids = prepare_dna_methylation_data(df, 2)
+    ref, ref_ids = prepare_dna_methylation_data(df, 2, engine="pandas")
+    assert list(fast_ids) == list(ref_ids) == [1, 2]
+    pd.testing.assert_frame_equal(
+        fast.reset_index(drop=True), ref.reset_index(drop=True)
     )

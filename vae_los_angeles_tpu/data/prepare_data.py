@@ -107,9 +107,10 @@ def _group_vectors_fast(df, feat_col: str, val_col: str, width: int,
         first_feats = feat_names[:width].tolist()
     site_first = None
     if site_col is not None:
-        block_starts = np.flatnonzero(np.r_[True, cc[1:] != cc[:-1]])
-        starts_kept = block_starts[kept_cases[cc[block_starts]]]
-        site_first = df[site_col].to_numpy()[ov[starts_kept]]
+        # groupby-'first' semantics: the first NON-NULL site per case (a
+        # literal first-row read would return NaN where the oracle skips it)
+        firsts = pd.Series(df[site_col].to_numpy()[ov]).groupby(cc).first()
+        site_first = firsts.reindex(np.flatnonzero(kept_cases)).to_numpy()
     return case_names[kept_cases], matrix, first_feats, site_first
 
 
@@ -129,7 +130,10 @@ def prepare_rna_data(df_expressions, input_dim_a: int, engine: str = "auto"):
                 df_expressions, "gene_name", "tpm_unstranded", input_dim_a,
                 site_col="primary_site",
             )
-        except Exception as e:  # e.g. null keys break np.unique's sort
+        except (ValueError, TypeError) as e:
+            # null keys (factorize code -1 → ValueError) or incomparable
+            # uniques (TypeError from argsort); anything else is a real bug
+            # and must surface
             print(f"vectorized grouping unavailable ({e}); using pandas path")
             return prepare_rna_data(df_expressions, input_dim_a, engine="pandas")
         filtered = pd.DataFrame(
@@ -147,7 +151,7 @@ def prepare_rna_data(df_expressions, input_dim_a: int, engine: str = "auto"):
             }
         )
         print(f"RNA data shape: {filtered.shape}")
-        return filtered, [str(g) for g in gene_names]
+        return filtered, list(gene_names)
     df_sorted = df_expressions.sort_values(by="gene_name")
     df_sorted = df_sorted.drop_duplicates(subset=["case_barcode", "gene_name"])
     grouped = (
@@ -182,7 +186,7 @@ def prepare_dna_methylation_data(df, input_dim_b: int, engine: str = "auto"):
             kept, matrix, probe_ids, _ = _group_vectors_fast(
                 df, probe_col, "beta_value", input_dim_b, dedup=False
             )
-        except Exception as e:
+        except (ValueError, TypeError) as e:  # see prepare_rna_data
             print(f"vectorized grouping unavailable ({e}); using pandas path")
             return prepare_dna_methylation_data(df, input_dim_b, engine="pandas")
         filtered = pd.DataFrame(
@@ -196,7 +200,7 @@ def prepare_dna_methylation_data(df, input_dim_b: int, engine: str = "auto"):
             }
         )
         print(f"DNA methylation data shape: {filtered.shape}")
-        return filtered, [str(p) for p in probe_ids]
+        return filtered, list(probe_ids)
     df_sorted = df.sort_values(by=probe_col)
     grouped = (
         df_sorted.groupby("case_barcode")
