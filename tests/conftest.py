@@ -21,8 +21,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+import gc  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables_between_modules():
+    """Free jit caches after each test module.
+
+    The CPU backend in long single-process sessions accumulates hundreds of
+    compiled executables; jaxlib's compiler has intermittently segfaulted /
+    aborted late in full-suite runs under that pressure (observed in
+    backend_compile_and_load and in op dispatch). Dropping the caches at
+    module boundaries keeps the live-executable count bounded; the
+    framework's own lru-cached builders transparently recompile on next use.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture
