@@ -70,6 +70,7 @@ def test_evaluate_contract(workspace):
     out = workspace / "plots" / "evaluation_results.json"
     assert out.exists()
     assert any(workspace.glob("plots/reconstruction_example_*.png"))
+    assert (workspace / "plots" / "pearson_distributions.png").exists()
     saved = json.loads(out.read_text())
     assert {r["Modality"] for r in saved["results"]} == {
         "DNA methylation",

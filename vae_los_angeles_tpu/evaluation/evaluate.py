@@ -118,6 +118,40 @@ def plot_reconstruction_examples(tpm, beta, est_rna, est_dna,
         print(f"Reconstruction example saved to {path}")
 
 
+def plot_correlation_distributions(tpm, beta, est_rna, est_dna,
+                                   plots_dir="plots"):
+    """Per-sample Pearson-correlation histograms for both directions →
+    ``plots/pearson_distributions.png`` (README §Results item 3:
+    "Correlation distributions: Pearson correlation histograms")."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from vae_los_angeles_tpu.ops.metrics import pearson_per_sample
+
+    os.makedirs(plots_dir, exist_ok=True)
+    fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+    for ax, truth, pred, name in (
+        (axes[0], beta, est_dna, "DNA methylation (from RNA)"),
+        (axes[1], tpm, est_rna, "RNA expression (from DNA)"),
+    ):
+        r, valid = pearson_per_sample(truth, pred)
+        r = np.asarray(r)[np.asarray(valid)]
+        ax.hist(r, bins=40, alpha=0.8, edgecolor="black", linewidth=0.3)
+        ax.axvline(float(r.mean()), color="red", linestyle="--",
+                   label=f"mean {r.mean():.3f}")
+        ax.set_title(f"Per-sample Pearson r: {name}")
+        ax.set_xlabel("Pearson r")
+        ax.set_ylabel("samples")
+        ax.legend()
+    fig.tight_layout()
+    path = os.path.join(plots_dir, "pearson_distributions.png")
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    print(f"Correlation distributions saved to {path}")
+
+
 def main(cfg: Optional[Config] = None, output_path: Optional[str] = None):
     cfg = cfg or Config.from_env()
     model, (tpm, beta, site), run_id = load_model_and_data(cfg)
@@ -125,6 +159,7 @@ def main(cfg: Optional[Config] = None, output_path: Optional[str] = None):
 
     results, est_dna, est_rna = evaluate_model(model, tpm, beta)
     plot_reconstruction_examples(tpm, beta, est_rna, est_dna, cfg.plots_dir)
+    plot_correlation_distributions(tpm, beta, est_rna, est_dna, cfg.plots_dir)
     for rec in results:
         print(
             f"  {rec['Modality']:>16s}: MSE={rec['MSE']:.4f} MAE={rec['MAE']:.4f} "
