@@ -139,12 +139,13 @@ def plot_correlation_distributions(tpm, beta, est_rna, est_dna,
         r, valid = pearson_per_sample(truth, pred)
         r = np.asarray(r)[np.asarray(valid)]
         ax.hist(r, bins=40, alpha=0.8, edgecolor="black", linewidth=0.3)
-        ax.axvline(float(r.mean()), color="red", linestyle="--",
-                   label=f"mean {r.mean():.3f}")
+        if len(r):  # all-constant predictions → no valid correlations
+            ax.axvline(float(r.mean()), color="red", linestyle="--",
+                       label=f"mean {r.mean():.3f}")
+            ax.legend()
         ax.set_title(f"Per-sample Pearson r: {name}")
         ax.set_xlabel("Pearson r")
         ax.set_ylabel("samples")
-        ax.legend()
     fig.tight_layout()
     path = os.path.join(plots_dir, "pearson_distributions.png")
     fig.savefig(path, dpi=150, bbox_inches="tight")
