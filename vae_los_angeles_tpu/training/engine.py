@@ -93,7 +93,14 @@ def hyperparams(cfg: Config, **overrides):
         "sched_patience": jnp.int32(cfg.lr_scheduler_patience),
     }
     for k, v in overrides.items():
-        hp[k] = jnp.asarray(v, hp[k].dtype if k in hp else jnp.float32)
+        if k not in hp:
+            # a typo'd name (or the Config spelling, e.g. learning_rate for
+            # lr) would otherwise be silently ignored — every trial of a
+            # sweep would train at the default
+            raise ValueError(
+                f"unknown hyperparameter override {k!r}; valid: {sorted(hp)}"
+            )
+        hp[k] = jnp.asarray(v, hp[k].dtype)
     return hp
 
 
@@ -151,6 +158,14 @@ def build_fit_fn(
         if task_name not in ("rna2dna", "dna2rna", "multimodal"):
             raise ValueError("fused_step is only implemented for the "
                              "directional and tri-modal VAE tasks")
+        if remainder:
+            # a short final batch would compile an untested ragged-shape
+            # kernel instance; reject loudly like fused_epoch+drop_last does
+            raise ValueError(
+                f"fused_step with drop_last=False needs n_train divisible by "
+                f"batch_size (got {n_train} % {batch_size} = {remainder}) — "
+                "use drop_last=True or the XLA path"
+            )
         if task_name == "multimodal":
             from vae_los_angeles_tpu.ops.pallas.fused_train_multimodal import (
                 multimodal_fused_train_step,
@@ -278,95 +293,67 @@ def build_fit_fn(
                     "v": new_v,
                 }
                 train_loss = jnp.sum(batch_losses) / n_batches
-                val_sum = eval_loss_fn(
-                    params, state, vkey, val_arrays, beta_kl, class_weights,
-                    hp["gamma"],
-                )
-                val_loss = val_sum / n_val_batches
-                plateau = optim.plateau_step(
-                    carry["plateau"], val_loss, hp["sched_factor"],
-                    hp["sched_patience"],
-                )
-                estop, snap = optim.early_stop_step(
-                    carry["estop"], val_loss, epoch, hp["patience"]
-                )
-                best = jax.tree.map(
-                    lambda b, c: jnp.where(snap, c, b),
-                    carry["best"],
-                    {"params": params, "state": state},
-                )
-                return (
-                    {
-                        "params": params,
-                        "state": state,
-                        "opt": opt,
-                        "plateau": plateau,
-                        "estop": estop,
-                        "best": best,
-                    },
-                    (train_loss, val_loss, beta_kl, lr, jnp.bool_(True)),
-                )
-
-            def batch_step(bstate, scan_in):
-                b_i, bidx = scan_in
-                params, state, opt = bstate
-                batch = gather(bidx)
-                if fused_step:
-                    # whole fwd+bwd as ONE Pallas kernel (in-kernel PRNG);
-                    # step seed derived from (run key, epoch, batch) — dkey is
-                    # already fold_in(key, epoch)-derived, so different --seed
-                    # runs get independent noise streams (same contract as the
-                    # fused_epoch path above)
-                    seed = jax.random.randint(
-                        jax.random.fold_in(dkey, b_i), (), 0, 2**31 - 1,
-                        jnp.int32,
-                    )
-                    if task_name == "multimodal":
-                        n_sites_ = params["encoder_c"]["embedding"][
-                            "table"
-                        ].shape[0]
-                        loss, grads, new_state = multimodal_fused_train_step(
-                            params, state, batch.tpm, batch.beta, batch.site,
-                            n_sites_, seed=seed, beta=beta_kl, gamma=hp["gamma"],
-                            class_weights=class_weights
-                            if has_class_weights
-                            else None,
+            else:
+                def batch_step(bstate, scan_in):
+                    b_i, bidx = scan_in
+                    params, state, opt = bstate
+                    batch = gather(bidx)
+                    if fused_step:
+                        # whole fwd+bwd as ONE Pallas kernel (in-kernel PRNG);
+                        # step seed derived from (run key, epoch, batch) — dkey is
+                        # already fold_in(key, epoch)-derived, so different --seed
+                        # runs get independent noise streams (same contract as the
+                        # fused_epoch path above)
+                        seed = jax.random.randint(
+                            jax.random.fold_in(dkey, b_i), (), 0, 2**31 - 1,
+                            jnp.int32,
                         )
+                        if task_name == "multimodal":
+                            n_sites_ = params["encoder_c"]["embedding"][
+                                "table"
+                            ].shape[0]
+                            loss, grads, new_state = multimodal_fused_train_step(
+                                params, state, batch.tpm, batch.beta, batch.site,
+                                n_sites_, seed=seed, beta=beta_kl, gamma=hp["gamma"],
+                                class_weights=class_weights
+                                if has_class_weights
+                                else None,
+                            )
+                        else:
+                            loss, grads, bn_new = fused_step_fn(
+                                params, state, batch.tpm, batch.beta, batch.site,
+                                params["encoder_site"]["embedding"]["table"].shape[0],
+                                seed=seed, beta=beta_kl,
+                            )
+                            new_state = {fused_bn_key: bn_new[fused_bn_key]}
                     else:
-                        loss, grads, bn_new = fused_step_fn(
-                            params, state, batch.tpm, batch.beta, batch.site,
-                            params["encoder_site"]["embedding"]["table"].shape[0],
-                            seed=seed, beta=beta_kl,
+                        bkey = jax.random.fold_in(dkey, b_i)
+                        (loss, new_state), grads = grad_fn(
+                            params, state, bkey, batch, beta_kl, class_weights,
+                            hp["gamma"],
                         )
-                        new_state = {fused_bn_key: bn_new[fused_bn_key]}
-                else:
-                    bkey = jax.random.fold_in(dkey, b_i)
-                    (loss, new_state), grads = grad_fn(
-                        params, state, bkey, batch, beta_kl, class_weights,
-                        hp["gamma"],
+                    params, opt = optim.adamw_update(
+                        params, grads, opt, lr, hp["weight_decay"]
                     )
-                params, opt = optim.adamw_update(
-                    params, grads, opt, lr, hp["weight_decay"]
-                )
-                return (params, new_state, opt), loss
+                    return (params, new_state, opt), loss
 
-            # unroll=8 on TPU: XLA pipelines the tiny per-step matmul chains,
-            # cutting per-step dispatch overhead ~2.5× (200-epoch run 4.15s →
-            # 1.64s on v5e; unroll 16 is no faster but triples compile time).
-            (params, state, opt), batch_losses = jax.lax.scan(
-                batch_step,
-                (carry["params"], carry["state"], carry["opt"]),
-                (jnp.arange(n_full), full_idx),
-                unroll=_batch_unroll(n_full),
-            )
-            total_train = jnp.sum(batch_losses)
-            if remainder:
-                rem_idx = perm[n_full * batch_size :]
-                (params, state, opt), rem_loss = batch_step(
-                    (params, state, opt), (jnp.int32(n_full), rem_idx)
+                # unroll=8 on TPU: XLA pipelines the tiny per-step matmul chains,
+                # cutting per-step dispatch overhead ~2.5× (200-epoch run 4.15s →
+                # 1.64s on v5e; unroll 16 is no faster but triples compile time).
+                (params, state, opt), batch_losses = jax.lax.scan(
+                    batch_step,
+                    (carry["params"], carry["state"], carry["opt"]),
+                    (jnp.arange(n_full), full_idx),
+                    unroll=_batch_unroll(n_full),
                 )
-                total_train = total_train + rem_loss
-            train_loss = total_train / n_batches
+                total_train = jnp.sum(batch_losses)
+                if remainder:
+                    rem_idx = perm[n_full * batch_size :]
+                    (params, state, opt), rem_loss = batch_step(
+                        (params, state, opt), (jnp.int32(n_full), rem_idx)
+                    )
+                    total_train = total_train + rem_loss
+                train_loss = total_train / n_batches
 
             # Validation: full-set sum loss / ceil(n_val/B) — equal to the
             # reference's mean of per-batch sum losses.
@@ -477,6 +464,13 @@ def fit(
     else:
         if init_params is None:
             init_params, init_state = task.init(key, cfg, n_sites)
+        elif init_state is None:
+            # every task's init returns a (possibly empty) state dict; a None
+            # state would only surface as an opaque TypeError deep in tracing
+            raise ValueError(
+                "init_params was given without init_state — pass both halves "
+                "of the task.init(...) result"
+            )
         carry0 = init_carry(init_params, init_state, hp["lr"])
     data_sharding = None
     if mesh is not None:
