@@ -149,7 +149,25 @@ def run_training(
         resume_carry, start_epoch, run_id, saved_seed = checkpoint.load_resume(
             model_name, checkpoint_dir=cfg.checkpoint_dir
         )
+        if bool(np.asarray(resume_carry["estop"]["stopped"])):
+            # the stop latch is part of the exact-resume contract: every
+            # epoch of a resumed dispatch would cond-skip. Say so instead of
+            # compiling a run that silently trains nothing.
+            best_ep = int(np.asarray(resume_carry["estop"]["best_epoch"]))
+            print(
+                f"Run {run_id} already early-stopped (best epoch "
+                f"{best_ep + 1}, {start_epoch} epochs ran) — resuming would "
+                "train 0 epochs. Start a fresh run, or retrain with a "
+                "higher PATIENCE."
+            )
+            return None, run_id, 0.0
         if args.seed is None:
+            if saved_seed is None:
+                print(
+                    "WARNING: this checkpoint predates seed recording; "
+                    "resuming with seed 0 — pass --seed to reproduce the "
+                    "original noise schedule"
+                )
             seed = saved_seed if saved_seed is not None else 0
         else:
             seed = args.seed
@@ -171,17 +189,30 @@ def run_training(
         cfg = cfg.replace(data_dir=os.path.dirname(args.data_path) or ".")
     target_pkl = args.data_path or os.path.join(cfg.data_dir, "processed_data.pkl")
     if args.synthetic and not os.path.exists(target_pkl):
+        import shutil
+        import tempfile
+
         from vae_los_angeles_tpu.data.synthetic import write_synthetic_artifacts
 
         print("Generating synthetic data artifacts...")
-        write_synthetic_artifacts(
-            cfg.data_dir, dim_a=cfg.input_dim_a, dim_b=cfg.input_dim_b
-        )
-        generated = os.path.join(cfg.data_dir, "processed_data.pkl")
-        if os.path.abspath(generated) != os.path.abspath(target_pkl):
-            # honor a custom --data_path basename: the loader reads the exact
-            # file named, so the generated pickle must live there
-            os.replace(generated, target_pkl)
+        # stage in a scratch dir, then move WITHOUT overwriting: generating
+        # directly into data_dir would clobber real processed_data.pkl /
+        # label_encoder.pkl / unmatched pickles when only the custom
+        # --data_path basename is missing
+        os.makedirs(cfg.data_dir, exist_ok=True)
+        staging = tempfile.mkdtemp(prefix=".synthetic_", dir=cfg.data_dir)
+        try:
+            write_synthetic_artifacts(
+                staging, dim_a=cfg.input_dim_a, dim_b=cfg.input_dim_b
+            )
+            # the requested pickle is known-missing (checked above)
+            os.replace(os.path.join(staging, "processed_data.pkl"), target_pkl)
+            for name in sorted(os.listdir(staging)):
+                dest = os.path.join(cfg.data_dir, name)
+                if not os.path.exists(dest):
+                    os.replace(os.path.join(staging, name), dest)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     dataset, label_encoder = load_data(cfg, data_path=args.data_path)
     n_sites = len(label_encoder.classes_)
@@ -190,6 +221,24 @@ def run_training(
     cfg = cfg.replace(
         input_dim_a=dataset.tpm_data.shape[1], input_dim_b=dataset.beta_data.shape[1]
     )
+
+    if resume_carry is not None:
+        # fail with dims, not with an opaque dot_general shape error deep in
+        # tracing, when the checkpoint was trained on different-width data
+        from vae_los_angeles_tpu.training.tasks import TASKS
+
+        ref_params, _ = TASKS[task_name].init(
+            jax.random.PRNGKey(0), cfg, n_sites
+        )
+        got = jax.tree.map(lambda x: tuple(np.shape(x)), resume_carry["params"])
+        want = jax.tree.map(lambda x: tuple(np.shape(x)), ref_params)
+        if got != want:
+            raise ValueError(
+                f"resume checkpoint parameter shapes do not match the "
+                f"current dataset/config (data dims {cfg.input_dim_a}/"
+                f"{cfg.input_dim_b}, {n_sites} sites) — resuming against a "
+                "different --data_path or regenerated data is not possible"
+            )
 
     print("\nSplitting data into train/validation sets...")
     tr_idx, va_idx = train_val_indices(
@@ -284,13 +333,35 @@ def run_training(
     # resumed-run logs line up with the metrics JSONL.
     n_ran = int(result.epochs_ran)
     total = start_epoch + num_epochs
-    for epoch in range(n_ran):
-        print(
-            f"Epoch [{start_epoch + epoch + 1}/{total}] | "
-            f"Train Loss: {train_losses[epoch]:.2f} | "
-            f"Val Loss: {val_losses[epoch]:.2f} | "
-            f"β={float(result.betas[epoch]):.5f}"
-        )
+    # ONE loop drives both observability outputs so the console log and the
+    # metrics JSONL agree by construction (same 1-based GLOBAL epoch number)
+    import json
+
+    metrics_path = os.path.join(
+        cfg.plots_dir, f"metrics_{model_name}_{run_id}.jsonl"
+    )
+    with open(metrics_path, "a") as f:
+        for epoch in range(n_ran):
+            global_epoch = start_epoch + epoch + 1
+            print(
+                f"Epoch [{global_epoch}/{total}] | "
+                f"Train Loss: {train_losses[epoch]:.2f} | "
+                f"Val Loss: {val_losses[epoch]:.2f} | "
+                f"β={float(result.betas[epoch]):.5f}"
+            )
+            f.write(
+                json.dumps(
+                    {
+                        "epoch": global_epoch,
+                        "train_loss": float(train_losses[epoch]),
+                        "val_loss": float(val_losses[epoch]),
+                        "beta": float(result.betas[epoch]),
+                        "lr": float(result.lrs[epoch]),
+                    }
+                )
+                + "\n"
+            )
+    print(f"Per-epoch metrics appended to {metrics_path}")
     if bool(result.stopped):
         print(f"\nEarly stopping triggered at epoch {start_epoch + n_ran}!")
 
@@ -303,28 +374,6 @@ def run_training(
         cfg.checkpoint_dir, seed=seed,
     )
 
-    # observability: per-epoch metrics as JSONL (the reference only prints)
-    import json
-
-    metrics_path = os.path.join(
-        cfg.plots_dir, f"metrics_{model_name}_{run_id}.jsonl"
-    )
-    with open(metrics_path, "a") as f:
-        for epoch in range(n_ran):
-            f.write(
-                json.dumps(
-                    {
-                        "epoch": start_epoch + epoch,
-                        "train_loss": float(train_losses[epoch]),
-                        "val_loss": float(val_losses[epoch]),
-                        "beta": float(result.betas[epoch]),
-                        "lr": float(result.lrs[epoch]),
-                    }
-                )
-                + "\n"
-            )
-    print(f"Per-epoch metrics appended to {metrics_path}")
-
     print("\nGenerating loss plots...")
     plot_losses(
         train_losses[:n_ran], val_losses[:n_ran], run_id, model_name,
@@ -332,14 +381,19 @@ def run_training(
     )
     checkpoint.write_run_id(model_name, run_id)
 
-    samples_per_sec = n_ran * len(tr_idx) / wall if wall > 0 else float("inf")
+    # honest throughput: drop_last discards the remainder, so count the
+    # samples actually trained, and label that wall includes compilation
+    trained_per_epoch = (len(tr_idx) // cfg.batch_size) * cfg.batch_size
+    samples_per_sec = (
+        n_ran * trained_per_epoch / wall if wall > 0 else float("inf")
+    )
     print("\n" + "=" * 50)
     print("Training complete!")
     print(f"Run ID: {run_id}")
     print(f"Best validation loss: {float(result.best_val_loss):.2f}")
     print(f"Best model saved to: {model_path}")
     print(
-        f"Wall-clock: {wall:.2f}s for {n_ran} epochs "
+        f"Wall-clock: {wall:.2f}s for {n_ran} epochs, incl. compile "
         f"({samples_per_sec:,.0f} samples/sec)"
     )
     print("=" * 50)
