@@ -123,3 +123,14 @@ def test_fused_engine_accepts_sharded_inputs():
     np.testing.assert_allclose(
         np.asarray(plain.val_losses), np.asarray(sharded.val_losses), rtol=1e-4
     )
+
+
+def test_batch_indices_wraps_tiny_n():
+    """drop_last=False with n < batch_size must tile the permutation into
+    one full batch (a single pad slice came up short and crashed the
+    reshape)."""
+    from vae_los_angeles_tpu.data.dataset import batch_indices
+
+    idx = batch_indices(jax.random.PRNGKey(0), 3, 8, drop_last=False)
+    assert idx.shape == (1, 8)
+    assert set(np.asarray(idx).ravel()) == {0, 1, 2}  # only real samples

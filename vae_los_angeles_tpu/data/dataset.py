@@ -49,7 +49,6 @@ class MultiModalDataset:
     """
 
     def __init__(self, dataframe):
-        self.dataframe = dataframe
         self.tpm_data = np.array(dataframe["tpm_unstranded"].tolist()).astype(
             np.float32
         )
@@ -57,6 +56,9 @@ class MultiModalDataset:
         self.primary_site = np.array(dataframe["primary_site_encoded"]).astype(
             np.int32
         )
+        # the source table's list-columns (boxed Python floats, ~8-10× the
+        # dense footprint) are NOT retained — nothing reads them after the
+        # densification above
 
     def __len__(self):
         return len(self.tpm_data)
@@ -67,7 +69,6 @@ class MultiModalDataset:
     @classmethod
     def from_numpy(cls, tpm_data, beta_data, primary_site) -> "MultiModalDataset":
         obj = cls.__new__(cls)
-        obj.dataframe = None
         obj.tpm_data = np.asarray(tpm_data, dtype=np.float32)
         obj.beta_data = np.asarray(beta_data, dtype=np.float32)
         obj.primary_site = np.asarray(primary_site, dtype=np.int32)
@@ -79,21 +80,14 @@ class MultiModalDataset:
 
         return cls(pd.read_pickle(path))
 
-    def to_device(self, sharding=None) -> MultiModalArrays:
-        """Stage the full table into HBM (optionally with a NamedSharding)."""
-        put = (
-            (lambda x: jax.device_put(x, sharding))
-            if sharding is not None
-            else jnp.asarray
-        )
+    def to_device(self) -> MultiModalArrays:
+        """Stage the full table into HBM once (multi-chip layouts are applied
+        downstream: engine.fit(mesh=...) / parallel.sharding.shard_arrays)."""
         return MultiModalArrays(
-            tpm=put(self.tpm_data),
-            beta=put(self.beta_data),
-            site=put(self.primary_site),
+            tpm=jnp.asarray(self.tpm_data),
+            beta=jnp.asarray(self.beta_data),
+            site=jnp.asarray(self.primary_site),
         )
-
-    def arrays(self) -> MultiModalArrays:
-        return self.to_device()
 
 
 def batch_indices(
@@ -111,11 +105,12 @@ def batch_indices(
     so epochs are reproducible under jit.
 
     CAVEAT (`drop_last=False`): a fixed-shape matrix cannot express torch's
-    short final batch, so the last batch WRAPS AROUND and re-uses the first
-    ``n_batches*batch_size - n`` indices of the permutation — those samples
-    appear twice in the epoch. Consumers needing exact torch remainder
-    semantics should use ``training.engine`` (which runs a true short
-    remainder batch) rather than this helper.
+    short final batch, so the last batch WRAPS AROUND and re-uses leading
+    indices of the permutation (tiling it when n < batch_size) — those
+    samples appear more than once in the epoch. Consumers needing exact
+    torch remainder semantics should use ``training.engine`` (which runs a
+    true short remainder batch and keeps its own drop_last=True permutation
+    inline in run_epoch) rather than this helper.
     """
     if shuffle:
         perm = jax.random.permutation(key, n)
@@ -125,9 +120,11 @@ def batch_indices(
         n_batches = n // batch_size
         return perm[: n_batches * batch_size].reshape(n_batches, batch_size)
     n_batches = -(-n // batch_size)
-    pad = n_batches * batch_size - n
-    perm = jnp.concatenate([perm, perm[:pad]]) if pad else perm
-    return perm.reshape(n_batches, batch_size)
+    # jnp.resize tiles the permutation: a single pad slice perm[:pad] would
+    # come up short (and crash the reshape) whenever n < pad
+    return jnp.resize(perm, (n_batches * batch_size,)).reshape(
+        n_batches, batch_size
+    )
 
 
 def load_label_encoder(path):

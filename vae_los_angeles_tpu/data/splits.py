@@ -31,8 +31,14 @@ def padded_kfold_indices(n: int, n_splits: int, seed: int = 42):
     """KFold indices padded to uniform shapes for fold-level vmap.
 
     Returns (train_idx, train_mask, val_idx, val_mask), each shaped
-    (n_splits, max_len). Padding repeats index 0 with mask=False; masked
-    rows contribute zero to losses/metrics.
+    (n_splits, max_len). Padding repeats index 0 with mask=False.
+
+    NOTE: no engine path consumes the masks — the production fold batching
+    (`parallel.vmap_meta.fit_folds`) instead GROUPS folds by exact
+    (train, val) sizes, which needs no masking at all (KFold yields at most
+    two distinct sizes). Feeding the padded indices into the unmasked engine
+    would double-count sample 0; a consumer of this helper must apply the
+    masks itself in its loss/metric reductions.
     """
     folds = kfold_indices(n, n_splits, seed)
     max_tr = max(len(tr) for tr, _ in folds)
