@@ -19,9 +19,12 @@ Two modes:
 
 Pruning: the reference's MedianPruner (:129-131) saves wall-clock only when
 trials run sequentially. In vmapped mode all trials of a bucket advance in
-lockstep inside one program, so "pruning" would free no device time — early
-stopping per trial (carried in the vmapped state) already masks dead trials'
-updates. The optuna mode keeps real pruning for workflow parity.
+lockstep inside one program, so pruning would free no device time and is
+omitted. In optuna mode the whole fused run completes before the loss curve
+is replayed through ``trial.report``/``should_prune`` — pruning there
+restores the reference's trial-state bookkeeping (PRUNED trials in the
+study), not compute. Trials train their full epoch budget with early
+stopping disabled, exactly like the reference's objective loop (:101-127).
 
 Note: the reference's objective returns an unmodified ``np.inf``
 (:100,:133 — a bug documented in SURVEY §2.2); this implementation returns
@@ -56,14 +59,32 @@ SEARCH_SPACE = {
 }
 
 
-def sample_trials(n_trials: int, seed: int = 0):
+def sample_trials(n_trials: int, seed: int = 0, bucket_size: int = 4):
+    """Sample trials so the vmapped mode actually batches.
+
+    The shape-carrying dims (latent_dim, embed_dim) select the compiled
+    executable, so trials sharing them train together (SURVEY hard-part #4:
+    "group trials of equal shape"). Independent uniform draws over 91×3
+    shape combos would make multi-trial buckets vanishingly rare — every
+    "population" would be a singleton, the same wall-clock shape as the
+    reference's sequential loop. Instead, ``ceil(n/bucket_size)`` distinct
+    shape combos are drawn from the same space and each is shared by up to
+    ``bucket_size`` trials; the shape-free hyperparameters stay fully
+    independent per trial. The optuna mode keeps the reference's exact
+    per-trial space."""
     rng = np.random.default_rng(seed)
     lo, hi = SEARCH_SPACE["latent_dim"]
+    n_buckets = max(1, -(-n_trials // max(1, bucket_size)))
+    shapes = [
+        (int(rng.integers(lo, hi + 1)), int(rng.choice(SEARCH_SPACE["embed_dim"])))
+        for _ in range(n_buckets)
+    ]
     trials = []
-    for _ in range(n_trials):
+    for i in range(n_trials):
+        latent, embed = shapes[i // max(1, bucket_size)]
         trials.append(
             {
-                "latent_dim": int(rng.integers(lo, hi + 1)),
+                "latent_dim": latent,
                 "learning_rate": float(
                     np.exp(rng.uniform(*np.log(SEARCH_SPACE["learning_rate"])))
                 ),
@@ -74,7 +95,7 @@ def sample_trials(n_trials: int, seed: int = 0):
                     np.exp(rng.uniform(*np.log(SEARCH_SPACE["beta_start"])))
                 ),
                 "gamma": float(rng.uniform(*SEARCH_SPACE["gamma"])),
-                "embed_dim": int(rng.choice(SEARCH_SPACE["embed_dim"])),
+                "embed_dim": embed,
             }
         )
     return trials
@@ -96,14 +117,27 @@ def _load(cfg: Config):
 
 
 def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
-                num_epochs, seed=0):
-    """Bucket trials by shape; train each bucket as one vmapped population."""
+                num_epochs, seed=0, timeout=None):
+    """Bucket trials by shape; train each bucket as one vmapped population.
+
+    ``timeout``: wall-clock budget in seconds (the reference's 3000 s cap,
+    :139-140) checked between buckets — buckets that have not started when
+    it expires are skipped (their trials keep val_loss=inf)."""
+    import time
+
     buckets = {}
     for i, t in enumerate(trials):
         buckets.setdefault((t["latent_dim"], t["embed_dim"]), []).append(i)
 
+    t0 = time.monotonic()
     values = np.full(len(trials), np.inf)
     for (latent, embed), idxs in buckets.items():
+        if timeout is not None and time.monotonic() - t0 > timeout:
+            print(
+                f"  --timeout {timeout:.0f}s reached; skipping bucket "
+                f"latent={latent} embed={embed} ({len(idxs)} trial(s))"
+            )
+            continue
         bucket_cfg = cfg.replace(latent_dim=latent, embed_dim=embed, patience=10**6)
         pop = {
             "lr": np.asarray([trials[i]["learning_rate"] for i in idxs], np.float32),
@@ -179,6 +213,11 @@ def run_optuna(cfg, n_trials, timeout, train_arrays, val_arrays, n_sites,
         for epoch, v in enumerate(val_losses):
             if np.isfinite(v):
                 trial.report(float(v), epoch)
+                if trial.should_prune():
+                    # the fused run already completed — pruning here restores
+                    # the reference's trial-state bookkeeping (:129-131:
+                    # PRUNED trials in the study), not wall-clock
+                    raise optuna.TrialPruned()
         return float(np.nanmin(val_losses))
 
     study = optuna.create_study(direction="minimize")
@@ -225,14 +264,15 @@ def main(argv=None, cfg: Optional[Config] = None):
     cfg = cfg or Config.from_env()
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     cfg, train_arrays, val_arrays, n_sites, class_weights = _load(cfg)
-    num_epochs = args.epochs or cfg.num_epochs
+    # explicit --epochs 0 means "no training epochs", like the training CLIs
+    num_epochs = cfg.num_epochs if args.epochs is None else args.epochs
 
     if args.mode == "vmapped":
         trials = sample_trials(args.trials, args.seed)
         print(f"Running {args.trials} trials (vmapped populations)...")
         values = run_vmapped(
             cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
-            num_epochs, args.seed,
+            num_epochs, args.seed, timeout=args.timeout,
         )
         best_idx = int(np.argmin(values))
         best_params, best_value = trials[best_idx], float(values[best_idx])
