@@ -90,9 +90,17 @@ def run_cross_validation(
         params_to_test, param_name = k_values, "k"
     elif model_type in ("vae", "ae"):
         params_to_test, param_name = [epochs], "epochs"
-    else:
+    elif model_type == "mean":
+        # "dummy" is the reference's own label for the baseline's param
+        # column (vae_cross_modality_cv.py:302,576 → "mean | dummy=0")
         params_to_test, param_name = [0], "dummy"
+    else:
+        # a typo'd model_type would otherwise fall into the VAE branch and
+        # report an untrained model's metrics under the bogus name
+        raise ValueError(f"unknown model_type {model_type!r}")
 
+    if direction_name not in ("RNA -> DNA", "DNA -> RNA"):
+        raise ValueError(f"unknown direction {direction_name!r}")
     is_rna2dna = direction_name != "DNA -> RNA"
     # canonical array layout: tpm=RNA, beta=DNA regardless of direction
     rna_all = X if is_rna2dna else y
@@ -199,6 +207,11 @@ def perform_statistical_comparison(results, metric="Mean R2"):
         mean_results = [r for r in dir_results if r["model"] == "mean"]
         if not knn_results or not vae_results:
             continue
+        # the reference deliberately selects the "best" configuration by
+        # Mean R2 for EVERY compared metric ("Let's stick to using Mean R2
+        # to select the best configuration, then compare them on the
+        # specific metric", vae_cross_modality_cv.py:466-468) — so an MSE
+        # t-test may pair configs that are not MSE-best; kept for parity
         best_knn = max(knn_results, key=lambda x: x["mean_Mean R2"])
         best_vae = max(vae_results, key=lambda x: x["mean_Mean R2"])
         knn_scores = best_knn["fold_metrics"][metric]
@@ -300,6 +313,8 @@ def main(argv=None):
 
     print("\n" + "=" * 120)
     print("FINAL RESULTS SUMMARY (Mean R2 & MSE)")
+    print("(VAE/AE times include the one-time XLA compilation of their "
+          "vmapped fold populations; kNN/mean rows are sklearn host time)")
     print("=" * 120)
     print(
         f"{'Direction':<12} | {'Model':<5} | {'Param':<10} | {'Mean R2':<10} | "
