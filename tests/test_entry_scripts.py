@@ -68,3 +68,58 @@ def test_graft_dryrun_multichip():
         dryrun_multichip(8)
     finally:
         sys.path.remove(REPO)
+
+
+def test_graft_dryrun_multichip_self_provisions():
+    """Driver-contract regression (round-1 MULTICHIP failure): the dryrun
+    must provision its own 8-device virtual mesh in a clean subprocess with
+    NO conftest env and NO XLA_FLAGS/JAX_PLATFORMS help — exactly how the
+    driver invokes it (it sees 1 real chip, or whatever sitecustomize set).
+    """
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")
+    }
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8)",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip OK" in out.stdout, out.stdout
+
+
+def test_graft_dryrun_multichip_initialized_backend():
+    """When the backend is already initialized too narrow, the dryrun must
+    re-exec itself in a subprocess rather than fail (round-1 failure mode:
+    driver calls it after touching the 1-chip axon backend)."""
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_NUM_CPU_DEVICES")
+    }
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.devices()  # initialize backend with the default 1 CPU device\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(8)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip OK" in out.stdout, out.stdout

@@ -103,7 +103,11 @@ def param_specs(params) -> dict:
                         break  # narrow layer with a colliding name: replicate
                     if col:
                         return {"w": P(None, "model"), "b": P("model")}
-                    return {"w": P("model", None), "b": P()}
+                    # P("model"), not P("model", None): GSPMD canonicalizes
+                    # trailing Nones away, and a spec mismatch between the
+                    # hand-placed inputs and the step's outputs forces a
+                    # needless recompile on the second step.
+                    return {"w": P("model"), "b": P()}
             return {"w": P(), "b": P()}
         if isinstance(tree, dict):
             return {k: walk(v, path + (k,)) for k, v in tree.items()}
@@ -164,4 +168,10 @@ def make_sharded_train_state(task_name: str, cfg, n_sites: int, mesh: Mesh, key)
     replicated = NamedSharding(mesh, P())
     state = jax.tree.map(lambda x: jax.device_put(x, replicated), state)
     opt = optim.adamw_init(params)
+    # m/v inherit the param shardings via zeros_like; scalar leaves (the step
+    # counter) are host-created and must be committed to the mesh too, or the
+    # step's output sharding (replicated) won't match its input on call 2.
+    opt = jax.tree.map(
+        lambda x: jax.device_put(x, replicated) if x.ndim == 0 else x, opt
+    )
     return params, state, opt
