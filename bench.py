@@ -11,6 +11,17 @@ dims (1177 RNA / 1211 DNA, 24 sites). The whole run is ONE device dispatch
 Prints one JSON line:
   {"metric": "rna2dna_200epoch_wallclock", "value": <seconds>, "unit": "s",
    "vs_baseline": <60s target / measured — higher is better>}
+
+Modes (BENCH_MODE env): epoch (Pallas whole-epoch megakernel, default on
+TPU) | step (per-step fused kernel) | xla (pure-XLA fused scan) | dp
+(XLA scan sharded over a "data" mesh of all visible chips — degenerates to
+single-chip when only one device is visible, so the multi-chip number is one
+command away on real hardware).
+
+NOTE: deliberately NO JAX_COMPILATION_CACHE_DIR here — on the axon
+remote-compile relay the local executable-serialization cache measured
+3-10x slower compiles (benchmarks/RESULTS.md "compilation cache
+anti-result"); round 1's 762 s compile+run was exactly this foot-gun.
 """
 
 from __future__ import annotations
@@ -19,8 +30,6 @@ import json
 import os
 import sys
 import time
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
 import jax.numpy as jnp
@@ -32,10 +41,10 @@ from vae_los_angeles_tpu.data.splits import train_val_indices
 from vae_los_angeles_tpu.data.synthetic import generate_synthetic_arrays
 from vae_los_angeles_tpu.training import engine
 
-N_SAMPLES = 8000  # TCGA-scale matched cohort
+N_SAMPLES = int(os.getenv("BENCH_SAMPLES", "8000"))  # TCGA-scale matched cohort
 N_SITES = 24
 TARGET_SECONDS = 60.0  # BASELINE.json north star: 200 epochs < 60 s
-EPOCHS = 200
+EPOCHS = int(os.getenv("BENCH_EPOCHS", "200"))
 
 
 def main():
@@ -57,8 +66,20 @@ def main():
     # fastest path on TPU: the whole-epoch Pallas megakernel (every AdamW
     # step of an epoch in ONE kernel, params+moments VMEM-resident).
     # BENCH_MODE=step uses the per-step fused kernel; BENCH_MODE=xla the
-    # pure-XLA fused scan.
+    # pure-XLA fused scan; BENCH_MODE=dp shards the run over all chips.
     mode = os.getenv("BENCH_MODE", "epoch") if jax.default_backend() == "tpu" else "xla"
+    if "--dp" in sys.argv:
+        mode = "dp"
+
+    mesh = None
+    if mode == "dp":
+        from vae_los_angeles_tpu.parallel import sharding as _sharding
+
+        mesh = _sharding.make_mesh(len(jax.devices()))
+        print(
+            f"dp mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}",
+            file=sys.stderr,
+        )
 
     def run(seed):
         res = engine.fit(
@@ -71,6 +92,7 @@ def main():
             num_epochs=EPOCHS,
             fused_step=(mode == "step"),
             fused_epoch=(mode == "epoch"),
+            mesh=mesh,
         )
         # NOTE: device_get, not block_until_ready — the axon remote relay
         # returns from block_until_ready before execution completes, so an
@@ -89,9 +111,11 @@ def main():
 
     n_train = len(tr_idx)
     samples_per_sec = EPOCHS * (n_train // cfg.batch_size) * cfg.batch_size / wall
+    compile_s = compile_and_run - wall
     print(
-        f"compile+run: {compile_and_run:.2f}s | steady-state 200-epoch run: "
-        f"{wall:.2f}s | {samples_per_sec:,.0f} samples/s | "
+        f"compile: {compile_s:.2f}s | compile+run: {compile_and_run:.2f}s | "
+        f"steady-state 200-epoch run: {wall:.2f}s | "
+        f"{samples_per_sec:,.0f} samples/s | "
         f"final val loss {float(res.val_losses[-1]):.2f} | "
         f"mode={mode}",
         file=sys.stderr,

@@ -13,11 +13,7 @@ from vae_los_angeles_tpu.data.dataset import (
     MultiModalDataset,
     batch_indices,
 )
-from vae_los_angeles_tpu.data.splits import (
-    kfold_indices,
-    padded_kfold_indices,
-    train_val_indices,
-)
+from vae_los_angeles_tpu.data.splits import kfold_indices, train_val_indices
 from vae_los_angeles_tpu.data.synthetic import (
     generate_synthetic_arrays,
     make_dataframe,
@@ -35,14 +31,13 @@ def test_split_protocol_matches_reference():
     np.testing.assert_array_equal(np.sort(ref_val.index.values), np.sort(va_idx))
 
 
-def test_kfold_shapes_and_padding():
+def test_kfold_partitions_samples():
     folds = kfold_indices(103, 10)
     assert len(folds) == 10
     all_val = np.concatenate([va for _, va in folds])
     assert sorted(all_val.tolist()) == list(range(103))
-    tr_idx, tr_mask, va_idx, va_mask = padded_kfold_indices(103, 10)
-    assert tr_idx.shape == tr_mask.shape
-    assert int(va_mask.sum()) == 103
+    # at most two distinct fold sizes → vmap_meta groups them unpadded
+    assert len({(len(tr), len(va)) for tr, va in folds}) <= 2
 
 
 def test_synthetic_schema_roundtrip(tmp_path):

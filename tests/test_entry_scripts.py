@@ -46,6 +46,33 @@ def test_prepare_scripts_importable():
     assert "--synthetic" in out.stdout
 
 
+def test_bench_dp_mode(monkeypatch, capsys):
+    """bench.py --dp must build a "data" mesh over all visible devices and
+    still emit the one-JSON-line contract (the multi-chip perf number is one
+    command away on real hardware; here it runs on the 8-device CPU mesh)."""
+    import importlib
+    import json
+
+    monkeypatch.setenv("BENCH_EPOCHS", "2")
+    monkeypatch.setenv("BENCH_SAMPLES", "256")
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--dp"])
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+
+        importlib.reload(bench)  # re-read BENCH_* env at module level
+        bench.main()
+    finally:
+        sys.path.remove(REPO)
+    out = capsys.readouterr()
+    lines = [ln for ln in out.out.strip().splitlines() if ln.startswith("{")]
+    assert len(lines) == 1
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "rna2dna_200epoch_wallclock"
+    assert payload["unit"] == "s"
+    assert "dp mesh" in out.err and "mode=dp" in out.err
+
+
 def test_graft_entry_lowers():
     """entry() must produce a jittable forward (lowering = compile check)."""
     sys.path.insert(0, REPO)

@@ -249,3 +249,39 @@ def test_dp_predict_matches_unsharded():
     plain = engine.predict("rna2dna", p0, s0, arrays)
     dp = engine.predict("rna2dna", p0, s0, arrays, mesh=mesh)
     np.testing.assert_allclose(np.asarray(plain), np.asarray(dp), atol=1e-6)
+
+
+def test_fit_trials_continuation_bitexact():
+    """Rung continuation (carry0 + start_epoch + explicit keys) must train
+    bit-identically to one uninterrupted run — including after slicing a
+    survivor subset out of the population (the HPO pruning path)."""
+    arrays = _arrays(n=120, seed=7)
+    tr, va = arrays.take(np.arange(96)), arrays.take(np.arange(96, 120))
+    pop = {
+        "lr": np.asarray([3e-4, 1e-3, 5e-3], np.float32),
+        "beta_start": np.full(3, 1e-3, np.float32),
+    }
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(9), 3))
+    full = vmap_meta.fit_trials(
+        "rna2dna", CFG, tr, va, jax.random.PRNGKey(9), N_SITES, pop,
+        num_epochs=4, keys=keys,
+    )
+
+    # run 2 epochs, drop trial 1, continue trials (0, 2) for 2 more epochs
+    part1 = vmap_meta.fit_trials(
+        "rna2dna", CFG, tr, va, jax.random.PRNGKey(9), N_SITES, pop,
+        num_epochs=2, keys=keys,
+    )
+    keep = np.asarray([0, 2])
+    carry = jax.tree.map(lambda x: x[keep], part1.carry)
+    sub_pop = {k: v[keep] for k, v in pop.items()}
+    part2 = vmap_meta.fit_trials(
+        "rna2dna", CFG, tr, va, jax.random.PRNGKey(9), N_SITES, sub_pop,
+        num_epochs=2, carry0=carry, start_epoch=2, keys=keys[keep],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(part2.val_losses), np.asarray(full.val_losses)[keep, 2:]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(part2.best_val_loss), np.asarray(full.best_val_loss)[keep]
+    )

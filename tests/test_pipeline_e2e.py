@@ -202,6 +202,25 @@ def test_hpo_vmapped(workspace):
     assert (workspace / "checkpoints" / "best_multivae_optimized.npz").exists()
 
 
+def test_hpo_vmapped_pruning(workspace, capsys):
+    """Rung-based median pruning: with 2 rungs and one shape bucket, the
+    worse half of the population is pruned at the rung boundary, pruned
+    trials are excluded from best-trial selection, and the winner retrains."""
+    from vae_los_angeles_tpu.evaluation.hpo import main as hpo_main
+
+    best_params, best_value = hpo_main(
+        ["--trials", "4", "--epochs", "4", "--prune-rungs", "2",
+         "--bucket-size", "4", "--seed", "3"],
+        cfg=CFG,
+    )
+    out = capsys.readouterr().out
+    assert np.isfinite(best_value)
+    assert "pruned" in out  # at least one trial pruned at the rung boundary
+    assert "PRUNED@2" in out  # 4 epochs / 2 rungs → boundary after epoch 2
+    # the reported best is a completed trial's value
+    assert f"val_loss={best_value:.2f} [complete]" in out
+
+
 def test_downstream_trimodal(workspace):
     """Tri-modal downstream task: 8 scenarios × StratifiedKFold deep-MLP."""
     from vae_los_angeles_tpu.evaluation.downstream import main as ds_main

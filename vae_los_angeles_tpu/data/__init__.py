@@ -9,7 +9,6 @@ from vae_los_angeles_tpu.data.dataset import (  # noqa: F401
 )
 from vae_los_angeles_tpu.data.splits import (  # noqa: F401
     kfold_indices,
-    padded_kfold_indices,
     train_val_indices,
 )
 
@@ -19,6 +18,5 @@ __all__ = [
     "batch_indices",
     "kfold_indices",
     "load_label_encoder",
-    "padded_kfold_indices",
     "train_val_indices",
 ]

@@ -17,14 +17,25 @@ Two modes:
     is still a single fused device dispatch, with per-epoch
     ``trial.report`` replayed from the returned loss curve.
 
-Pruning: the reference's MedianPruner (:129-131) saves wall-clock only when
-trials run sequentially. In vmapped mode all trials of a bucket advance in
-lockstep inside one program, so pruning would free no device time and is
-omitted. In optuna mode the whole fused run completes before the loss curve
-is replayed through ``trial.report``/``should_prune`` — pruning there
-restores the reference's trial-state bookkeeping (PRUNED trials in the
-study), not compute. Trials train their full epoch budget with early
-stopping disabled, exactly like the reference's objective loop (:101-127).
+Pruning (the reference's MedianPruner, :129-131): in vmapped mode the
+TPU-native equivalent is RUNG-BASED — ``--prune-rungs K`` splits the epoch
+budget into K segments; after each segment the median rule is applied across
+the live population (prune trials whose best-so-far val loss is strictly
+worse than the population median, optuna's MedianPruner criterion evaluated
+at rung granularity) and only the survivors' carries are re-fed to continue
+training. Pruned trials genuinely stop consuming device time: the population
+axis is a batch dimension of every matmul, so a halved population halves the
+FLOPs of every remaining epoch. The trade-off is one fresh XLA program per
+distinct population width (each rung's survivor count is a new shape) —
+worth it when epochs × population is large relative to compile time, which
+is why the default is ``--prune-rungs 1`` (off, matching the reference's
+effective behavior: its default study never fires MedianPruner for n_trials
+≤ n_startup_trials=5). In optuna mode the whole fused run completes before
+the loss curve is replayed through ``trial.report``/``should_prune`` —
+pruning there restores the reference's trial-state bookkeeping (PRUNED
+trials in the study), not compute. Trials train their full epoch budget with
+early stopping disabled, exactly like the reference's objective loop
+(:101-127).
 
 Note: the reference's objective returns an unmodified ``np.inf``
 (:100,:133 — a bug documented in SURVEY §2.2); this implementation returns
@@ -116,13 +127,34 @@ def _load(cfg: Config):
     return cfg, arrays.take(tr_idx), arrays.take(va_idx), n_sites, cw
 
 
+def _rung_lengths(num_epochs: int, rungs: int):
+    """Split the epoch budget into ``rungs`` near-equal segments (first
+    segments take the remainder so every rung is ≥1 epoch)."""
+    rungs = max(1, min(rungs, num_epochs)) if num_epochs > 0 else 1
+    base, rem = divmod(num_epochs, rungs)
+    return [base + (1 if r < rem else 0) for r in range(rungs)]
+
+
 def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
-                num_epochs, seed=0, timeout=None):
+                num_epochs, seed=0, timeout=None, prune_rungs: int = 1):
     """Bucket trials by shape; train each bucket as one vmapped population.
 
     ``timeout``: wall-clock budget in seconds (the reference's 3000 s cap,
     :139-140) checked between buckets — buckets that have not started when
-    it expires are skipped (their trials keep val_loss=inf)."""
+    it expires are skipped (their trials keep val_loss=inf).
+
+    ``prune_rungs`` > 1 enables rung-based median pruning (module docstring):
+    after each rung, trials whose best-so-far val loss is strictly worse than
+    the live population's median are dropped, and the survivors' training
+    carries continue into the next rung — pruned trials' remaining epochs are
+    never executed.
+
+    Returns ``(values, pruned_at)``: per-trial best val loss (inf for
+    never-started trials) and the epoch a trial was pruned at (-1 = ran to
+    completion). Pruned trials report the best val loss they reached before
+    pruning; like optuna's study, they are excluded from best-trial selection
+    by the caller.
+    """
     import time
 
     buckets = {}
@@ -131,6 +163,7 @@ def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
 
     t0 = time.monotonic()
     values = np.full(len(trials), np.inf)
+    pruned_at = np.full(len(trials), -1, np.int64)
     for (latent, embed), idxs in buckets.items():
         if timeout is not None and time.monotonic() - t0 > timeout:
             print(
@@ -149,21 +182,64 @@ def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
             ),
             "gamma": np.asarray([trials[i]["gamma"] for i in idxs], np.float32),
         }
+        rungs = _rung_lengths(num_epochs, prune_rungs)
         print(
             f"  bucket latent={latent} embed={embed}: "
             f"{len(idxs)} trial(s) in one vmapped fit"
+            + (f", {len(rungs)} pruning rungs {rungs}" if len(rungs) > 1 else "")
         )
-        res = vmap_meta.fit_trials(
-            "multimodal", bucket_cfg, train_arrays, val_arrays,
-            jax.random.PRNGKey(seed), n_sites, pop,
-            num_epochs=num_epochs, class_weights=class_weights,
-            # multi-chip: trials shard over all visible devices
-            mesh=vmap_meta.population_mesh(),
+        # fixed per-trial run keys, reused across rungs: each trial's noise
+        # stream is keyed by absolute epoch (fold_in(key, epoch)), so a
+        # continued survivor trains bit-identically to an unpruned run
+        trial_keys = np.asarray(
+            jax.random.split(jax.random.PRNGKey(seed), len(idxs))
         )
-        best_vals = np.asarray(jax.device_get(res.best_val_loss))
-        for j, i in enumerate(idxs):
-            values[i] = float(best_vals[j])
-    return values
+        live = list(range(len(idxs)))  # bucket-local positions still training
+        carry = None
+        epoch_offset = 0
+        for r, rung_epochs in enumerate(rungs):
+            sub_pop = {k: v[live] for k, v in pop.items()}
+            res = vmap_meta.fit_trials(
+                "multimodal", bucket_cfg, train_arrays, val_arrays,
+                jax.random.PRNGKey(seed), n_sites, sub_pop,
+                num_epochs=rung_epochs, class_weights=class_weights,
+                # multi-chip: trials shard over all visible devices
+                mesh=vmap_meta.population_mesh(),
+                carry0=carry, start_epoch=epoch_offset,
+                keys=trial_keys[live],
+            )
+            best_vals = np.asarray(res.best_val_loss)
+            for j, pos in enumerate(live):
+                values[idxs[pos]] = float(best_vals[j])
+            epoch_offset += rung_epochs
+            if r == len(rungs) - 1:
+                break
+            # MedianPruner criterion at rung granularity: prune strictly-
+            # worse-than-median trials (ties survive; non-finite always
+            # pruned). The best trial can never be pruned.
+            finite = best_vals[np.isfinite(best_vals)]
+            if finite.size == 0:
+                print(f"    rung {r}: no finite val loss — bucket abandoned")
+                for pos in live:
+                    pruned_at[idxs[pos]] = epoch_offset
+                live = []
+                break
+            median = float(np.median(finite))
+            keep = [
+                j for j, v in enumerate(best_vals)
+                if np.isfinite(v) and v <= median
+            ]
+            dropped = [pos for j, pos in enumerate(live) if j not in keep]
+            for pos in dropped:
+                pruned_at[idxs[pos]] = epoch_offset
+            if dropped:
+                print(
+                    f"    rung {r}: pruned {len(dropped)} trial(s) at epoch "
+                    f"{epoch_offset} (median val loss {median:.2f})"
+                )
+            live = [live[j] for j in keep]
+            carry = jax.tree.map(lambda x: x[np.asarray(keep)], res.carry)
+    return values, pruned_at
 
 
 def run_optuna(cfg, n_trials, timeout, train_arrays, val_arrays, n_sites,
@@ -259,6 +335,17 @@ def main(argv=None, cfg: Optional[Config] = None):
     parser.add_argument("--timeout", type=float, default=3000)
     parser.add_argument("--mode", choices=["vmapped", "optuna"], default="vmapped")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--bucket-size", type=int, default=4,
+        help="trials sharing one (latent_dim, embed_dim) shape draw in "
+        "vmapped mode; 1 restores the reference's fully independent "
+        "per-trial shape sampling (at the cost of singleton populations)",
+    )
+    parser.add_argument(
+        "--prune-rungs", type=int, default=1,
+        help="split the epoch budget into this many rungs and apply the "
+        "median pruning rule between them (vmapped mode); 1 = no pruning",
+    )
     args = parser.parse_args(argv)
 
     cfg = cfg or Config.from_env()
@@ -268,16 +355,31 @@ def main(argv=None, cfg: Optional[Config] = None):
     num_epochs = cfg.num_epochs if args.epochs is None else args.epochs
 
     if args.mode == "vmapped":
-        trials = sample_trials(args.trials, args.seed)
+        trials = sample_trials(args.trials, args.seed, args.bucket_size)
         print(f"Running {args.trials} trials (vmapped populations)...")
-        values = run_vmapped(
+        values, pruned_at = run_vmapped(
             cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
             num_epochs, args.seed, timeout=args.timeout,
+            prune_rungs=args.prune_rungs,
         )
-        best_idx = int(np.argmin(values))
-        best_params, best_value = trials[best_idx], float(values[best_idx])
+        # like optuna's study: only COMPLETE trials are eligible as best
+        # (pruned excluded), and an all-diverged/skipped sweep is an error,
+        # not a silently retrained NaN/inf config
+        complete = np.isfinite(values) & (pruned_at < 0)
         for i, (t, v) in enumerate(zip(trials, values)):
-            print(f"  trial {i}: val_loss={v:.2f}  {t}")
+            status = "PRUNED@%d" % pruned_at[i] if pruned_at[i] >= 0 else (
+                "complete" if np.isfinite(v) else "failed"
+            )
+            print(f"  trial {i}: val_loss={v:.2f} [{status}]  {t}")
+        if not complete.any():
+            raise SystemExit(
+                "no trial completed with a finite validation loss — every "
+                "trial diverged, was pruned, or was skipped by --timeout; "
+                "nothing to retrain (try more --trials, a longer --timeout, "
+                "or --prune-rungs 1)"
+            )
+        best_idx = int(np.argmin(np.where(complete, values, np.inf)))
+        best_params, best_value = trials[best_idx], float(values[best_idx])
     else:
         study = run_optuna(
             cfg, args.trials, args.timeout, train_arrays, val_arrays, n_sites,

@@ -55,6 +55,23 @@ def _constrain_rows(x, data_sharding):
     return jax.lax.with_sharding_constraint(x, data_sharding)
 
 
+def _place_weights(params, state):
+    """Stage checkpoint weights onto device ONCE at load time (replicated on
+    multi-chip hosts). The npz loader returns host numpy; without this every
+    serving call in a cohort-imputation loop would re-transfer the full
+    weight pytree."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from vae_los_angeles_tpu.parallel.vmap_meta import population_mesh
+
+    mesh = population_mesh()
+    if mesh is None:
+        return jax.device_put((params, state))
+    return jax.device_put(
+        (params, state), NamedSharding(mesh, PartitionSpec())
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_directional(apply_fn, input_kw: str, data_sharding):
     """One-dispatch eval forward (the eager per-op path costs a host↔device
@@ -105,10 +122,6 @@ class LoadedDirectionalVAE:
                  use_pallas: bool = False):
         self._apply = apply_fn
         self._kw = input_kw  # "rna" or "dna"
-        self.params = params
-        self.state = state
-        self.run_id = run_id
-        self._key = jax.random.PRNGKey(0)
         self._fused = None
         if use_pallas:
             from vae_los_angeles_tpu.ops.pallas.fused_vae import (
@@ -118,6 +131,9 @@ class LoadedDirectionalVAE:
 
             fused_cls = FusedRNA2DNA if input_kw == "rna" else FusedDNA2RNA
             self._fused = fused_cls(params, state)
+        self.params, self.state = _place_weights(params, state)
+        self.run_id = run_id
+        self._key = jax.random.PRNGKey(0)
 
     def __call__(self, site=None, key=None, **kwargs):
         x = kwargs.get(self._kw)
@@ -149,8 +165,7 @@ class LoadedMultiModalVAE:
     (out_a, out_b, out_c, mu, logvar) as numpy arrays."""
 
     def __init__(self, params, state, run_id=None):
-        self.params = params
-        self.state = state
+        self.params, self.state = _place_weights(params, state)
         self.run_id = run_id
         self._key = jax.random.PRNGKey(0)
 

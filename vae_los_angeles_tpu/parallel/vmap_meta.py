@@ -206,6 +206,9 @@ def fit_trials(
     num_epochs=None,
     class_weights=None,
     mesh: Optional[Mesh] = None,
+    carry0=None,
+    start_epoch: int = 0,
+    keys=None,
 ) -> engine.FitResult:
     """Train a population of hyperparameter trials in ONE compiled program.
 
@@ -214,6 +217,20 @@ def fit_trials(
     (cfg.latent_dim / cfg.embed_dim); callers bucket trials by shape.
     Returns a FitResult whose leaves have a leading trial axis. With
     ``mesh``, the trial axis is sharded over the mesh's "data" axis.
+
+    ``carry0``/``start_epoch`` continue a previously returned population
+    mid-run: pass (a trial-axis slice of) a prior result's ``.carry`` and
+    the epoch it stopped at. β-warmup, plateau/early-stop state and the
+    best-snapshot all resume exactly — this is what rung-based HPO pruning
+    (evaluation/hpo.py) builds on: survivors continue, pruned trials are
+    simply not re-fed, so their remaining epochs are never executed.
+
+    ``keys``: explicit (n_trials, 2) per-trial run keys. Required for exact
+    continuation of a SLICED population: the default ``split(key, n)`` is a
+    function of n, so survivors would silently switch noise streams. Per-
+    trial noise within a run is keyed by absolute epoch (fold_in(key, epoch)
+    in the engine), so a survivor continued with its original key trains
+    bit-identically to the unpruned run.
     """
     if num_epochs is None:
         num_epochs = cfg.num_epochs
@@ -228,20 +245,32 @@ def fit_trials(
         for k in base
     }
 
-    keys = jax.random.split(key, n_trials)
-    init = _vmapped_init(task_name, cfg, n_sites)
+    if keys is None:
+        keys = jax.random.split(key, n_trials)
+    else:
+        keys = jnp.asarray(keys)
+        if keys.shape[0] != n_trials:
+            raise ValueError(
+                f"keys has {keys.shape[0]} rows for {n_trials} trials"
+            )
     if mesh is not None:
         padded = _padded_size(n_trials, mesh)
         keys = _shard_population(_pad_population(keys, padded), mesh)
         hp = _shard_population(_pad_population(hp, padded), mesh)
-    carry0 = init(keys, hp["lr"])
+        if carry0 is not None:
+            carry0 = _shard_population(_pad_population(carry0, padded), mesh)
+    if carry0 is None:
+        init = _vmapped_init(task_name, cfg, n_sites)
+        carry0 = init(keys, hp["lr"])
     fit_v = _vmapped_fit(
         task_name, int(num_epochs), int(cfg.batch_size),
         int(len(train_arrays)), int(len(val_arrays)), True,
         class_weights is not None, None, 0,
     )
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
-    res = fit_v(carry0, train_arrays, val_arrays, hp, cw, keys, jnp.int32(0))
+    res = fit_v(
+        carry0, train_arrays, val_arrays, hp, cw, keys, jnp.int32(start_epoch)
+    )
     # host-side assembly (+ pad-drop) in one transfer — see fit_folds for
     # why slicing device leaves per trial is both slower and a flaky abort
     # site on the virtual-device CPU backend

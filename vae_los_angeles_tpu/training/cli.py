@@ -227,11 +227,13 @@ def run_training(
         # tracing, when the checkpoint was trained on different-width data
         from vae_los_angeles_tpu.training.tasks import TASKS
 
-        ref_params, _ = TASKS[task_name].init(
-            jax.random.PRNGKey(0), cfg, n_sites
+        # eval_shape: abstract trace only — no RNG work or parameter
+        # allocation at the (possibly large) data dims just to compare shapes
+        ref_params, _ = jax.eval_shape(
+            lambda: TASKS[task_name].init(jax.random.PRNGKey(0), cfg, n_sites)
         )
         got = jax.tree.map(lambda x: tuple(np.shape(x)), resume_carry["params"])
-        want = jax.tree.map(lambda x: tuple(np.shape(x)), ref_params)
+        want = jax.tree.map(lambda x: tuple(x.shape), ref_params)
         if got != want:
             raise ValueError(
                 f"resume checkpoint parameter shapes do not match the "

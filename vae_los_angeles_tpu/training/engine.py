@@ -525,13 +525,26 @@ def _build_predict(task_name: str, data_sharding=None):
     return jax.jit(_predict)
 
 
+def replicate_for_serving(tree, mesh):
+    """Pre-place a params/state pytree replicated on ``mesh`` ONCE.
+
+    Cohort-imputation loops call ``predict(mesh=...)`` many times with the
+    same weights; replicating up front makes the per-call placement below a
+    no-op instead of a full host→device transfer per call."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.device_put(tree, NamedSharding(mesh, PartitionSpec()))
+
+
 def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None,
             mesh=None):
     """Eval-mode cross-modal prediction over a full table (jitted & cached).
 
     ``mesh``: shard the sample axis over the mesh's "data" axis — the
     multi-chip path for imputing large unmatched cohorts
-    (reconstruct_unmatched.py's serving workload)."""
+    (reconstruct_unmatched.py's serving workload). Weights that already carry
+    the replicated mesh layout (see ``replicate_for_serving``) are used
+    as-is; only unplaced leaves pay a transfer."""
     if key is None:
         key = jax.random.PRNGKey(0)
     data_sharding = None
@@ -539,7 +552,11 @@ def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None,
         from jax.sharding import NamedSharding, PartitionSpec
 
         data_sharding = NamedSharding(mesh, PartitionSpec("data"))
-        params, state, key = jax.device_put(
-            (params, state, key), NamedSharding(mesh, PartitionSpec())
+        replicated = NamedSharding(mesh, PartitionSpec())
+        params, state, key = jax.tree.map(
+            lambda x: x
+            if isinstance(x, jax.Array) and x.sharding == replicated
+            else jax.device_put(x, replicated),
+            (params, state, key),
         )
     return _build_predict(task_name, data_sharding)(params, state, arrays, key)
