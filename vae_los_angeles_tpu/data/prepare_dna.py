@@ -127,19 +127,19 @@ def _build_imputed_matrix_native(combined_df):
         raise RuntimeError(f"pivot_impute failed with code {rc}")
     # pre-typed Series skip pandas' per-element object inference, which
     # costs ~30 s alone on a 27M-row grid (measured); with dtype pinned the
-    # frame assembles in O(1)
+    # frame assembles in O(1). All three columns preserve the INPUT dtypes
+    # (incl. parquet-sourced StringDtype keys) so the written parquet schema
+    # does not depend on whether a C++ toolchain was present.
     return pd.DataFrame(
         {
             "case_barcode": pd.Series(
                 np.repeat(np.asarray(patients, dtype=object), K),
                 dtype=object, copy=False,
-            ),
+            ).astype(combined_df["case_barcode"].dtype, copy=False),
             "probe_id": pd.Series(
                 np.tile(np.asarray(probes, dtype=object), P),
                 dtype=object, copy=False,
-            ),
-            # preserve the input's dtype so the written parquet schema does
-            # not depend on whether a C++ toolchain was present
+            ).astype(combined_df["probe_id"].dtype, copy=False),
             "beta_value": pd.Series(out.ravel().astype(beta_dtype, copy=False)),
         },
         copy=False,
