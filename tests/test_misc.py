@@ -221,3 +221,54 @@ def test_loaded_wrapper_sharded_serving_matches_eager(rng):
         np.testing.assert_allclose(recon, np.asarray(ref.recon), atol=1e-6)
         np.testing.assert_allclose(mu, np.asarray(ref.mu), atol=1e-6)
         np.testing.assert_allclose(logvar, np.asarray(ref.logvar), atol=1e-6)
+
+
+def test_cv_pairwise_tests_semantics():
+    """The t-test frame preserves the reference's selection quirk (best
+    config chosen by Mean R2 for EVERY compared metric) and orients the
+    winner correctly for error metrics."""
+    from vae_los_angeles_tpu.evaluation.cross_modality_cv import (
+        pairwise_tests,
+        tidy_results,
+    )
+
+    def res(model, param, mean_r2, mse_scores):
+        return {
+            "direction": "RNA -> DNA",
+            "model": model,
+            "param_name": "k" if model == "knn" else "epochs",
+            "param_value": param,
+            "mean_Mean R2": mean_r2,
+            "fold_metrics": {
+                "Mean R2": [mean_r2] * len(mse_scores),
+                "MSE": mse_scores,
+            },
+        }
+
+    results = [
+        # knn k=5 is Mean-R2-best but MSE-WORST among knn configs: the MSE
+        # test must still pair k=5 (the quirk, reference :466-468)
+        res("knn", 5, 0.9, [5.0, 5.1, 4.9, 5.2, 5.05]),
+        res("knn", 10, 0.5, [0.10, 0.11, 0.09, 0.12, 0.10]),
+        res("vae", 200, 0.8, [1.0, 1.1, 0.9, 1.2, 1.05]),
+        res("mean", 0, 0.0, [9.0, 9.1, 8.9, 9.2, 9.05]),
+    ]
+    tests = pairwise_tests(results, metric="MSE")
+    vae_knn = tests[(tests["A"] == "vae") & (tests["B"] == "knn")].iloc[0]
+    assert vae_knn["B_config"] == "knn (k=5)"  # Mean-R2-best, not MSE-best
+    # MSE is an error metric: vae (1.0) beats knn (5.0)
+    assert vae_knn["winner"] == "vae"
+    vae_mean = tests[(tests["A"] == "vae") & (tests["B"] == "mean")].iloc[0]
+    assert vae_mean["winner"] == "vae"
+
+    # on a higher-better metric the same pairing flips
+    tests_r2 = pairwise_tests(results, metric="Mean R2")
+    vae_knn_r2 = tests_r2[(tests_r2["A"] == "vae") & (tests_r2["B"] == "knn")]
+    assert vae_knn_r2.iloc[0]["winner"] == "knn"
+
+    frame = tidy_results(results)
+    assert set(frame.columns) == {
+        "Direction", "Model", "Config", "Fold", "Metric", "Score",
+    }
+    # one row per (config, metric, fold)
+    assert len(frame) == 4 * 2 * 5

@@ -191,85 +191,144 @@ def run_cross_validation(
     return results
 
 
-def perform_statistical_comparison(results, metric="Mean R2"):
-    """Paired t-tests between best models per direction (reference :453-530)."""
+def _config_label(res) -> str:
+    """Display label for a swept configuration, e.g. "knn (k=5)"."""
+    if res["model"] == "knn":
+        return f"knn (k={res['param_value']})"
+    if res["model"] in ("vae", "ae"):
+        return f"{res['model']} (ep={res['param_value']})"
+    return res["model"]
+
+
+def tidy_results(results):
+    """Long-form scores frame: one row per (direction, model, config, fold,
+    metric). The framework's canonical CV-results structure — the renderers
+    below (t-test table, plotly boxplots) are all views over it."""
+    import pandas as pd
+
+    rows = []
+    for res in results:
+        label = _config_label(res)
+        for metric, scores in res["fold_metrics"].items():
+            for fold, score in enumerate(scores):
+                rows.append(
+                    {
+                        "Direction": res["direction"],
+                        "Model": res["model"],
+                        "Config": label,
+                        "Fold": fold,
+                        "Metric": metric,
+                        "Score": score,
+                    }
+                )
+    return pd.DataFrame(rows)
+
+
+# The pairings the reference reports (vae_cross_modality_cv.py:485-513):
+# each tuple is (A, B) for a paired t-test on A's vs B's per-fold scores.
+_TEST_PAIRS = (("ae", "vae"), ("ae", "knn"), ("vae", "mean"), ("vae", "knn"))
+_HIGHER_BETTER_TOKENS = ("R2", "Cosine", "Pearson")
+
+
+def pairwise_tests(results, metric="Mean R2"):
+    """Paired t-tests between the per-direction best configurations.
+
+    Returns a tidy frame (Direction, A, B, A_config, B_config, A_mean,
+    B_mean, t, p, winner); winner is the significantly better side at
+    p<0.05, else None. Selection quirk preserved from the reference: the
+    "best" configuration of each family is chosen by Mean R2 for EVERY
+    compared metric ("Let's stick to using Mean R2 to select the best
+    configuration, then compare them on the specific metric",
+    vae_cross_modality_cv.py:466-468) — so an MSE t-test may pair configs
+    that are not MSE-best.
+    """
+    import pandas as pd
     from scipy import stats
 
+    higher_better = any(tok in metric for tok in _HIGHER_BETTER_TOKENS)
+    rows = []
+    for direction in sorted({r["direction"] for r in results}):
+        best = {}
+        for r in results:
+            if r["direction"] != direction:
+                continue
+            cur = best.get(r["model"])
+            if cur is None or r["mean_Mean R2"] > cur["mean_Mean R2"]:
+                best[r["model"]] = r
+        if "knn" not in best or "vae" not in best:
+            continue  # reference :476-477 skips directions missing either
+        for a, b in _TEST_PAIRS:
+            if a not in best or b not in best:
+                continue
+            sa = best[a]["fold_metrics"][metric]
+            sb = best[b]["fold_metrics"][metric]
+            t, p = stats.ttest_rel(sa, sb)
+            ma, mb = float(np.mean(sa)), float(np.mean(sb))
+            winner = None
+            if p < 0.05:
+                winner = (a if ma > mb else b) if higher_better else (
+                    a if ma < mb else b
+                )
+            rows.append(
+                {
+                    "Direction": direction,
+                    "A": a,
+                    "B": b,
+                    "A_config": _config_label(best[a]),
+                    "B_config": _config_label(best[b]),
+                    "A_mean": ma,
+                    "B_mean": mb,
+                    "t": float(t),
+                    "p": float(p),
+                    "winner": winner,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def perform_statistical_comparison(results, metric="Mean R2"):
+    """Compute and print the paired-t-test table for one metric.
+
+    Same information as the reference's console report (:453-530) rendered
+    from the `pairwise_tests` frame. Returns the frame so callers can
+    persist or post-process it."""
+    tests = pairwise_tests(results, metric)
     print("\n" + "=" * 80)
     print(f"STATISTICAL COMPARISON (Paired t-test) on {metric}")
     print("=" * 80)
-    for direction in sorted({r["direction"] for r in results}):
+    if tests.empty:
+        print("(needs at least one knn and one vae result per direction)")
+        return tests
+    for direction, sub in tests.groupby("Direction", sort=True):
         print(f"\nDirection: {direction}")
-        dir_results = [r for r in results if r["direction"] == direction]
-        knn_results = [r for r in dir_results if r["model"] == "knn"]
-        vae_results = [r for r in dir_results if r["model"] == "vae"]
-        ae_results = [r for r in dir_results if r["model"] == "ae"]
-        mean_results = [r for r in dir_results if r["model"] == "mean"]
-        if not knn_results or not vae_results:
-            continue
-        # the reference deliberately selects the "best" configuration by
-        # Mean R2 for EVERY compared metric ("Let's stick to using Mean R2
-        # to select the best configuration, then compare them on the
-        # specific metric", vae_cross_modality_cv.py:466-468) — so an MSE
-        # t-test may pair configs that are not MSE-best; kept for parity
-        best_knn = max(knn_results, key=lambda x: x["mean_Mean R2"])
-        best_vae = max(vae_results, key=lambda x: x["mean_Mean R2"])
-        knn_scores = best_knn["fold_metrics"][metric]
-        vae_scores = best_vae["fold_metrics"][metric]
-        t_stat, p_val = stats.ttest_rel(knn_scores, vae_scores)
-        print(f"  Best kNN: k={best_knn['param_value']} ({metric}={np.mean(knn_scores):.4f})")
-        print(f"  Best VAE: epochs={best_vae['param_value']} ({metric}={np.mean(vae_scores):.4f})")
-        if ae_results:
-            best_ae = max(ae_results, key=lambda x: x["mean_Mean R2"])
-            ae_scores = best_ae["fold_metrics"][metric]
-            print(f"  Best AE: epochs={best_ae['param_value']} ({metric}={np.mean(ae_scores):.4f})")
-            t_av, p_av = stats.ttest_rel(ae_scores, vae_scores)
-            print(f"  AE vs VAE: t={t_av:.4f}, p={p_av:.4e}")
-            t_ak, p_ak = stats.ttest_rel(ae_scores, knn_scores)
-            print(f"  AE vs kNN: t={t_ak:.4f}, p={p_ak:.4e}")
-        if mean_results:
-            mean_scores = mean_results[0]["fold_metrics"][metric]
-            print(f"  Mean Baseline: ({metric}={np.mean(mean_scores):.4f})")
-            t_m, p_m = stats.ttest_rel(vae_scores, mean_scores)
-            print(f"  VAE vs Mean: t={t_m:.4f}, p={p_m:.4e}")
-        print(f"  VAE vs kNN: t={t_stat:.4f}, p={p_val:.4e}")
-        if p_val < 0.05:
-            higher_better = any(x in metric for x in ["R2", "Cosine", "Pearson"])
-            mk, mv = np.mean(knn_scores), np.mean(vae_scores)
-            winner = (
-                ("kNN" if mk > mv else "VAE")
-                if higher_better
-                else ("kNN" if mk < mv else "VAE")
+        for _, row in sub.iterrows():
+            print(
+                f"  {row['A_config']} vs {row['B_config']} on {metric}: "
+                f"{row['A_mean']:.4f} vs {row['B_mean']:.4f} | "
+                f"t={row['t']:.4f}, p={row['p']:.4e}"
+                + (
+                    f"  -> {row['winner']} significantly better"
+                    if row["winner"]
+                    else "  -> no significant difference (p >= 0.05)"
+                )
             )
-            print(f"  -> Significant difference! {winner} performs better.")
-        else:
-            print("  -> No significant difference detected (p >= 0.05).")
+    return tests
 
 
 def create_plotly_plots(results, output_dir="plots/plotly"):
+    """Per-metric boxplots over the tidy frame
+    (reference artifact names preserved: cv_results_{metric}.html)."""
     try:
-        import pandas as pd
         import plotly.express as px
     except ImportError:
         print("plotly unavailable; skipping CV plots")
         return
     print(f"Creating Plotly plots in {output_dir}...")
     os.makedirs(output_dir, exist_ok=True)
-    for metric in METRIC_NAMES:
-        plot_data = []
-        for res in results:
-            label = res["model"]
-            if res["model"] == "knn":
-                label += f" (k={res['param_value']})"
-            elif res["model"] in ("vae", "ae"):
-                label += f" (ep={res['param_value']})"
-            for score in res["fold_metrics"][metric]:
-                plot_data.append(
-                    {"Direction": res["direction"], "Model": label, "Score": score}
-                )
-        df = pd.DataFrame(plot_data)
+    frame = tidy_results(results)
+    for metric, sub in frame.groupby("Metric", sort=False):
         fig = px.box(
-            df, x="Model", y="Score", color="Direction",
+            sub, x="Config", y="Score", color="Direction",
             title=f"Cross-Validation {metric}", points="all",
         )
         fig.update_layout(template="plotly_white")
