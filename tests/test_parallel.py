@@ -127,6 +127,50 @@ def test_fit_trials_population():
     assert best_vals[0] > best_vals.min()
 
 
+def test_fit_trials_early_stop_masked_matches_sequential():
+    """Early stop firing mid-run inside the vmapped population exercises the
+    stop_via_mask epoch path (engine.build_fit_fn(stop_via_mask=True), the
+    4.7× compile fix): the stopped member's carry freezes, its loss rows go
+    NaN, and everything matches the sequential scalar-lax.cond fit exactly."""
+    from vae_los_angeles_tpu.training.tasks import TASKS
+
+    arrays = _arrays(n=120, seed=7)
+    tr, va = arrays.take(np.arange(96)), arrays.take(np.arange(96, 120))
+    # trial 0: lr=0 freezes params → val loss stops improving → patience=1
+    # stops it within a couple of epochs; trial 1 runs the full 10
+    pop = {
+        "lr": np.asarray([0.0, 1e-3], np.float32),
+        "patience": np.asarray([1, 1000], np.int32),
+    }
+    key = jax.random.PRNGKey(11)
+    res = vmap_meta.fit_trials(
+        "rna2dna", CFG, tr, va, key, N_SITES, pop, num_epochs=10
+    )
+    epochs_ran = np.asarray(res.epochs_ran)
+    assert bool(np.asarray(res.stopped)[0]), "trial 0 must early-stop"
+    assert epochs_ran[0] < 10 and epochs_ran[1] == 10
+    vl0 = np.asarray(res.val_losses)[0]
+    assert np.isnan(vl0[epochs_ran[0]:]).all()  # masked rows are NaN
+
+    keys = jax.random.split(key, 2)
+    for i, (lr, patience) in enumerate([(0.0, 1), (1e-3, 1000)]):
+        p0, s0 = TASKS["rna2dna"].init(keys[i], CFG, N_SITES)
+        solo = engine.fit(
+            "rna2dna", CFG, tr, va, keys[i], N_SITES, num_epochs=10,
+            drop_last=True, init_params=p0, init_state=s0,
+            hp=engine.hyperparams(CFG, lr=lr, patience=patience),
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.val_losses)[i], np.asarray(solo.val_losses),
+            rtol=2e-4,
+        )
+        assert epochs_ran[i] == int(solo.epochs_ran)
+        np.testing.assert_allclose(
+            np.asarray(res.best_val_loss)[i], float(solo.best_val_loss),
+            rtol=2e-4,
+        )
+
+
 def test_tp_specs_skip_narrow_ae_encoder():
     """RNA2DNAAE's narrow rna→128→latent encoder reuses DNA2RNAAE's
     enc_fc1/enc_fc2 layer names; the TP policy must shard only the genuinely

@@ -193,6 +193,23 @@ def test_cross_modality_cv(workspace):
         pass  # plotly optional; CV gracefully skips the html plots
 
 
+def test_cross_modality_cv_parallel_sweeps(workspace, monkeypatch):
+    """Sweeps run sequentially by default (threaded compile overlap measured
+    2.7× slower on the relay — RESULTS.md); CV_PARALLEL_SWEEPS opts into the
+    thread pool, forced on here so the concurrency path stays CI-covered."""
+    monkeypatch.setenv("CV_PARALLEL_SWEEPS", "8")
+    from vae_los_angeles_tpu.evaluation.cross_modality_cv import main as cv_main
+
+    results = cv_main(
+        ["--folds", "2", "--epochs", "2", "--neighbors", "3",
+         "--data_path", "data/processed_data.pkl"]
+    )
+    kinds = {(r["direction"], r["model"]) for r in results}
+    assert len(kinds) == 8  # 4 families × 2 directions, all completed
+    for r in results:
+        assert np.isfinite(r["mean_MSE"])
+
+
 def test_hpo_vmapped(workspace):
     from vae_los_angeles_tpu.evaluation.hpo import main as hpo_main
 

@@ -344,31 +344,47 @@ def main(argv=None):
     print(f"\nGenerating {args.folds} folds to be used across all models...")
     fold_indices = kfold_indices(len(rna_data), args.folds, seed=42)
 
-    all_results = []
+    # The harness compiles one vmapped fold-population program per
+    # (direction, family) — four distinct XLA programs that dominate the
+    # wall (round-1: 518 s end-to-end vs ~80 s of training at n=4000).
+    # Overlapping those compiles from threads was measured and REJECTED on
+    # both backends (benchmarks/RESULTS.md "sweep-concurrency anti-result"):
+    # the axon relay's remote compile service serializes compiles per
+    # client, so threaded sweeps all block on one queue (518 s → 1422 s,
+    # 2.7× SLOWER, with even the sklearn sweeps stuck behind the jitted-
+    # metrics compile), and on CPU the local XLA compiler is itself
+    # multi-threaded so overlap oversubscribes cores (~1.3× slower on the
+    # CI mesh). Sweeps therefore run sequentially; CV_PARALLEL_SWEEPS=<n>
+    # opts into a thread pool on platforms whose compiler genuinely
+    # parallelizes across programs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    common = dict(epochs=args.epochs, batch_size=args.batch_size, seed=args.seed)
+    sweeps = []
     for direction, X, y in (
         ("DNA -> RNA", dna_data, rna_data),
         ("RNA -> DNA", rna_data, dna_data),
     ):
-        print(f"\n--- Processing {direction} ---")
-        common = dict(epochs=args.epochs, batch_size=args.batch_size, seed=args.seed)
-        all_results.extend(
-            run_cross_validation(X, y, site_data, [], fold_indices, direction, "mean")
-        )
-        all_results.extend(
-            run_cross_validation(
-                X, y, site_data, args.neighbors, fold_indices, direction, "knn"
+        sweeps += [
+            (X, y, site_data, [], fold_indices, direction, "mean"),
+            (X, y, site_data, args.neighbors, fold_indices, direction, "knn"),
+        ]
+        sweeps += [
+            (X, y, site_data, [], fold_indices, direction, fam)
+            for fam in ("vae", "ae")
+        ]
+    n_workers = int(os.getenv("CV_PARALLEL_SWEEPS", "1"))
+    all_results = []
+    with ThreadPoolExecutor(max_workers=max(1, n_workers)) as pool:
+        futures = [
+            pool.submit(
+                run_cross_validation, *sw,
+                **(common if sw[-1] in ("vae", "ae") else {}),
             )
-        )
-        all_results.extend(
-            run_cross_validation(
-                X, y, site_data, [], fold_indices, direction, "vae", **common
-            )
-        )
-        all_results.extend(
-            run_cross_validation(
-                X, y, site_data, [], fold_indices, direction, "ae", **common
-            )
-        )
+            for sw in sweeps
+        ]
+        for f in futures:  # input order preserved → deterministic report
+            all_results.extend(f.result())
 
     print("\n" + "=" * 120)
     print("FINAL RESULTS SUMMARY (Mean R2 & MSE)")

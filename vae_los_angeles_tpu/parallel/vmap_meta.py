@@ -116,12 +116,33 @@ def _vmapped_init(task_name: str, cfg: Config, n_sites: int):
 
 def _vmapped_fit(task_name, num_epochs, batch_size, n_train, n_val, drop_last,
                  has_cw, data_axis, hp_axis):
-    """jit(vmap(fit)) with configurable in_axes, cached per static config."""
+    """jit(vmap(fit)) with configurable in_axes, cached per static config.
+
+    Deliberately the XLA-path fit, never the Pallas kernels: measured on the
+    real chip (benchmarks/bench_vmap_pallas.py, round 2), vmapping the fused
+    train-step/whole-epoch kernels fails in Pallas TPU lowering — the
+    batching rule prepends a population axis to every operand block, after
+    which the params' trailing block dims no longer satisfy the (8, 128)
+    divisibility/whole-array rule ("The Pallas TPU lowering currently
+    requires that the last two dimensions of your block shape are divisible
+    by 8 and 128"). The XLA population path is also already compute-
+    efficient: pop=4 × 50 epochs at the live dims runs in 0.235 s steady —
+    the population axis batches every matmul on the MXU, which is exactly
+    what the megakernel's VMEM residency buys single-run training. What the
+    vmapped path pays instead is COMPILE latency (~585 s for that program on
+    the relay; thread-overlapping the compiles was measured 2.7× WORSE —
+    the relay serializes compiles per client, see RESULTS.md) — a platform
+    property, not a reason to force Pallas under vmap. The compile cost
+    itself was attacked at the source: ``stop_via_mask=True`` replaces the
+    early-stop ``lax.cond`` (whose batching rule blows XLA:TPU compile up
+    4.7×) with the bit-identical masked-select form — 584.9 s → 124.3 s
+    measured for the pop=4×50-epoch program (RESULTS.md round 2)."""
     cache_key = (task_name, num_epochs, batch_size, n_train, n_val, drop_last,
                  has_cw, data_axis, hp_axis)
     if cache_key not in _VMAP_FIT_CACHE:
         fit_fn = engine.build_fit_fn(
-            task_name, num_epochs, batch_size, n_train, n_val, drop_last, has_cw
+            task_name, num_epochs, batch_size, n_train, n_val, drop_last,
+            has_cw, stop_via_mask=True,
         )
         # (carry0, train, val, hp, class_weights, key, epoch_offset)
         in_axes = (0, data_axis, data_axis, hp_axis, None, 0, None)

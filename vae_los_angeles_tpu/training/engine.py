@@ -116,6 +116,7 @@ def build_fit_fn(
     fused_step: bool = False,
     fused_epoch: bool = False,
     data_sharding=None,
+    stop_via_mask: bool = False,
 ):
     """Construct the PURE fused training function for a static problem shape.
 
@@ -385,6 +386,28 @@ def build_fit_fn(
 
         def epoch_step(carry, epoch):
             nan = jnp.float32(jnp.nan)
+            if stop_via_mask:
+                # For vmapped fold/trial populations. A lax.cond with a
+                # batched predicate lowers to select anyway — both branches
+                # execute for every population member, so the cond saves no
+                # compute under vmap; what its batching rule DOES cost is a
+                # 4.7× XLA:TPU backend-compile blowup (584.9 s → 124.3 s for
+                # the pop=4×50-epoch program, benchmarks/RESULTS.md round 2).
+                # This masked form computes exactly what vmap(cond) computes
+                # — run the epoch, keep the old carry and emit NaN rows for
+                # already-stopped members — without the pathological cond
+                # batching structure.
+                stopped = carry["estop"]["stopped"]
+                new_carry, (tl, vl, bk, lr, _) = run_epoch(carry, epoch)
+                merged = jax.tree.map(
+                    lambda old, new: jnp.where(stopped, old, new),
+                    carry, new_carry,
+                )
+                mask = lambda x: jnp.where(stopped, nan, x)
+                return merged, (mask(tl), mask(vl), mask(bk), mask(lr),
+                                jnp.logical_not(stopped))
+            # Single-run path: the predicate is scalar, so the cond is a real
+            # branch — post-stop epochs cost nothing.
             return jax.lax.cond(
                 carry["estop"]["stopped"],
                 lambda c: (c, (nan, nan, nan, nan, jnp.bool_(False))),
