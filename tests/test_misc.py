@@ -272,3 +272,37 @@ def test_cv_pairwise_tests_semantics():
     }
     # one row per (config, metric, fold)
     assert len(frame) == 4 * 2 * 5
+
+
+def test_cv_statistical_report_non_significant(capsys):
+    """A p>=0.05 pair must render 'no significant difference' — pandas turns
+    the None winner into float NaN, which is truthy and once printed
+    'nan significantly better'."""
+    from vae_los_angeles_tpu.evaluation.cross_modality_cv import (
+        perform_statistical_comparison,
+    )
+
+    def res(model, mean_r2, scores):
+        return {
+            "direction": "RNA -> DNA",
+            "model": model,
+            "param_name": "k" if model == "knn" else "epochs",
+            "param_value": 5,
+            "mean_Mean R2": mean_r2,
+            "fold_metrics": {"Mean R2": scores},
+        }
+
+    # ae vs vae: statistically indistinguishable folds; vae vs knn: clear gap
+    results = [
+        res("ae", 0.9001, [0.90, 0.91, 0.89, 0.905, 0.895]),
+        res("vae", 0.9000, [0.91, 0.89, 0.90, 0.895, 0.905]),
+        res("knn", 0.5, [0.50, 0.51, 0.49, 0.505, 0.495]),
+        res("mean", 0.0, [0.0, 0.01, -0.01, 0.005, -0.005]),
+    ]
+    tests = perform_statistical_comparison(results, metric="Mean R2")
+    out = capsys.readouterr().out
+    ae_vae = tests[(tests["A"] == "ae") & (tests["B"] == "vae")].iloc[0]
+    assert ae_vae["p"] >= 0.05
+    assert "no significant difference" in out
+    assert "nan significantly better" not in out
+    assert "vae significantly better" in out  # the clear pairs still report

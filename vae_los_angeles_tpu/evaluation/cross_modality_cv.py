@@ -307,8 +307,11 @@ def perform_statistical_comparison(results, metric="Mean R2"):
                 f"{row['A_mean']:.4f} vs {row['B_mean']:.4f} | "
                 f"t={row['t']:.4f}, p={row['p']:.4e}"
                 + (
+                    # isinstance, not truthiness: pandas stores the None
+                    # winner as float NaN, which is truthy and would print
+                    # "nan significantly better" for non-significant pairs
                     f"  -> {row['winner']} significantly better"
-                    if row["winner"]
+                    if isinstance(row["winner"], str)
                     else "  -> no significant difference (p >= 0.05)"
                 )
             )
