@@ -329,3 +329,45 @@ def test_fit_trials_continuation_bitexact():
     np.testing.assert_array_equal(
         np.asarray(part2.best_val_loss), np.asarray(full.best_val_loss)[keep]
     )
+
+
+def test_degenerate_mesh_is_plain_path():
+    """fit/predict with a 1-device mesh must BIT-equal the plain path: the
+    degenerate sharding constraints are semantic no-ops but routing the
+    program through the SPMD partitioner measured +62 s compile on the TPU
+    relay, so engine.fit/predict drop the mesh entirely when mesh.size == 1
+    (and reuse the plain program's jit cache — same _build_fit key)."""
+    from jax.sharding import Mesh
+
+    from vae_los_angeles_tpu.training.tasks import TASKS
+
+    arrays = _arrays(n=96, seed=29)
+    tr, va = arrays.take(np.arange(80)), arrays.take(np.arange(80, 96))
+    key = jax.random.PRNGKey(31)
+    p0, s0 = TASKS["rna2dna"].init(key, CFG, N_SITES)
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+
+    plain = engine.fit(
+        "rna2dna", CFG, tr, va, key, N_SITES, num_epochs=3,
+        init_params=p0, init_state=s0,
+    )
+    size_after_plain = engine._build_fit.cache_info().currsize
+    degen = engine.fit(
+        "rna2dna", CFG, tr, va, key, N_SITES, num_epochs=3,
+        init_params=p0, init_state=s0, mesh=mesh1,
+    )
+    # the degenerate call must hit the SAME cached program as the plain fit
+    # (data_sharding=None) — a new entry would mean it recompiled a no-op
+    # SPMD variant
+    assert engine._build_fit.cache_info().currsize == size_after_plain
+    np.testing.assert_array_equal(
+        np.asarray(plain.val_losses), np.asarray(degen.val_losses)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.params["decoder_dna"]["fc2"]["w"]),
+        np.asarray(degen.params["decoder_dna"]["fc2"]["w"]),
+    )
+
+    p_plain = engine.predict("rna2dna", p0, s0, va)
+    p_degen = engine.predict("rna2dna", p0, s0, va, mesh=mesh1)
+    np.testing.assert_array_equal(np.asarray(p_plain), np.asarray(p_degen))

@@ -72,9 +72,14 @@ def init_carry(params0, state0, lr):
     }
 
 
+_batch_unroll_override = None  # benchmarks/bench_dp_compile.py A/B hook
+
+
 def _batch_unroll(n_batches: int) -> int:
     """Inner batch-scan unroll factor: 8 on TPU (dispatch-overhead win),
     1 elsewhere (keeps CPU/CI compile times sane)."""
+    if _batch_unroll_override is not None:
+        return min(_batch_unroll_override, max(n_batches, 1))
     if jax.default_backend() != "tpu":
         return 1
     return min(8, max(n_batches, 1))
@@ -503,9 +508,18 @@ def fit(
                 "are single-chip programs (use parallel/vmap_meta population "
                 "sharding for multi-chip Pallas workloads)"
             )
-        from jax.sharding import NamedSharding, PartitionSpec
+        if mesh.size == 1:
+            # Degenerate mesh: sharding constraints over one device are
+            # semantic no-ops, but they still route the program through the
+            # TPU toolchain's SPMD-partitioner pipeline — measured +62 s
+            # compile over the identical unsharded program on the relay
+            # (benchmarks/RESULTS.md compile ledger). Compile the plain
+            # program instead; >1-device meshes take the real GSPMD path.
+            mesh = None
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
 
-        data_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            data_sharding = NamedSharding(mesh, PartitionSpec("data"))
     fit_fn = _build_fit(
         task_name,
         int(num_epochs),
@@ -571,6 +585,10 @@ def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None,
     if key is None:
         key = jax.random.PRNGKey(0)
     data_sharding = None
+    if mesh is not None and mesh.size == 1:
+        # same degenerate-mesh skip as fit(): a 1-device sharding constraint
+        # changes nothing but forces the SPMD-partitioner compile pipeline
+        mesh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
