@@ -284,6 +284,10 @@ def _epoch_call(flat_p, flat_m, flat_v, rm, rv, x_ep, t_ep, oh_ep, eps_ep,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # default 16 MB scoped-VMEM cap OOMs past batch ~128 (state ~11 MB
+            # + batch-scaled activations); v5e's physical VMEM takes the same
+            # raised cap the multimodal megakernel uses
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
         jnp.asarray([seed], jnp.int32),
@@ -577,6 +581,10 @@ def _d2r_epoch_call(flat_p, flat_m, flat_v, rm1, rv1, rm2, rv2, x_ep, t_ep,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # default 16 MB scoped-VMEM cap OOMs past batch ~128 (state ~11 MB
+            # + batch-scaled activations); v5e's physical VMEM takes the same
+            # raised cap the multimodal megakernel uses
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
         jnp.asarray([seed], jnp.int32),
