@@ -68,8 +68,8 @@ def main():
     # BENCH_MODE=step uses the per-step fused kernel; BENCH_MODE=xla the
     # pure-XLA fused scan; BENCH_MODE=dp shards the run over all chips.
     mode = os.getenv("BENCH_MODE", "epoch") if jax.default_backend() == "tpu" else "xla"
-    if "--dp" in sys.argv:
-        mode = "dp"
+    if os.getenv("BENCH_MODE") == "dp" or "--dp" in sys.argv:
+        mode = "dp"  # honored on any backend (dp runs the mesh-sharded XLA path)
 
     mesh = None
     if mode == "dp":

@@ -43,7 +43,7 @@ def main():
     args = ap.parse_args()
 
     if args.unroll:
-        engine._batch_unroll = lambda n: min(args.unroll, max(n, 1))
+        engine._batch_unroll_override = args.unroll
         # distinct lru/jit cache keys per unroll are NOT in the fit key —
         # clear so the override actually takes effect
         engine.build_fit_fn.cache_clear()

@@ -219,9 +219,9 @@ def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
             # pruned). The best trial can never be pruned.
             finite = best_vals[np.isfinite(best_vals)]
             if finite.size == 0:
+                # every live trial diverged: that's failure, not pruning —
+                # leave pruned_at unset so the summary reports [failed]
                 print(f"    rung {r}: no finite val loss — bucket abandoned")
-                for pos in live:
-                    pruned_at[idxs[pos]] = epoch_offset
                 live = []
                 break
             median = float(np.median(finite))
@@ -367,8 +367,11 @@ def main(argv=None, cfg: Optional[Config] = None):
         # not a silently retrained NaN/inf config
         complete = np.isfinite(values) & (pruned_at < 0)
         for i, (t, v) in enumerate(zip(trials, values)):
-            status = "PRUNED@%d" % pruned_at[i] if pruned_at[i] >= 0 else (
-                "complete" if np.isfinite(v) else "failed"
+            # divergence outranks pruning: a NaN/inf trial reported as
+            # "PRUNED" would read as a viable config dropped by the median
+            # rule (the prune_rungs=1 path already labels these "failed")
+            status = "failed" if not np.isfinite(v) else (
+                "PRUNED@%d" % pruned_at[i] if pruned_at[i] >= 0 else "complete"
             )
             print(f"  trial {i}: val_loss={v:.2f} [{status}]  {t}")
         if not complete.any():

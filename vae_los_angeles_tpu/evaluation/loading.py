@@ -60,16 +60,15 @@ def _place_weights(params, state):
     multi-chip hosts). The npz loader returns host numpy; without this every
     serving call in a cohort-imputation loop would re-transfer the full
     weight pytree."""
-    from jax.sharding import NamedSharding, PartitionSpec
-
     from vae_los_angeles_tpu.parallel.vmap_meta import population_mesh
+    from vae_los_angeles_tpu.training.engine import replicate_for_serving
 
     mesh = population_mesh()
     if mesh is None:
         return jax.device_put((params, state))
-    return jax.device_put(
-        (params, state), NamedSharding(mesh, PartitionSpec())
-    )
+    # single source of truth for the replicated serving layout — the same
+    # placement engine.predict(mesh=...) detects and skips re-transferring
+    return replicate_for_serving((params, state), mesh)
 
 
 @functools.lru_cache(maxsize=None)

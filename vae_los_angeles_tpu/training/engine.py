@@ -594,10 +594,12 @@ def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None,
 
         data_sharding = NamedSharding(mesh, PartitionSpec("data"))
         replicated = NamedSharding(mesh, PartitionSpec())
-        params, state, key = jax.tree.map(
-            lambda x: x
-            if isinstance(x, jax.Array) and x.sharding == replicated
-            else jax.device_put(x, replicated),
-            (params, state, key),
-        )
+        placed = lambda x: isinstance(x, jax.Array) and x.sharding == replicated
+        if not all(map(placed, jax.tree.leaves((params, state, key)))):
+            # ONE pytree-level device_put (single batched transfer dispatch),
+            # not one per leaf; weights pre-placed via replicate_for_serving
+            # skip the transfer entirely
+            params, state, key = jax.device_put(
+                (params, state, key), replicated
+            )
     return _build_predict(task_name, data_sharding)(params, state, arrays, key)
