@@ -1,0 +1,259 @@
+"""Import reference PyTorch checkpoints (``.pt`` state_dicts) as framework
+param/state pytrees.
+
+The reference trains and ships torch ``state_dict`` checkpoints
+(``torch.save(model.state_dict(), 'checkpoints/best_<model>_<run_id>.pt')``,
+train_rna2dna.py:231, optimize_hyperparameters.py:210) and every consumer
+loads them by run-id (reconstruct_unmatched.py:66, downstream_task.py,
+compare_directional_imputation.py:95). A user migrating to this framework
+should not have to retrain: this module maps each reference architecture's
+state_dict (key names from src/models/{encoders,decoders,directional_vae,
+directional_ae,vae}.py) onto the corresponding init/apply pytree, so a
+converted checkpoint drops into the same run-id protocol
+(``training/checkpoint.save_best``) and serves identically.
+
+Weight-layout conventions bridged here:
+  * torch ``nn.Linear`` stores (out, in); ops/nn.py stores (in, out) so the
+    forward is a lane-contraction ``x @ w`` — weights are transposed.
+  * ``nn.BatchNorm1d`` weight/bias → gamma/beta params; running_mean/var →
+    the separate BN state tree; ``num_batches_tracked`` has no equivalent
+    (this framework's BN, like the reference's default momentum=0.1, never
+    uses it) and is deliberately dropped.
+  * ``nn.Embedding`` weight → ``{"table": ...}``.
+
+Every other state_dict entry must be consumed — leftovers raise, so loading
+a checkpoint under the wrong ``--model`` fails loudly instead of serving a
+half-mapped model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["convert_state_dict", "load_torch_state_dict", "MODEL_TYPES"]
+
+
+def load_torch_state_dict(path: str) -> dict:
+    """Read a ``.pt`` state_dict as a {key: np.ndarray} dict.
+
+    Uses ``weights_only=True`` so untrusted pickles cannot execute code
+    (torch >= 2.0; the baked-in torch supports it)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if not isinstance(sd, dict):
+        raise ValueError(
+            f"{path} did not contain a state_dict (got {type(sd).__name__}); "
+            "reference checkpoints are saved via torch.save(model.state_dict())"
+        )
+    return {k: np.asarray(v.detach().cpu().numpy()) for k, v in sd.items()}
+
+
+class _Consumer:
+    """Tracks which state_dict keys were mapped; leftovers are an error."""
+
+    def __init__(self, sd: dict):
+        self.sd = dict(sd)
+
+    def take(self, key: str) -> np.ndarray:
+        try:
+            return self.sd.pop(key)
+        except KeyError:
+            raise KeyError(
+                f"state_dict is missing {key!r} — wrong --model for this "
+                f"checkpoint? remaining keys: {sorted(self.sd)[:8]}..."
+            ) from None
+
+    def linear(self, prefix: str) -> dict:
+        # torch (out, in) → ours (in, out)
+        return {
+            "w": np.ascontiguousarray(self.take(f"{prefix}.weight").T),
+            "b": self.take(f"{prefix}.bias"),
+        }
+
+    def batchnorm(self, prefix: str):
+        params = {
+            "gamma": self.take(f"{prefix}.weight"),
+            "beta": self.take(f"{prefix}.bias"),
+        }
+        state = {
+            "mean": self.take(f"{prefix}.running_mean"),
+            "var": self.take(f"{prefix}.running_var"),
+        }
+        # no equivalent (see module docstring); optional because eval-saved
+        # state_dicts always have it but hand-built ones may not
+        self.sd.pop(f"{prefix}.num_batches_tracked", None)
+        return params, state
+
+    def embedding(self, prefix: str) -> dict:
+        return {"table": self.take(f"{prefix}.weight")}
+
+    def finish(self):
+        if self.sd:
+            raise ValueError(
+                "unconsumed state_dict keys (checkpoint does not match the "
+                f"requested model architecture): {sorted(self.sd)}"
+            )
+
+
+# -- reference sub-module layouts (src/models/encoders.py / decoders.py) ----
+
+
+def _encoder_a(c: _Consumer, p: str):
+    """EncoderA: fc = Sequential(Linear, BN, ReLU, Dropout) + fc_mu/fc_logvar
+    (encoders.py:10-24)."""
+    bn_p, bn_s = c.batchnorm(f"{p}.fc.1")
+    params = {
+        "fc": c.linear(f"{p}.fc.0"),
+        "bn": bn_p,
+        "mu": c.linear(f"{p}.fc_mu"),
+        "logvar": c.linear(f"{p}.fc_logvar"),
+    }
+    return params, {"bn": bn_s}
+
+
+def _encoder_b(c: _Consumer, p: str):
+    """EncoderB: Sequential(Linear, BN, ReLU, Dropout, Linear, BN, ReLU,
+    Dropout) + fc_mu/fc_logvar (encoders.py:27-46)."""
+    bn1_p, bn1_s = c.batchnorm(f"{p}.fc.1")
+    bn2_p, bn2_s = c.batchnorm(f"{p}.fc.5")
+    params = {
+        "fc1": c.linear(f"{p}.fc.0"),
+        "bn1": bn1_p,
+        "fc2": c.linear(f"{p}.fc.4"),
+        "bn2": bn2_p,
+        "mu": c.linear(f"{p}.fc_mu"),
+        "logvar": c.linear(f"{p}.fc_logvar"),
+    }
+    return params, {"bn1": bn1_s, "bn2": bn2_s}
+
+
+def _encoder_c(c: _Consumer, p: str):
+    """EncoderC: Embedding + fc_mu/fc_logvar (encoders.py:49-62)."""
+    return {
+        "embedding": c.embedding(f"{p}.embedding"),
+        "mu": c.linear(f"{p}.fc_mu"),
+        "logvar": c.linear(f"{p}.fc_logvar"),
+    }
+
+
+def _decoder_a(c: _Consumer, p: str):
+    """DecoderA: Sequential(Linear, ReLU, Linear) (decoders.py:8-19)."""
+    return {"fc1": c.linear(f"{p}.fc.0"), "fc2": c.linear(f"{p}.fc.2")}
+
+
+def _decoder_b(c: _Consumer, p: str):
+    """DecoderB: Sequential(Linear, ReLU, Linear, ReLU, Linear, Sigmoid)
+    (decoders.py:22-37)."""
+    return {
+        "fc1": c.linear(f"{p}.fc.0"),
+        "fc2": c.linear(f"{p}.fc.2"),
+        "fc3": c.linear(f"{p}.fc.4"),
+    }
+
+
+def _decoder_c(c: _Consumer, p: str):
+    """DecoderC: Sequential(Linear, ReLU, Linear) (decoders.py:40-51)."""
+    return {"fc1": c.linear(f"{p}.fc.0"), "fc2": c.linear(f"{p}.fc.2")}
+
+
+# -- whole-model layouts ----------------------------------------------------
+
+
+def _rna2dna(c: _Consumer):
+    """RNA2DNAVAE (directional_vae.py:12-24): matches rna2dna_vae_init."""
+    enc_rna_p, enc_rna_s = _encoder_a(c, "encoder_rna")
+    params = {
+        "encoder_rna": enc_rna_p,
+        "encoder_site": _encoder_c(c, "encoder_site"),
+        "decoder_dna": _decoder_b(c, "decoder_dna"),
+    }
+    return params, {"encoder_rna": enc_rna_s}
+
+
+def _dna2rna(c: _Consumer):
+    """DNA2RNAVAE (directional_vae.py:63-75): matches dna2rna_vae_init."""
+    enc_dna_p, enc_dna_s = _encoder_b(c, "encoder_dna")
+    params = {
+        "encoder_dna": enc_dna_p,
+        "encoder_site": _encoder_c(c, "encoder_site"),
+        "decoder_rna": _decoder_a(c, "decoder_rna"),
+    }
+    return params, {"encoder_dna": enc_dna_s}
+
+
+def _rna2dna_ae(c: _Consumer):
+    """RNA2DNAAE (directional_ae.py:10-35): encoder_rna is a bare Sequential
+    (Linear, BN, ReLU, Dropout, Linear); matches rna2dna_ae_init."""
+    bn_p, bn_s = c.batchnorm("encoder_rna.1")
+    params = {
+        "enc_fc1": c.linear("encoder_rna.0"),
+        "enc_bn": bn_p,
+        "enc_fc2": c.linear("encoder_rna.4"),
+        "site_embedding": c.embedding("site_embedding"),
+        "site_projection": c.linear("site_projection"),
+        "decoder_dna": _decoder_b(c, "decoder_dna"),
+    }
+    return params, {"enc_bn": bn_s}
+
+
+def _dna2rna_ae(c: _Consumer):
+    """DNA2RNAAE (directional_ae.py:73-99): encoder_dna is a bare Sequential
+    (Linear, BN, ReLU, Dropout, Linear, BN, ReLU, Dropout, Linear);
+    matches dna2rna_ae_init."""
+    bn1_p, bn1_s = c.batchnorm("encoder_dna.1")
+    bn2_p, bn2_s = c.batchnorm("encoder_dna.5")
+    params = {
+        "enc_fc1": c.linear("encoder_dna.0"),
+        "enc_bn1": bn1_p,
+        "enc_fc2": c.linear("encoder_dna.4"),
+        "enc_bn2": bn2_p,
+        "enc_fc3": c.linear("encoder_dna.8"),
+        "site_embedding": c.embedding("site_embedding"),
+        "site_projection": c.linear("site_projection"),
+        "decoder_rna": _decoder_a(c, "decoder_rna"),
+    }
+    return params, {"enc_bn1": bn1_s, "enc_bn2": bn2_s}
+
+
+def _multivae(c: _Consumer):
+    """MultiModalVAE (vae.py:29-35): matches multimodal_vae_init."""
+    enc_a_p, enc_a_s = _encoder_a(c, "encoder_a")
+    enc_b_p, enc_b_s = _encoder_b(c, "encoder_b")
+    params = {
+        "encoder_a": enc_a_p,
+        "encoder_b": enc_b_p,
+        "encoder_c": _encoder_c(c, "encoder_c"),
+        "decoder_a": _decoder_a(c, "decoder_a"),
+        "decoder_b": _decoder_b(c, "decoder_b"),
+        "decoder_c": _decoder_c(c, "decoder_c"),
+    }
+    return params, {"encoder_a": enc_a_s, "encoder_b": enc_b_s}
+
+
+MODEL_TYPES = {
+    "rna2dna": _rna2dna,
+    "dna2rna": _dna2rna,
+    "rna2dna_ae": _rna2dna_ae,
+    "dna2rna_ae": _dna2rna_ae,
+    "multivae": _multivae,
+}
+
+
+def convert_state_dict(sd: dict, model_type: str):
+    """Map a reference torch state_dict onto this framework's (params, state).
+
+    ``sd`` is {key: np.ndarray} (see ``load_torch_state_dict``);
+    ``model_type`` is one of ``MODEL_TYPES`` (the reference's checkpoint
+    basename prefixes: best_rna2dna_*, best_dna2rna_*, best_multivae_*)."""
+    try:
+        build = MODEL_TYPES[model_type]
+    except KeyError:
+        raise ValueError(
+            f"unknown model type {model_type!r}; expected one of "
+            f"{sorted(MODEL_TYPES)}"
+        ) from None
+    c = _Consumer({k: np.asarray(v, np.float32) for k, v in sd.items()})
+    params, state = build(c)
+    c.finish()
+    return params, state
