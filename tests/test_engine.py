@@ -210,3 +210,43 @@ def test_beta_warmup_zero_means_no_warmup(small_data, cfg):
     )
     np.testing.assert_allclose(np.asarray(res.betas)[:3], cfg.beta_start)
     assert np.isfinite(np.asarray(res.val_losses)[:3]).all()
+
+
+def test_chunked_predict_matches_unchunked(small_data, cfg):
+    """Streaming cohort serving: chunk_size slices through ONE compiled
+    program must reproduce the whole-table prediction. The AE predict is
+    fully deterministic (eval mode, no sampling), so equality is exact —
+    including the clipped-index padding of the uneven final chunk. Host
+    numpy leaves stay host-side until their chunk is served."""
+    from vae_los_angeles_tpu.training.tasks import TASKS
+
+    train, _ = small_data
+    cohort = train.take(np.arange(37))  # 37 rows, chunk 13 → 13+13+11
+    params, state = TASKS["rna2dna_ae"].init(jax.random.PRNGKey(2), cfg, N_SITES)
+
+    whole = engine.predict("rna2dna_ae", params, state, cohort)
+    chunked = engine.predict(
+        "rna2dna_ae", params, state, cohort, chunk_size=13
+    )
+    assert isinstance(chunked, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(whole), chunked)
+
+    # host-resident numpy cohort (the HBM-exceeding layout) serves identically
+    host_cohort = MultiModalArrays(
+        np.asarray(cohort.tpm), np.asarray(cohort.beta), np.asarray(cohort.site)
+    )
+    np.testing.assert_array_equal(
+        engine.predict("rna2dna_ae", params, state, host_cohort, chunk_size=13),
+        chunked,
+    )
+
+    # VAE path: sampling keys fold per chunk — row i of the chunked result
+    # must equal a direct call on that chunk with the same folded key
+    vp, vs = TASKS["rna2dna"].init(jax.random.PRNGKey(3), cfg, N_SITES)
+    key = jax.random.PRNGKey(9)
+    v_chunked = engine.predict("rna2dna", vp, vs, cohort, key=key, chunk_size=13)
+    direct_last = engine.predict(
+        "rna2dna", vp, vs, cohort.take(np.minimum(np.arange(26, 39), 36)),
+        key=jax.random.fold_in(key, 2),
+    )
+    np.testing.assert_array_equal(v_chunked[26:], np.asarray(direct_last)[:11])

@@ -34,6 +34,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vae_los_angeles_tpu.config import Config
 from vae_los_angeles_tpu.data.dataset import MultiModalArrays
@@ -574,16 +575,37 @@ def replicate_for_serving(tree, mesh):
 
 
 def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None,
-            mesh=None):
+            mesh=None, chunk_size=None):
     """Eval-mode cross-modal prediction over a full table (jitted & cached).
 
     ``mesh``: shard the sample axis over the mesh's "data" axis — the
     multi-chip path for imputing large unmatched cohorts
     (reconstruct_unmatched.py's serving workload). Weights that already carry
     the replicated mesh layout (see ``replicate_for_serving``) are used
-    as-is; only unplaced leaves pay a transfer."""
+    as-is; only unplaced leaves pay a transfer.
+
+    ``chunk_size``: serve cohorts that exceed HBM by streaming fixed-size
+    row chunks through ONE compiled program (the last chunk is padded by
+    clipped gather indices so every chunk hits the same executable, then
+    trimmed). Keep ``arrays`` host-resident (numpy leaves) for this —
+    `MultiModalArrays.take` then gathers each chunk on the host and only
+    the chunk rides to the device; results return as a host numpy array.
+    Composes with ``mesh``."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    n = len(arrays)
+    if chunk_size is not None and n > chunk_size:
+        outs = []
+        for i, start in enumerate(range(0, n, chunk_size)):
+            # clipped indices pad the final chunk to the common shape
+            idx = np.minimum(np.arange(start, start + chunk_size), n - 1)
+            out = predict(
+                task_name, params, state, arrays.take(idx),
+                # distinct per-chunk fold so sampling noise is not reused
+                jax.random.fold_in(key, i), mesh,
+            )
+            outs.append(np.asarray(out)[: min(chunk_size, n - start)])
+        return np.concatenate(outs, axis=0)
     data_sharding = None
     if mesh is not None and mesh.size == 1:
         # same degenerate-mesh skip as fit(): a 1-device sharding constraint
