@@ -348,3 +348,117 @@ def test_cli_roundtrip(tmp_path, monkeypatch, data):
         site=jnp.asarray(site), train=False,
     )
     assert np.isfinite(np.asarray(out.recon)).all()
+
+
+def _ref_builders():
+    class R2D(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder_rna = _EncoderA(DIM_A, LATENT)
+            self.encoder_site = _EncoderC(N_SITES, LATENT, EMBED)
+            self.decoder_dna = _DecWrap(_decoder_b(LATENT, DIM_B))
+
+    class D2R(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder_dna = _EncoderB(DIM_B, LATENT)
+            self.encoder_site = _EncoderC(N_SITES, LATENT, EMBED)
+            self.decoder_rna = _DecWrap(_decoder_a(LATENT, DIM_A))
+
+    class R2DAE(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder_rna = tnn.Sequential(
+                tnn.Linear(DIM_A, 128), tnn.BatchNorm1d(128), tnn.ReLU(),
+                tnn.Dropout(0.1), tnn.Linear(128, LATENT))
+            self.site_embedding = tnn.Embedding(N_SITES, EMBED)
+            self.site_projection = tnn.Linear(EMBED, LATENT)
+            self.decoder_dna = _DecWrap(_decoder_b(LATENT, DIM_B))
+
+    class D2RAE(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder_dna = tnn.Sequential(
+                tnn.Linear(DIM_B, 512), tnn.BatchNorm1d(512), tnn.ReLU(),
+                tnn.Dropout(0.1), tnn.Linear(512, 256), tnn.BatchNorm1d(256),
+                tnn.ReLU(), tnn.Dropout(0.1), tnn.Linear(256, LATENT))
+            self.site_embedding = tnn.Embedding(N_SITES, EMBED)
+            self.site_projection = tnn.Linear(EMBED, LATENT)
+            self.decoder_rna = _DecWrap(_decoder_a(LATENT, DIM_A))
+
+    class MV(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder_a = _EncoderA(DIM_A, LATENT)
+            self.encoder_b = _EncoderB(DIM_B, LATENT)
+            self.encoder_c = _EncoderC(N_SITES, LATENT, EMBED)
+            self.decoder_a = _DecWrap(_decoder_a(LATENT, DIM_A))
+            self.decoder_b = _DecWrap(_decoder_b(LATENT, DIM_B))
+            self.decoder_c = _DecWrap(_decoder_c(LATENT, N_SITES))
+
+    return {"rna2dna": R2D, "dna2rna": D2R, "rna2dna_ae": R2DAE,
+            "dna2rna_ae": D2RAE, "multivae": MV}
+
+
+@pytest.mark.parametrize("model_type", sorted(
+    __import__("vae_los_angeles_tpu.utils.torch_import",
+               fromlist=["MODEL_TYPES"]).MODEL_TYPES))
+def test_export_roundtrip(model_type):
+    """sd → convert → export must reproduce the original state_dict exactly
+    (transposes undone, BN buffers restored) for every family — the spec
+    consumer guarantees the two directions share one definition."""
+    from vae_los_angeles_tpu.utils.torch_import import export_state_dict
+
+    torch.manual_seed(11)
+    ref = _ref_builders()[model_type]().eval()
+    sd = _sd(ref)
+    params, state = convert_state_dict(sd, model_type)
+    back = export_state_dict(params, state, model_type)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_export_serves_in_reference(data):
+    """The real use case: a model initialized (stand-in for trained) HERE is
+    exported and loaded by the reference's torch assembly with strict=True;
+    the torch forward must reproduce the framework forward."""
+    from vae_los_angeles_tpu.utils.torch_import import export_state_dict
+
+    rna, _, site = data
+    params, state = directional_vae.rna2dna_vae_init(
+        jax.random.PRNGKey(42), DIM_A, DIM_B, N_SITES, LATENT, EMBED
+    )
+    sd = export_state_dict(params, state, "rna2dna")
+    ref = _ref_builders()["rna2dna"]()
+    ref.load_state_dict({k: torch.from_numpy(v.copy()) for k, v in sd.items()})
+    ref.eval()
+
+    with torch.no_grad():
+        t_mu, t_lv = _mean_fuse([
+            ref.encoder_rna(torch.from_numpy(rna)),
+            ref.encoder_site(torch.from_numpy(site).long()),
+        ])
+    out = directional_vae.rna2dna_vae_apply(
+        params, state, jax.random.PRNGKey(0), rna=jnp.asarray(rna),
+        site=jnp.asarray(site), train=False,
+    )
+    np.testing.assert_allclose(np.asarray(out.mu), t_mu.numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(out.logvar), t_lv.numpy(), **TOL)
+
+
+def test_export_cli_roundtrip(tmp_path, data):
+    from vae_los_angeles_tpu.training import checkpoint
+
+    params, state = directional_vae.rna2dna_vae_init(
+        jax.random.PRNGKey(7), DIM_A, DIM_B, N_SITES, LATENT, EMBED
+    )
+    npz = tmp_path / "best_rna2dna_20260817_000000.npz"
+    checkpoint.save(str(npz), params, state)
+
+    from scripts.export_torch_checkpoint import main as export_main
+
+    export_main([str(npz)])
+    pt = str(npz)[:-4] + ".pt"
+    ref = _ref_builders()["rna2dna"]()
+    ref.load_state_dict(torch.load(pt, weights_only=True))  # strict=True

@@ -30,7 +30,12 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["convert_state_dict", "load_torch_state_dict", "MODEL_TYPES"]
+__all__ = [
+    "convert_state_dict",
+    "export_state_dict",
+    "load_torch_state_dict",
+    "MODEL_TYPES",
+]
 
 
 def load_torch_state_dict(path: str) -> dict:
@@ -238,6 +243,79 @@ MODEL_TYPES = {
     "dna2rna_ae": _dna2rna_ae,
     "multivae": _multivae,
 }
+
+
+class _SpecConsumer:
+    """Stand-in consumer that records, instead of weights, WHERE each leaf of
+    the framework pytree lives in the torch state_dict and which transform
+    bridges the layouts — running a model builder with it yields the exact
+    inverse mapping `export_state_dict` needs, so import and export can never
+    drift apart (one builder defines both directions)."""
+
+    def take(self, key):
+        return ("raw", key)
+
+    def linear(self, prefix):
+        return {
+            "w": ("transpose", f"{prefix}.weight"),
+            "b": ("raw", f"{prefix}.bias"),
+        }
+
+    def batchnorm(self, prefix):
+        params = {
+            "gamma": ("raw", f"{prefix}.weight"),
+            "beta": ("raw", f"{prefix}.bias"),
+        }
+        state = {
+            "mean": ("raw", f"{prefix}.running_mean"),
+            "var": ("raw", f"{prefix}.running_var"),
+        }
+        return params, state
+
+    def embedding(self, prefix):
+        return {"table": ("raw", f"{prefix}.weight")}
+
+
+def export_state_dict(params, state, model_type: str) -> dict:
+    """Inverse of ``convert_state_dict``: framework (params, state) pytrees →
+    a reference-compatible torch state_dict ({key: np.ndarray}).
+
+    The result loads into the reference's own model classes with the default
+    strict=True (``num_batches_tracked`` buffers are emitted as zeros — the
+    reference's BatchNorm1d(momentum=0.1) never reads them), so models
+    trained HERE can be served and A/B'd by the unmodified reference
+    consumers."""
+    try:
+        build = MODEL_TYPES[model_type]
+    except KeyError:
+        raise ValueError(
+            f"unknown model type {model_type!r}; expected one of "
+            f"{sorted(MODEL_TYPES)}"
+        ) from None
+    spec_p, spec_s = build(_SpecConsumer())
+    sd = {}
+
+    def emit(spec, tree, path):
+        if isinstance(spec, tuple):
+            kind, key = spec
+            v = np.asarray(tree, np.float32)
+            sd[key] = np.ascontiguousarray(v.T) if kind == "transpose" else v
+            return
+        for k, sub in spec.items():
+            if not isinstance(tree, dict) or k not in tree:
+                raise KeyError(
+                    f"pytree is missing {'/'.join(path + (k,))!r} — wrong "
+                    f"model_type {model_type!r} for this checkpoint?"
+                )
+            emit(sub, tree[k], path + (k,))
+
+    emit(spec_p, params, ())
+    emit(spec_s, state, ())
+    for key in [k for k in sd if k.endswith(".running_mean")]:
+        sd[key[: -len("running_mean")] + "num_batches_tracked"] = np.asarray(
+            0, np.int64
+        )
+    return sd
 
 
 def convert_state_dict(sd: dict, model_type: str):
