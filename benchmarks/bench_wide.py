@@ -48,19 +48,20 @@ def main():
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--mode", choices=["single", "tp"], default="single")
     ap.add_argument("--model_parallel", type=int, default=2)
-    ap.add_argument("--devices", type=int, default=0,
-                    help="tp mode: mesh width (0 = all visible devices; "
-                         "provisions a virtual CPU mesh if the platform is "
-                         "too narrow)")
+    ap.add_argument("--devices", type=int, default=8,
+                    help="tp mode: width of the VIRTUAL CPU mesh (default 8); "
+                         "pass 0 on a genuine multi-chip host to use the real "
+                         "visible chips instead")
     args = ap.parse_args()
 
     if args.mode == "tp" and args.devices:
-        # An explicit --devices width means "the virtual CPU-mesh demo":
-        # the platform flip must happen BEFORE first backend use (even
-        # jax.device_count() initializes it, so there is no way to probe the
-        # real platform first in-process — the dryrun solves that with a
-        # subprocess; a benchmark doesn't need to). On a genuine multi-chip
-        # host pass --devices 0 to run on the real chips.
+        # The virtual CPU-mesh demo (the default — it works on any host,
+        # including the project's 1-chip TPU platform): the platform flip
+        # must happen BEFORE first backend use (even jax.device_count()
+        # initializes it, so there is no way to probe the real platform
+        # first in-process — the dryrun solves that with a subprocess; a
+        # benchmark doesn't need to). --devices 0 skips the flip and runs
+        # on whatever chips are really visible.
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.devices)
 

@@ -22,7 +22,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from vae_los_angeles_tpu.training import checkpoint
-from vae_los_angeles_tpu.utils.torch_import import MODEL_TYPES, export_state_dict
+from vae_los_angeles_tpu.utils.torch_import import (
+    MODEL_TYPES,
+    export_state_dict,
+    infer_model_type,
+)
 
 
 def main(argv=None):
@@ -33,8 +37,6 @@ def main(argv=None):
     ap.add_argument("--out", default=None,
                     help="output .pt (default: the input path with .pt)")
     args = ap.parse_args(argv)
-
-    from scripts.import_torch_checkpoint import infer_model_type
 
     model = args.model or infer_model_type(args.npz_path)
     if model is None:

@@ -313,8 +313,10 @@ def test_wrong_model_type_fails_loudly(data):
 
 
 def test_cli_roundtrip(tmp_path, monkeypatch, data):
-    """scripts/import_torch_checkpoint.py: .pt → .npz under the reference
-    naming + run-id protocol, loadable by training/checkpoint.load."""
+    """scripts/import_torch_checkpoint.py --write-run-id must land the .npz
+    at the EXACT path the run-id protocol consumers resolve
+    (<CHECKPOINT_DIR>/best_<model>_<run_id>.npz) — wherever the .pt lives —
+    and register the run id, so load_best() finds the migrated model."""
     rna, _, site = data
     torch.manual_seed(7)
 
@@ -326,7 +328,9 @@ def test_cli_roundtrip(tmp_path, monkeypatch, data):
             self.decoder_dna = _DecWrap(_decoder_b(LATENT, DIM_B))
 
     ref = Ref().eval()
-    pt = tmp_path / "best_rna2dna_20240101_120000.pt"
+    backup = tmp_path / "backup"
+    backup.mkdir()
+    pt = backup / "best_rna2dna_20240101_120000.pt"  # NOT in checkpoints/
     torch.save(ref.state_dict(), pt)
 
     monkeypatch.chdir(tmp_path)
@@ -338,7 +342,10 @@ def test_cli_roundtrip(tmp_path, monkeypatch, data):
 
     assert (tmp_path / "latest_rna2dna_run_id.txt").read_text() == \
         "20240101_120000"
-    params, state = checkpoint.load(str(pt)[:-3] + ".npz")
+    # consumer-resolved path, not the .pt's directory
+    params, state = checkpoint.load(
+        str(tmp_path / "checkpoints" / "best_rna2dna_20240101_120000.npz")
+    )
     direct_p, direct_s = convert_state_dict(_sd(ref), "rna2dna")
     jax.tree.map(np.testing.assert_array_equal, params, direct_p)
     jax.tree.map(np.testing.assert_array_equal, state, direct_s)
@@ -348,6 +355,33 @@ def test_cli_roundtrip(tmp_path, monkeypatch, data):
         site=jnp.asarray(site), train=False,
     )
     assert np.isfinite(np.asarray(out.recon)).all()
+
+    # a name with no timestamp mints a fresh run id instead of erroring
+    pt2 = backup / "best_rna2dna_migrated.pt"
+    torch.save(ref.state_dict(), pt2)
+    import_main([str(pt2), "--write-run-id"])
+    rid = (tmp_path / "latest_rna2dna_run_id.txt").read_text()
+    assert (tmp_path / "checkpoints" / f"best_rna2dna_{rid}.npz").exists()
+
+    # --out conflicting with the protocol path fails BEFORE conversion
+    with pytest.raises(SystemExit):
+        import_main([str(pt), "--write-run-id", "--out", "elsewhere.npz"])
+
+
+def test_container_state_dict_unwrap(tmp_path):
+    """torch.save({'state_dict': ..., 'epoch': n}) checkpoints unwrap; a
+    non-state-dict payload gets the diagnostic error, not an AttributeError."""
+    torch.manual_seed(8)
+    enc = _EncoderA(DIM_A, LATENT)
+    pt = tmp_path / "wrapped.pt"
+    torch.save({"state_dict": enc.state_dict(), "epoch": 3}, pt)
+    sd = load_torch_state_dict(str(pt))
+    assert "fc.0.weight" in sd
+
+    bad = tmp_path / "bad.pt"
+    torch.save({"optimizer": {"lr": 0.1}}, bad)
+    with pytest.raises(ValueError, match="did not contain a state_dict"):
+        load_torch_state_dict(str(bad))
 
 
 def _ref_builders():

@@ -593,8 +593,15 @@ def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None,
     Composes with ``mesh``."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    n = len(arrays)
-    if chunk_size is not None and n > chunk_size:
+    if chunk_size is not None:
+        # uniform contract whatever the cohort size: host numpy result,
+        # per-chunk fold_in keys — a 5k-row cohort must not silently flip
+        # to device arrays / the unfolded key just because it fits one chunk
+        if chunk_size < 1:
+            raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+        n = len(arrays)
+        if n == 0:
+            raise ValueError("cannot serve an empty cohort")
         outs = []
         for i, start in enumerate(range(0, n, chunk_size)):
             # clipped indices pad the final chunk to the common shape

@@ -33,23 +33,50 @@ import numpy as np
 __all__ = [
     "convert_state_dict",
     "export_state_dict",
+    "infer_model_type",
     "load_torch_state_dict",
     "MODEL_TYPES",
 ]
+
+
+def infer_model_type(path: str):
+    """Model family from the reference's checkpoint naming
+    (``best_<model>_<run_id>.pt``, train_rna2dna.py:228-231), else None."""
+    import os
+    import re
+
+    base = os.path.basename(path)
+    # longest names first so best_rna2dna_ae_* does not match rna2dna
+    for name in sorted(MODEL_TYPES, key=len, reverse=True):
+        if re.match(rf"(best_)?{name}([_.]|$)", base):
+            return name
+    return None
 
 
 def load_torch_state_dict(path: str) -> dict:
     """Read a ``.pt`` state_dict as a {key: np.ndarray} dict.
 
     Uses ``weights_only=True`` so untrusted pickles cannot execute code
-    (torch >= 2.0; the baked-in torch supports it)."""
+    (torch >= 2.0; the baked-in torch supports it). Container checkpoints
+    of the common ``{"state_dict": ..., "epoch": ...}`` shape are
+    unwrapped; anything else non-tensor-valued gets a diagnostic error
+    instead of an AttributeError deep in the conversion."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    if not isinstance(sd, dict):
+    for wrapper in ("state_dict", "model_state_dict"):
+        if isinstance(sd, dict) and isinstance(sd.get(wrapper), dict):
+            sd = sd[wrapper]
+            break
+    if not isinstance(sd, dict) or not all(
+        isinstance(v, torch.Tensor) for v in sd.values()
+    ):
         raise ValueError(
-            f"{path} did not contain a state_dict (got {type(sd).__name__}); "
-            "reference checkpoints are saved via torch.save(model.state_dict())"
+            f"{path} did not contain a state_dict "
+            f"(got {type(sd).__name__}"
+            + (f" with keys {sorted(sd)[:6]}" if isinstance(sd, dict) else "")
+            + "); reference checkpoints are saved via "
+            "torch.save(model.state_dict())"
         )
     return {k: np.asarray(v.detach().cpu().numpy()) for k, v in sd.items()}
 
