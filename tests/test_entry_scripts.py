@@ -73,6 +73,28 @@ def test_bench_dp_mode(monkeypatch, capsys):
     assert "dp mesh" in out.err and "mode=dp" in out.err
 
 
+def test_bench_dp_mode_env(monkeypatch, capsys):
+    """BENCH_MODE=dp (the documented env spelling) must select dp on ANY
+    backend — it used to be silently coerced to 'xla' off-TPU, measuring the
+    unsharded path while claiming the flag worked."""
+    import importlib
+
+    monkeypatch.setenv("BENCH_EPOCHS", "2")
+    monkeypatch.setenv("BENCH_SAMPLES", "256")
+    monkeypatch.setenv("BENCH_MODE", "dp")
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+
+        importlib.reload(bench)
+        bench.main()
+    finally:
+        sys.path.remove(REPO)
+    out = capsys.readouterr()
+    assert "mode=dp" in out.err
+
+
 def test_graft_entry_lowers():
     """entry() must produce a jittable forward (lowering = compile check)."""
     sys.path.insert(0, REPO)
