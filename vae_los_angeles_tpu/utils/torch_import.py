@@ -362,3 +362,108 @@ def convert_state_dict(sd: dict, model_type: str):
     params, state = build(c)
     c.finish()
     return params, state
+
+
+# -- CLI entry points (scripts/{import,export}_torch_checkpoint.py delegate
+# here, and the wheel exposes them as vla-import/export-checkpoint) ---------
+
+
+def import_main(argv=None):
+    """``.pt`` → ``.npz``; see scripts/import_torch_checkpoint.py."""
+    import argparse
+    import os
+    import re
+
+    from vae_los_angeles_tpu.config import Config
+    from vae_los_angeles_tpu.training import checkpoint
+
+    ap = argparse.ArgumentParser(
+        description="Convert a reference torch checkpoint (.pt state_dict) "
+                    "to this framework's .npz format"
+    )
+    ap.add_argument("pt_path", help="reference .pt state_dict checkpoint")
+    ap.add_argument("--model", choices=sorted(MODEL_TYPES), default=None,
+                    help="architecture (default: inferred from the filename)")
+    ap.add_argument("--out", default=None,
+                    help="output .npz (default: the input path with .npz; "
+                         "ignored with --write-run-id, which forces the "
+                         "run-id protocol path)")
+    ap.add_argument("--write-run-id", action="store_true",
+                    help="register under the run-id protocol: write the .npz "
+                         "to <CHECKPOINT_DIR>/best_<model>_<run_id>.npz and "
+                         "record the run id in latest_<model>_run_id.txt")
+    args = ap.parse_args(argv)
+
+    model = args.model or infer_model_type(args.pt_path)
+    if model is None:
+        ap.error(
+            f"cannot infer the model type from {args.pt_path!r}; pass "
+            f"--model {{{','.join(sorted(MODEL_TYPES))}}}"
+        )
+
+    # resolve the destination BEFORE converting so protocol conflicts fail
+    # fast instead of leaving a written checkpoint unregistered
+    run_id = None
+    if args.write_run_id:
+        m = re.search(r"_(\d{8}_\d{6})\.pt$", os.path.basename(args.pt_path))
+        run_id = m.group(1) if m else checkpoint.new_run_id()
+        ckpt_dir = Config.from_env().checkpoint_dir
+        out = checkpoint.checkpoint_path(model, run_id, ckpt_dir)
+        if args.out and os.path.abspath(args.out) != os.path.abspath(out):
+            ap.error(
+                f"--write-run-id registers the checkpoint at {out!r} (where "
+                "the run-id protocol consumers resolve it) — drop --out or "
+                "point it there"
+            )
+    else:
+        out = args.out or re.sub(r"\.pt$", "", args.pt_path) + ".npz"
+
+    sd = load_torch_state_dict(args.pt_path)
+    params, state = convert_state_dict(sd, model)
+    checkpoint.save(out, params, state)
+    import jax
+
+    n = sum(x.size for x in jax.tree.leaves(params))
+    print(f"converted {args.pt_path} [{model}] -> {out} ({n:,} parameters)")
+
+    if args.write_run_id:
+        checkpoint.write_run_id(model, run_id)
+        print(f"run id {run_id} -> {checkpoint.run_id_file(model)}")
+
+
+def export_main(argv=None):
+    """``.npz`` → reference-loadable ``.pt``; see
+    scripts/export_torch_checkpoint.py."""
+    import argparse
+    import os
+    import re
+
+    from vae_los_angeles_tpu.training import checkpoint
+
+    ap = argparse.ArgumentParser(
+        description="Export a framework checkpoint (.npz) as a "
+                    "reference-compatible torch state_dict (.pt)"
+    )
+    ap.add_argument("npz_path", help="framework .npz checkpoint")
+    ap.add_argument("--model", choices=sorted(MODEL_TYPES), default=None,
+                    help="architecture (default: inferred from the filename)")
+    ap.add_argument("--out", default=None,
+                    help="output .pt (default: the input path with .pt)")
+    args = ap.parse_args(argv)
+
+    model = args.model or infer_model_type(args.npz_path)
+    if model is None:
+        ap.error(
+            f"cannot infer the model type from {args.npz_path!r}; pass "
+            f"--model {{{','.join(sorted(MODEL_TYPES))}}}"
+        )
+
+    params, state = checkpoint.load(args.npz_path)
+    sd = export_state_dict(params, state, model)
+
+    import torch
+
+    out = args.out or re.sub(r"\.npz$", "", args.npz_path) + ".pt"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()}, out)
+    print(f"exported {args.npz_path} [{model}] -> {out} ({len(sd)} tensors)")
