@@ -46,16 +46,28 @@ def test_prepare_scripts_importable():
     assert "--synthetic" in out.stdout
 
 
-def test_bench_dp_mode(monkeypatch, capsys):
-    """bench.py --dp must build a "data" mesh over all visible devices and
-    still emit the one-JSON-line contract (the multi-chip perf number is one
-    command away on real hardware; here it runs on the 8-device CPU mesh)."""
+@pytest.mark.parametrize(
+    "spelling", ["argv", "env"],
+    ids=["--dp flag", "BENCH_MODE=dp env"],
+)
+def test_bench_dp_mode(monkeypatch, capsys, spelling):
+    """bench.py in dp mode must build a "data" mesh over all visible devices
+    and still emit the one-JSON-line contract (the multi-chip perf number is
+    one command away on real hardware; here it runs on the 8-device CPU
+    mesh). Both spellings — the --dp flag and BENCH_MODE=dp — must select dp
+    on ANY backend: the env spelling used to be silently coerced to 'xla'
+    off-TPU, measuring the unsharded path while claiming the flag worked.
+    """
     import importlib
     import json
 
     monkeypatch.setenv("BENCH_EPOCHS", "2")
     monkeypatch.setenv("BENCH_SAMPLES", "256")
-    monkeypatch.setattr(sys, "argv", ["bench.py", "--dp"])
+    if spelling == "argv":
+        monkeypatch.setattr(sys, "argv", ["bench.py", "--dp"])
+    else:
+        monkeypatch.setenv("BENCH_MODE", "dp")
+        monkeypatch.setattr(sys, "argv", ["bench.py"])
     sys.path.insert(0, REPO)
     try:
         import bench
@@ -71,28 +83,6 @@ def test_bench_dp_mode(monkeypatch, capsys):
     assert payload["metric"] == "rna2dna_200epoch_wallclock"
     assert payload["unit"] == "s"
     assert "dp mesh" in out.err and "mode=dp" in out.err
-
-
-def test_bench_dp_mode_env(monkeypatch, capsys):
-    """BENCH_MODE=dp (the documented env spelling) must select dp on ANY
-    backend — it used to be silently coerced to 'xla' off-TPU, measuring the
-    unsharded path while claiming the flag worked."""
-    import importlib
-
-    monkeypatch.setenv("BENCH_EPOCHS", "2")
-    monkeypatch.setenv("BENCH_SAMPLES", "256")
-    monkeypatch.setenv("BENCH_MODE", "dp")
-    monkeypatch.setattr(sys, "argv", ["bench.py"])
-    sys.path.insert(0, REPO)
-    try:
-        import bench
-
-        importlib.reload(bench)
-        bench.main()
-    finally:
-        sys.path.remove(REPO)
-    out = capsys.readouterr()
-    assert "mode=dp" in out.err
 
 
 def test_graft_entry_lowers():
@@ -172,3 +162,50 @@ def test_graft_dryrun_multichip_initialized_backend():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip OK" in out.stdout, out.stdout
+
+
+def _project_scripts():
+    """Parse [project.scripts] out of pyproject.toml."""
+    import tomllib
+
+    with open(os.path.join(REPO, "pyproject.toml"), "rb") as f:
+        return tomllib.load(f)["project"]["scripts"]
+
+
+def test_console_scripts_resolve_and_exit_zero():
+    """Every [project.scripts] target must be a console.py shim that (a)
+    delegates to a real module:attr and (b) returns None. Setuptools
+    wrappers run ``sys.exit(entry_point())`` — our main()s return their
+    results, and ``sys.exit(<truthy non-int>)`` turns a SUCCESSFUL run into
+    exit status 1 (this broke all nine evaluation commands when they
+    pointed straight at main)."""
+    import importlib
+    from unittest import mock
+
+    from vae_los_angeles_tpu import console
+
+    scripts = _project_scripts()
+    assert len(scripts) == 18
+    for cmd, target in scripts.items():
+        modpath, _, attr = target.partition(":")
+        assert modpath == "vae_los_angeles_tpu.console", (cmd, target)
+        shim = getattr(console, attr)  # raises if the shim is missing
+
+        called = {}
+
+        def fake_import(name, *, _called=called):
+            _called["module"] = name
+
+            class _Mod:
+                def __getattr__(self, attr_name):
+                    _called["attr"] = attr_name
+                    return lambda: object()  # truthy non-int main() result
+
+            return _Mod()
+
+        with mock.patch.object(console, "import_module", fake_import):
+            assert shim() is None, f"{cmd} shim leaked main()'s return value"
+
+        # the delegate must really exist (lazy imports hide typos until use)
+        mod = importlib.import_module(called["module"])
+        assert callable(getattr(mod, called["attr"])), (cmd, called)
