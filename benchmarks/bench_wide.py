@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--mode", choices=["single", "tp"], default="single")
+    ap.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="bfloat16 = MXU-native matmul operands (fp32 "
+                         "accumulation + fp32 optimizer): the mixed-precision "
+                         "policy's target regime is exactly this wide bench")
     ap.add_argument("--model_parallel", type=int, default=2)
     ap.add_argument("--devices", type=int, default=8,
                     help="tp mode: width of the VIRTUAL CPU mesh (default 8); "
@@ -69,7 +74,8 @@ def main():
     from vae_los_angeles_tpu.data.dataset import MultiModalArrays
 
     cfg = Config(input_dim_b=args.dim_b, input_dim_a=args.dim_a,
-                 batch_size=args.batch_size, patience=10_000)
+                 batch_size=args.batch_size, patience=10_000,
+                 compute_dtype=args.compute_dtype)
     n_sites = 24
     print(f"devices: {jax.device_count()}×{jax.devices()[0].platform} | "
           f"dim_b={args.dim_b:,} → 512×dim_b decoder weight "
@@ -107,7 +113,8 @@ def main():
               f"{n_steps / steady:,.0f} steps/s)", file=sys.stderr)
         import json
         print(json.dumps({
-            "metric": f"rna2dna_wide{args.dim_b}_epoch_ms",
+            "metric": f"rna2dna_wide{args.dim_b}_epoch_ms"
+                      + ("_bf16" if args.compute_dtype == "bfloat16" else ""),
             "value": round(spb * 1e3, 2), "unit": "ms",
             "vs_baseline": None,
         }))

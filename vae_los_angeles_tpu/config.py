@@ -69,6 +69,12 @@ class Config:
     # TPU-specific knobs (no reference equivalent)
     use_pallas: bool = False  # fused Pallas inference kernels
     platform: Optional[str] = None  # force a jax platform ("cpu"/"tpu")
+    # Mixed-precision policy for the XLA training/serving paths:
+    # "float32" (default — bit-compatible with the reference's fp32 torch
+    # recipe) or "bfloat16" (matmul operands cast to bf16 inside the loss —
+    # native MXU rate — with fp32 accumulation, fp32 biases/BatchNorm/losses
+    # and fp32 master params + optimizer state; see ops.nn.cast_matmul_params).
+    compute_dtype: str = "float32"  # env override: COMPUTE_DTYPE=bfloat16
 
     @classmethod
     def from_env(cls, **overrides) -> "Config":

@@ -55,14 +55,24 @@ def _constrain_rows(x, data_sharding):
     return jax.lax.with_sharding_constraint(x, data_sharding)
 
 
-def _place_weights(params, state):
+def _place_weights(params, state, compute_dtype: str = "float32"):
     """Stage checkpoint weights onto device ONCE at load time (replicated on
     multi-chip hosts). The npz loader returns host numpy; without this every
     serving call in a cohort-imputation loop would re-transfer the full
-    weight pytree."""
+    weight pytree.
+
+    ``compute_dtype="bfloat16"`` applies the mixed-precision serving policy
+    HERE, once: matmul operands (2-D leaves) are cast to bf16 before
+    placement, halving their transfer AND their per-call HBM weight reads,
+    while biases/BatchNorm state stay fp32 and ``linear_apply`` keeps fp32
+    MXU accumulation (`ops.nn.cast_matmul_params`)."""
+    from vae_los_angeles_tpu.ops import nn as ops_nn
     from vae_los_angeles_tpu.parallel.vmap_meta import population_mesh
     from vae_los_angeles_tpu.training.engine import replicate_for_serving
 
+    params = ops_nn.cast_matmul_params(
+        params, ops_nn.resolve_compute_dtype(compute_dtype)
+    )
     mesh = population_mesh()
     if mesh is None:
         return jax.device_put((params, state))
@@ -118,10 +128,19 @@ class LoadedDirectionalVAE:
     (`ops.pallas.fused_vae.FusedRNA2DNA` / `FusedDNA2RNA`)."""
 
     def __init__(self, apply_fn, input_kw: str, params, state, run_id=None,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, compute_dtype: str = "float32"):
         self._apply = apply_fn
         self._kw = input_kw  # "rna" or "dna"
         self._fused = None
+        if use_pallas and compute_dtype not in ("float32", "fp32"):
+            # same graceful downgrade as the training CLI: the fused Pallas
+            # kernels are fp32 programs, so an explicit bf16 request serves
+            # through the XLA path
+            print(
+                f"COMPUTE_DTYPE={compute_dtype}: serving via the XLA path "
+                "(Pallas kernels are fp32 programs)"
+            )
+            use_pallas = False
         if use_pallas:
             from vae_los_angeles_tpu.ops.pallas.fused_vae import (
                 FusedDNA2RNA,
@@ -130,7 +149,7 @@ class LoadedDirectionalVAE:
 
             fused_cls = FusedRNA2DNA if input_kw == "rna" else FusedDNA2RNA
             self._fused = fused_cls(params, state)
-        self.params, self.state = _place_weights(params, state)
+        self.params, self.state = _place_weights(params, state, compute_dtype)
         self.run_id = run_id
         self._key = jax.random.PRNGKey(0)
 
@@ -163,8 +182,8 @@ class LoadedMultiModalVAE:
     """Callable wrapper matching MultiModalVAE.forward: returns
     (out_a, out_b, out_c, mu, logvar) as numpy arrays."""
 
-    def __init__(self, params, state, run_id=None):
-        self.params, self.state = _place_weights(params, state)
+    def __init__(self, params, state, run_id=None, compute_dtype: str = "float32"):
+        self.params, self.state = _place_weights(params, state, compute_dtype)
         self.run_id = run_id
         self._key = jax.random.PRNGKey(0)
 
@@ -194,7 +213,8 @@ def load_rna2dna(
         return None
     print(f"✓ RNA2DNAVAE model loaded successfully (run {rid})")
     return LoadedDirectionalVAE(
-        rna2dna_vae_apply, "rna", params, state, rid, use_pallas=cfg.use_pallas
+        rna2dna_vae_apply, "rna", params, state, rid,
+        use_pallas=cfg.use_pallas, compute_dtype=cfg.compute_dtype,
     )
 
 
@@ -211,7 +231,8 @@ def load_dna2rna(
         return None
     print(f"✓ DNA2RNAVAE model loaded successfully (run {rid})")
     return LoadedDirectionalVAE(
-        dna2rna_vae_apply, "dna", params, state, rid, use_pallas=cfg.use_pallas
+        dna2rna_vae_apply, "dna", params, state, rid,
+        use_pallas=cfg.use_pallas, compute_dtype=cfg.compute_dtype,
     )
 
 
@@ -227,4 +248,4 @@ def load_multimodal(
         print(f"Warning: {e}")
         return None
     print(f"✓ MultiModalVAE model loaded successfully (run {rid})")
-    return LoadedMultiModalVAE(params, state, rid)
+    return LoadedMultiModalVAE(params, state, rid, compute_dtype=cfg.compute_dtype)

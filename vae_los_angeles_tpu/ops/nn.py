@@ -46,8 +46,49 @@ def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32):
 
 
 def linear_apply(params, x):
-    return (
-        jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
+    """``x @ w + b``, following the WEIGHT's dtype into the MXU.
+
+    When the weight arrives in a reduced precision (the mixed-precision
+    policy casts 2-D matmul operands to bfloat16 — see
+    ``cast_matmul_params``), the activation is cast to match so the dot
+    lowers to a native bf16×bf16 MXU pass instead of a multi-pass fp32
+    emulation. Accumulation is always requested in fp32
+    (``preferred_element_type``) and the fp32 bias promotes the output back
+    to fp32, so everything OUTSIDE the dot — BatchNorm statistics, losses,
+    optimizer state — stays full precision.
+    """
+    w = params["w"]
+    if x.dtype != w.dtype:
+        x = x.astype(w.dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32) + params["b"]
+
+
+def resolve_compute_dtype(compute_dtype):
+    """Map a ``Config.compute_dtype`` string to a jnp dtype, failing loudly."""
+    if compute_dtype in ("float32", "fp32", None):
+        return jnp.float32
+    if compute_dtype in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(
+        f"unsupported compute_dtype {compute_dtype!r}; "
+        "valid: 'float32' (default), 'bfloat16'"
+    )
+
+
+def cast_matmul_params(params, dtype):
+    """Cast every matmul operand (2-D leaf: Linear weights, Embedding
+    tables) of a params pytree to ``dtype``, leaving 1-D leaves (biases,
+    BatchNorm gamma/beta) in fp32.
+
+    This is the mixed-precision policy's forward-cast: master parameters and
+    the optimizer sweep stay fp32 (full AdamW fidelity), and the cast happens
+    INSIDE the differentiated loss, so gradients flow back through the
+    ``convert_element_type`` transpose as fp32. Returns ``params`` unchanged
+    when ``dtype`` is fp32 (identity for the default policy)."""
+    if dtype == jnp.float32:
+        return params
+    return jax.tree.map(
+        lambda p: p.astype(dtype) if getattr(p, "ndim", 0) == 2 else p, params
     )
 
 

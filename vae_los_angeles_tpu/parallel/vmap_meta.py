@@ -115,7 +115,7 @@ def _vmapped_init(task_name: str, cfg: Config, n_sites: int):
 
 
 def _vmapped_fit(task_name, num_epochs, batch_size, n_train, n_val, drop_last,
-                 has_cw, data_axis, hp_axis):
+                 has_cw, data_axis, hp_axis, compute_dtype="float32"):
     """jit(vmap(fit)) with configurable in_axes, cached per static config.
 
     Deliberately the XLA-path fit, never the Pallas kernels: measured on the
@@ -138,11 +138,11 @@ def _vmapped_fit(task_name, num_epochs, batch_size, n_train, n_val, drop_last,
     4.7×) with the bit-identical masked-select form — 584.9 s → 124.3 s
     measured for the pop=4×50-epoch program (RESULTS.md round 2)."""
     cache_key = (task_name, num_epochs, batch_size, n_train, n_val, drop_last,
-                 has_cw, data_axis, hp_axis)
+                 has_cw, data_axis, hp_axis, compute_dtype)
     if cache_key not in _VMAP_FIT_CACHE:
         fit_fn = engine.build_fit_fn(
             task_name, num_epochs, batch_size, n_train, n_val, drop_last,
-            has_cw, stop_via_mask=True,
+            has_cw, stop_via_mask=True, compute_dtype=compute_dtype,
         )
         # (carry0, train, val, hp, class_weights, key, epoch_offset)
         in_axes = (0, data_axis, data_axis, hp_axis, None, 0, None)
@@ -196,7 +196,7 @@ def fit_folds(
         carry0 = init(group_keys, jnp.broadcast_to(hp["lr"], (pop_n,)))
         fit_v = _vmapped_fit(
             task_name, int(num_epochs), int(cfg.batch_size), n_tr, n_va,
-            bool(drop_last), False, 0, None,
+            bool(drop_last), False, 0, None, str(cfg.compute_dtype),
         )
         batched: engine.FitResult = fit_v(
             carry0, stacked_tr, stacked_va, hp, None, group_keys, jnp.int32(0)
@@ -286,7 +286,7 @@ def fit_trials(
     fit_v = _vmapped_fit(
         task_name, int(num_epochs), int(cfg.batch_size),
         int(len(train_arrays)), int(len(val_arrays)), True,
-        class_weights is not None, None, 0,
+        class_weights is not None, None, 0, str(cfg.compute_dtype),
     )
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
     res = fit_v(

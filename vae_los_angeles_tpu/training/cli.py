@@ -289,6 +289,14 @@ def run_training(
     fused_step = (
         cfg.use_pallas and on_tpu and task_name == "multimodal" and old_vmem
     )
+    if cfg.compute_dtype not in ("float32", "fp32") and (fused_step or fused_epoch):
+        # same graceful downgrade as --dp below: the Pallas kernels are fp32
+        # programs, so an explicit bf16 request routes to the XLA path
+        print(
+            f"COMPUTE_DTYPE={cfg.compute_dtype}: using the XLA path "
+            "(Pallas kernels are fp32 programs)"
+        )
+        fused_step = fused_epoch = False
     mesh = None
     if args.dp:
         from vae_los_angeles_tpu.parallel.vmap_meta import population_mesh

@@ -38,8 +38,13 @@ import numpy as np
 
 from vae_los_angeles_tpu.config import Config
 from vae_los_angeles_tpu.data.dataset import MultiModalArrays
+from vae_los_angeles_tpu.ops import nn as ops_nn
 from vae_los_angeles_tpu.ops import optim
 from vae_los_angeles_tpu.training.tasks import TASKS, Task
+
+
+# canonical string→dtype mapping lives beside cast_matmul_params in ops.nn
+_resolve_compute_dtype = ops_nn.resolve_compute_dtype
 
 
 class FitResult(NamedTuple):
@@ -123,6 +128,7 @@ def build_fit_fn(
     fused_epoch: bool = False,
     data_sharding=None,
     stop_via_mask: bool = False,
+    compute_dtype: str = "float32",
 ):
     """Construct the PURE fused training function for a static problem shape.
 
@@ -150,13 +156,28 @@ def build_fit_fn(
         raise ValueError("empty validation set: n_val=0")
     n_val_batches = -(-n_val // batch_size)  # val loader never drops last
 
+    fwd_dtype = _resolve_compute_dtype(compute_dtype)
+    if fwd_dtype != jnp.float32 and (fused_step or fused_epoch):
+        raise ValueError(
+            "compute_dtype='bfloat16' applies to the XLA paths only — the "
+            "Pallas fused kernels are fp32 programs (at the reference dims "
+            "they are latency-bound, so bf16 matmuls buy nothing there; the "
+            "bf16 win is the WIDE/batched XLA regime, benchmarks/bench_wide.py)"
+        )
+
     def train_loss_fn(params, state, key, batch, beta_kl, class_weights, gamma):
         cw = class_weights if has_class_weights else None
-        return task.loss(params, state, key, batch, beta_kl, gamma, cw, True)
+        # mixed precision: cast matmul operands INSIDE the differentiated fn
+        # so masters/optimizer stay fp32 (identity when fwd_dtype is fp32)
+        fwd_params = ops_nn.cast_matmul_params(params, fwd_dtype)
+        return task.loss(fwd_params, state, key, batch, beta_kl, gamma, cw, True)
 
     def eval_loss_fn(params, state, key, batch, beta_kl, class_weights, gamma):
         cw = class_weights if has_class_weights else None
-        loss, _ = task.loss(params, state, key, batch, beta_kl, gamma, cw, False)
+        fwd_params = ops_nn.cast_matmul_params(params, fwd_dtype)
+        loss, _ = task.loss(
+            fwd_params, state, key, batch, beta_kl, gamma, cw, False
+        )
         return loss
 
     grad_fn = jax.value_and_grad(train_loss_fn, has_aux=True)
@@ -474,6 +495,13 @@ def fit(
     (train_rna2dna.py:61); the CV harness passes ``drop_last=False`` to match
     its inner loaders (vae_cross_modality_cv.py:121).
 
+    ``cfg.compute_dtype`` = "bfloat16" runs the XLA paths with bf16 matmul
+    operands (fp32 accumulation/biases/BN/losses, fp32 master params and
+    optimizer) — the MXU-native mode for the wide/batched regime
+    (benchmarks/bench_wide.py); fp32 default is bit-compatible with the
+    reference recipe. Incompatible with fused_step/fused_epoch (fp32 Pallas
+    programs; at reference dims they are latency-bound anyway).
+
     ``mesh``: a Mesh with a "data" axis turns the whole fused run into a
     data-parallel SPMD program — the sample axis of the train/val tables is
     sharded over "data", the carry (params/opt/scheduler) is replicated, and
@@ -532,6 +560,8 @@ def fit(
         bool(fused_step),
         bool(fused_epoch),
         data_sharding,
+        False,  # stop_via_mask (vmap_meta populations build unjitted instead)
+        str(cfg.compute_dtype),
     )
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
     if mesh is not None:
@@ -546,8 +576,10 @@ def fit(
 
 
 @functools.lru_cache(maxsize=None)
-def _build_predict(task_name: str, data_sharding=None):
+def _build_predict(task_name: str, data_sharding=None,
+                   compute_dtype: str = "float32"):
     task = TASKS[task_name]
+    fwd_dtype = _resolve_compute_dtype(compute_dtype)
 
     def _predict(params, state, arrays, key):
         if data_sharding is not None:
@@ -558,7 +590,8 @@ def _build_predict(task_name: str, data_sharding=None):
                 lambda x: jax.lax.with_sharding_constraint(x, data_sharding),
                 arrays,
             )
-        return task.predict(params, state, key, arrays)
+        params_c = ops_nn.cast_matmul_params(params, fwd_dtype)
+        return task.predict(params_c, state, key, arrays)
 
     return jax.jit(_predict)
 
@@ -575,7 +608,7 @@ def replicate_for_serving(tree, mesh):
 
 
 def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None,
-            mesh=None, chunk_size=None):
+            mesh=None, chunk_size=None, compute_dtype: str = "float32"):
     """Eval-mode cross-modal prediction over a full table (jitted & cached).
 
     ``mesh``: shard the sample axis over the mesh's "data" axis — the
@@ -583,6 +616,10 @@ def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None,
     (reconstruct_unmatched.py's serving workload). Weights that already carry
     the replicated mesh layout (see ``replicate_for_serving``) are used
     as-is; only unplaced leaves pay a transfer.
+
+    ``compute_dtype``: "bfloat16" serves with bf16 matmul operands (fp32
+    accumulation) — same policy as training's Config.compute_dtype; use the
+    dtype the model was trained with.
 
     ``chunk_size``: serve cohorts that exceed HBM by streaming fixed-size
     row chunks through ONE compiled program (the last chunk is padded by
@@ -610,6 +647,7 @@ def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None,
                 task_name, params, state, arrays.take(idx),
                 # distinct per-chunk fold so sampling noise is not reused
                 jax.random.fold_in(key, i), mesh,
+                compute_dtype=compute_dtype,
             )
             outs.append(np.asarray(out)[: min(chunk_size, n - start)])
         return np.concatenate(outs, axis=0)
@@ -631,4 +669,6 @@ def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None,
             params, state, key = jax.device_put(
                 (params, state, key), replicated
             )
-    return _build_predict(task_name, data_sharding)(params, state, arrays, key)
+    return _build_predict(task_name, data_sharding, str(compute_dtype))(
+        params, state, arrays, key
+    )
