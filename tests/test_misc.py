@@ -33,6 +33,37 @@ def test_config_env_overrides(monkeypatch):
     assert cfg.use_pallas is True
     # defaults intact
     assert cfg.batch_size == 32 and cfg.beta_warmup_epochs == 50
+    assert cfg.debug_nans is False
+    monkeypatch.setenv("DEBUG_NANS", "1")
+    assert Config.from_env().debug_nans is True
+
+
+def test_debug_nans_localizes_nan_training_data():
+    """DEBUG_NANS mode (SURVEY §5 sanitizer row): a NaN produced inside the
+    fused whole-run scan raises FloatingPointError instead of silently
+    training to a NaN loss."""
+    import pytest
+
+    from vae_los_angeles_tpu.data.dataset import MultiModalArrays
+    from vae_los_angeles_tpu.data.synthetic import generate_synthetic_arrays
+    from vae_los_angeles_tpu.training import engine
+
+    tpm, beta, site = generate_synthetic_arrays(
+        n_samples=64, dim_a=17, dim_b=19, n_sites=4, seed=0
+    )
+    tpm = np.asarray(tpm).copy()
+    tpm[3, 5] = np.nan  # poisoned input → NaN loss on epoch 1
+    arrays = MultiModalArrays(jnp.asarray(tpm), jnp.asarray(beta), jnp.asarray(site))
+    tr, va = arrays.take(jnp.arange(48)), arrays.take(jnp.arange(48, 64))
+    cfg = Config(input_dim_a=17, input_dim_b=19, latent_dim=4, embed_dim=4,
+                 batch_size=16, patience=10_000)
+    jax.config.update("jax_debug_nans", True)
+    try:
+        with pytest.raises(FloatingPointError):
+            engine.fit("rna2dna", cfg, tr, va, jax.random.PRNGKey(0), 4,
+                       num_epochs=2)
+    finally:
+        jax.config.update("jax_debug_nans", False)
 
 
 def test_hpo_sample_trials_within_space():

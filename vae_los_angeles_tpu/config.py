@@ -75,6 +75,10 @@ class Config:
     # native MXU rate — with fp32 accumulation, fp32 biases/BatchNorm/losses
     # and fp32 master params + optimizer state; see ops.nn.cast_matmul_params).
     compute_dtype: str = "float32"  # env override: COMPUTE_DTYPE=bfloat16
+    # Debug mode (SURVEY §5 sanitizer row): jax_debug_nans re-runs the
+    # offending jitted program op-by-op and raises AT the first NaN-producing
+    # primitive, instead of training silently to a NaN loss.
+    debug_nans: bool = False  # env override: DEBUG_NANS=1
 
     @classmethod
     def from_env(cls, **overrides) -> "Config":
@@ -92,9 +96,11 @@ class Config:
         values = {}
         for name, cast in field_casts.items():
             values[name] = _env(name.upper(), getattr(cfg, name), cast)
-        use_pallas = os.getenv("USE_PALLAS")
-        if use_pallas is not None:
-            values["use_pallas"] = use_pallas.lower() in ("1", "true", "yes")
+        for bool_field, env_name in (("use_pallas", "USE_PALLAS"),
+                                     ("debug_nans", "DEBUG_NANS")):
+            raw = os.getenv(env_name)
+            if raw is not None:
+                values[bool_field] = raw.lower() in ("1", "true", "yes")
         device = os.getenv("DEVICE")
         if device is not None:
             values["platform"] = device

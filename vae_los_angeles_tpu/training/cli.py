@@ -144,6 +144,12 @@ def run_training(
             jax.config.update("jax_platforms", cfg.platform)
         except Exception as e:  # backend already initialized — keep going
             print(f"Note: could not switch platform to {cfg.platform!r}: {e}")
+    if cfg.debug_nans:
+        # debug mode (DEBUG_NANS=1): raise at the first NaN-producing
+        # primitive instead of training to a silent NaN loss. Costs a
+        # device sync per dispatch — a debugging tool, not a training mode.
+        jax.config.update("jax_debug_nans", True)
+        print("DEBUG_NANS: jax_debug_nans enabled (op-level NaN localization)")
     resume_carry, start_epoch = None, 0
     if args.resume:
         resume_carry, start_epoch, run_id, saved_seed = checkpoint.load_resume(
