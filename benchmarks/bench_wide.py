@@ -145,7 +145,9 @@ def main():
             MultiModalArrays(jnp.asarray(tpm[:n_rows]),
                              jnp.asarray(beta[:n_rows]),
                              jnp.asarray(site[:n_rows])), mesh)
-        step = sharding.sharded_train_step("rna2dna")
+        step = sharding.sharded_train_step(
+            "rna2dna", compute_dtype=args.compute_dtype
+        )
         sargs = (jnp.float32(5e-4), jnp.float32(1e-5), jnp.float32(1e-3),
                  jnp.float32(1.0))
         t0 = time.perf_counter()
@@ -164,7 +166,8 @@ def main():
               file=sys.stderr)
         import json
         print(json.dumps({
-            "metric": f"rna2dna_wide{args.dim_b}_tp_step_ms",
+            "metric": f"rna2dna_wide{args.dim_b}_tp_step_ms"
+                      + ("_bf16" if args.compute_dtype == "bfloat16" else ""),
             "value": round(steady * 1e3, 2), "unit": "ms",
             "vs_baseline": None,
         }))

@@ -191,6 +191,88 @@ def test_bf16_loaded_model_serves_cast_weights(tmp_path, monkeypatch):
     assert 0.0 < err < 0.15  # really bf16, still tracks fp32
 
 
+def test_bf16_sharded_tp_step():
+    """The DP×TP sharded step honors compute_dtype: bf16 runs, produces a
+    finite loss that differs from fp32, and masters/optimizer stay fp32."""
+    from vae_los_angeles_tpu.parallel import sharding
+
+    cfg = _cfg()
+    mesh = sharding.make_mesh(8, model_parallel=2)
+    arrays = _arrays(n=32)
+    key = jax.random.PRNGKey(0)
+
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        params, state, opt = sharding.make_sharded_train_state(
+            "rna2dna", cfg, N_SITES, mesh, key
+        )
+        batch = sharding.shard_arrays(arrays, mesh)
+        step = sharding.sharded_train_step("rna2dna", compute_dtype=dtype)
+        sargs = (jnp.float32(5e-4), jnp.float32(1e-5), jnp.float32(1e-3),
+                 jnp.float32(1.0))
+        params, state, opt, loss = step(params, state, opt, batch, key, *sargs)
+        losses[dtype] = float(loss)
+        assert np.isfinite(losses[dtype])
+        assert all(
+            leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(params)
+        )
+    # close (same model) but not identical (really ran reduced precision)
+    f32, bf16 = losses["float32"], losses["bfloat16"]
+    assert f32 != bf16
+    assert abs(bf16 - f32) / abs(f32) < 0.02, losses
+
+
+def test_cv_scores_with_training_dtype(tmp_path, monkeypatch):
+    """COMPUTE_DTYPE=bfloat16 must reach the CV harness's outer-fold scoring
+    (engine.predict), not just fold training — the reported metrics must
+    describe the configuration as served."""
+    from vae_los_angeles_tpu.data.synthetic import write_synthetic_artifacts
+    from vae_los_angeles_tpu.evaluation import cross_modality_cv as cv
+    from vae_los_angeles_tpu.training import engine as eng
+
+    monkeypatch.chdir(tmp_path)
+    write_synthetic_artifacts(
+        "data", n_samples=160, dim_a=17, dim_b=19, n_sites=4
+    )
+    monkeypatch.setenv("COMPUTE_DTYPE", "bfloat16")
+
+    seen = []
+    real_predict = eng.predict
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("compute_dtype", "float32"))
+        return real_predict(*args, **kwargs)
+
+    monkeypatch.setattr(eng, "predict", spy)
+    cv.main([
+        "--folds", "2", "--epochs", "1", "--neighbors", "1",
+        "--data_path", "data/processed_data.pkl",
+    ])
+    assert seen and all(d == "bfloat16" for d in seen)
+
+
+def test_debug_nans_allows_healthy_early_stop():
+    """An early-stopped HEALTHY run must complete under jax_debug_nans: the
+    post-stop loss rows fill with +inf in debug mode (NaN otherwise), so the
+    sanitizer doesn't crash a converged run."""
+    arrays = _arrays()
+    tr, va = arrays.take(jnp.arange(64)), arrays.take(jnp.arange(64, 96))
+    cfg = _cfg(patience=2)
+    jax.config.update("jax_debug_nans", True)
+    try:
+        res = engine.fit("rna2dna", cfg, tr, va, jax.random.PRNGKey(0),
+                         N_SITES, num_epochs=60)
+    finally:
+        jax.config.update("jax_debug_nans", False)
+    assert bool(res.stopped), "pick sizes/seed so early stop really fires"
+    n_ran = int(res.epochs_ran)
+    assert n_ran < 60
+    tail = np.asarray(res.val_losses)[n_ran:]
+    assert np.all(np.isposinf(tail))  # debug fill is +inf, not NaN
+    # and epochs_ran/consumer slicing is unaffected by the fill value
+    assert np.all(np.isfinite(np.asarray(res.val_losses)[:n_ran]))
+
+
 def test_bf16_loader_downgrades_pallas(tmp_path, monkeypatch, capsys):
     """use_pallas + bf16 serves through the XLA path (fp32 Pallas programs),
     announcing the downgrade like the training CLI does."""

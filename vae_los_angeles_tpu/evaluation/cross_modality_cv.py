@@ -157,7 +157,11 @@ def run_cross_validation(
             for fold_idx, fit_res in enumerate(fits):
                 pred = np.asarray(
                     engine.predict(
-                        task_name, fit_res.params, fit_res.state, outer_val[fold_idx]
+                        task_name, fit_res.params, fit_res.state,
+                        outer_val[fold_idx],
+                        # score with the dtype the folds trained with, so the
+                        # CV numbers describe the configuration as served
+                        compute_dtype=cfg.compute_dtype,
                     )
                 )
                 truth = np.asarray(

@@ -17,6 +17,7 @@ import functools
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vae_los_angeles_tpu.config import Config
@@ -132,7 +133,11 @@ class LoadedDirectionalVAE:
         self._apply = apply_fn
         self._kw = input_kw  # "rna" or "dna"
         self._fused = None
-        if use_pallas and compute_dtype not in ("float32", "fp32"):
+        from vae_los_angeles_tpu.ops import nn as ops_nn
+
+        if use_pallas and (
+            ops_nn.resolve_compute_dtype(compute_dtype) != jnp.float32
+        ):
             # same graceful downgrade as the training CLI: the fused Pallas
             # kernels are fp32 programs, so an explicit bf16 request serves
             # through the XLA path

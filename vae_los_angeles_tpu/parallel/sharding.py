@@ -127,19 +127,29 @@ def shard_params(params, mesh: Mesh):
 
 
 @functools.lru_cache(maxsize=None)
-def build_sharded_train_step(task_name: str):
+def build_sharded_train_step(task_name: str, compute_dtype: str = "float32"):
     """One fused forward+backward+AdamW step, jittable over a mesh.
 
     All sharding is carried by the committed input arrays; GSPMD propagates
     it through the gradient computation and inserts the psum over "data" for
     gradient reduction plus the TP collectives around "model"-sharded
     matmuls.
+
+    ``compute_dtype="bfloat16"`` applies the same mixed-precision policy as
+    the single-chip engine: matmul operands cast to bf16 INSIDE the
+    differentiated loss (sharding propagates through the cast unchanged),
+    fp32 accumulation, fp32 masters/AdamW — the natural pairing for the wide
+    TP regime this step exists for.
     """
+    from vae_los_angeles_tpu.ops import nn as ops_nn
+
     task = TASKS[task_name]
+    fwd_dtype = ops_nn.resolve_compute_dtype(compute_dtype)
 
     def loss_fn(params, state, key, batch, beta_kl, gamma, class_weights):
+        fwd_params = ops_nn.cast_matmul_params(params, fwd_dtype)
         return task.loss(
-            params, state, key, batch, beta_kl, gamma, class_weights, True
+            fwd_params, state, key, batch, beta_kl, gamma, class_weights, True
         )
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -156,8 +166,8 @@ def build_sharded_train_step(task_name: str):
     return train_step
 
 
-def sharded_train_step(task_name: str):
-    return build_sharded_train_step(task_name)
+def sharded_train_step(task_name: str, compute_dtype: str = "float32"):
+    return build_sharded_train_step(task_name, compute_dtype)
 
 
 def make_sharded_train_state(task_name: str, cfg, n_sites: int, mesh: Mesh, key):

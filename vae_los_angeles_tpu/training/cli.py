@@ -295,7 +295,12 @@ def run_training(
     fused_step = (
         cfg.use_pallas and on_tpu and task_name == "multimodal" and old_vmem
     )
-    if cfg.compute_dtype not in ("float32", "fp32") and (fused_step or fused_epoch):
+    import jax.numpy as jnp
+
+    from vae_los_angeles_tpu.ops import nn as ops_nn
+
+    bf16_requested = ops_nn.resolve_compute_dtype(cfg.compute_dtype) != jnp.float32
+    if bf16_requested and (fused_step or fused_epoch):
         # same graceful downgrade as --dp below: the Pallas kernels are fp32
         # programs, so an explicit bf16 request routes to the XLA path
         print(

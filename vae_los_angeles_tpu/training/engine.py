@@ -129,6 +129,7 @@ def build_fit_fn(
     data_sharding=None,
     stop_via_mask: bool = False,
     compute_dtype: str = "float32",
+    stop_fill_inf: bool = False,
 ):
     """Construct the PURE fused training function for a static problem shape.
 
@@ -412,7 +413,11 @@ def build_fit_fn(
             return new_carry, (train_loss, val_loss, beta_kl, lr, jnp.bool_(True))
 
         def epoch_step(carry, epoch):
-            nan = jnp.float32(jnp.nan)
+            # post-early-stop epochs fill their loss rows with NaN (cosmetic:
+            # consumers slice by epochs_ran, hpo uses nanmin). Under
+            # jax_debug_nans those benign rows would crash a HEALTHY stopped
+            # run, so debug mode fills with +inf instead (stop_fill_inf).
+            nan = jnp.float32(jnp.inf if stop_fill_inf else jnp.nan)
             if stop_via_mask:
                 # For vmapped fold/trial populations. A lax.cond with a
                 # batched predicate lowers to select anyway — both branches
@@ -562,6 +567,9 @@ def fit(
         data_sharding,
         False,  # stop_via_mask (vmap_meta populations build unjitted instead)
         str(cfg.compute_dtype),
+        # read at call time and part of the cache key, so toggling debug mode
+        # in-process can't serve a stale program
+        bool(jax.config.jax_debug_nans),
     )
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
     if mesh is not None:
