@@ -24,7 +24,9 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# deliberately NO JAX_COMPILATION_CACHE_DIR — on the axon remote-compile
+# relay local executable serialization measured 3-10x SLOWER first-run
+# compiles (benchmarks/RESULTS.md anti-result; same rationale as bench.py)
 
 import jax
 import jax.numpy as jnp
