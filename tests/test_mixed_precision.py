@@ -273,6 +273,30 @@ def test_debug_nans_allows_healthy_early_stop():
     assert np.all(np.isfinite(np.asarray(res.val_losses)[:n_ran]))
 
 
+def test_bf16_predict_composes_with_chunking_and_mesh():
+    """compute_dtype rides through the chunked/sharded serving paths: the
+    chunked + population-mesh prediction equals the whole-table bf16 one."""
+    from vae_los_angeles_tpu.parallel.vmap_meta import population_mesh
+    from vae_los_angeles_tpu.training.tasks import TASKS
+
+    arrays = _arrays(n=50)  # uneven: 50 rows over chunk 16 and an 8-way mesh
+    cfg = _cfg()
+    # the deterministic AE (no sampling) so chunked == whole exactly, like
+    # the fp32 chunk tests in test_engine.py
+    params, state = TASKS["rna2dna_ae"].init(jax.random.PRNGKey(5), cfg, N_SITES)
+    whole = engine.predict("rna2dna_ae", params, state, arrays,
+                           compute_dtype="bfloat16")
+    chunked = engine.predict(
+        "rna2dna_ae", params, state, arrays,
+        mesh=population_mesh(), chunk_size=16, compute_dtype="bfloat16",
+    )
+    assert chunked.shape == whole.shape
+    assert np.allclose(np.asarray(chunked), np.asarray(whole), atol=1e-6)
+    # and it really served reduced precision: fp32 whole-table differs
+    whole32 = engine.predict("rna2dna_ae", params, state, arrays)
+    assert float(np.max(np.abs(np.asarray(whole32) - np.asarray(whole)))) > 0
+
+
 def test_bf16_loader_downgrades_pallas(tmp_path, monkeypatch, capsys):
     """use_pallas + bf16 serves through the XLA path (fp32 Pallas programs),
     announcing the downgrade like the training CLI does."""
