@@ -52,6 +52,12 @@ def main():
                     help="bfloat16 = MXU-native matmul operands (fp32 "
                          "accumulation + fp32 optimizer): the mixed-precision "
                          "policy's target regime is exactly this wide bench")
+    ap.add_argument("--moments_dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="bfloat16 = AdamW m/v STORED reduced (fp32 math): "
+                         "the wide step is HBM-sweep-bound over "
+                         "params+moments, so this cuts ~1/3 of the swept "
+                         "bytes (ops.optim.adamw_init)")
     ap.add_argument("--model_parallel", type=int, default=2)
     ap.add_argument("--devices", type=int, default=8,
                     help="tp mode: width of the VIRTUAL CPU mesh (default 8); "
@@ -75,7 +81,8 @@ def main():
 
     cfg = Config(input_dim_b=args.dim_b, input_dim_a=args.dim_a,
                  batch_size=args.batch_size, patience=10_000,
-                 compute_dtype=args.compute_dtype)
+                 compute_dtype=args.compute_dtype,
+                 moments_dtype=args.moments_dtype)
     n_sites = 24
     print(f"devices: {jax.device_count()}×{jax.devices()[0].platform} | "
           f"dim_b={args.dim_b:,} → 512×dim_b decoder weight "
@@ -114,7 +121,8 @@ def main():
         import json
         print(json.dumps({
             "metric": f"rna2dna_wide{args.dim_b}_epoch_ms"
-                      + ("_bf16" if args.compute_dtype == "bfloat16" else ""),
+                      + ("_bf16" if args.compute_dtype == "bfloat16" else "")
+                      + ("_bf16m" if args.moments_dtype == "bfloat16" else ""),
             "value": round(spb * 1e3, 2), "unit": "ms",
             "vs_baseline": None,
         }))
@@ -167,7 +175,8 @@ def main():
         import json
         print(json.dumps({
             "metric": f"rna2dna_wide{args.dim_b}_tp_step_ms"
-                      + ("_bf16" if args.compute_dtype == "bfloat16" else ""),
+                      + ("_bf16" if args.compute_dtype == "bfloat16" else "")
+                      + ("_bf16m" if args.moments_dtype == "bfloat16" else ""),
             "value": round(steady * 1e3, 2), "unit": "ms",
             "vs_baseline": None,
         }))

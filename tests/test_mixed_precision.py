@@ -273,6 +273,60 @@ def test_debug_nans_allows_healthy_early_stop():
     assert np.all(np.isfinite(np.asarray(res.val_losses)[:n_ran]))
 
 
+def test_bf16_moments_train_and_quality():
+    """MOMENTS_DTYPE=bfloat16: AdamW m/v stored reduced (fp32 math, fp32
+    master params) — trains to a val loss near the fp32-moments run."""
+    arrays = _arrays()
+    tr, va = arrays.take(jnp.arange(64)), arrays.take(jnp.arange(64, 96))
+    key = jax.random.PRNGKey(0)
+
+    res32 = engine.fit("rna2dna", _cfg(), tr, va, key, N_SITES, num_epochs=8)
+    resbf = engine.fit(
+        "rna2dna", _cfg(moments_dtype="bfloat16"), tr, va, key, N_SITES,
+        num_epochs=8,
+    )
+    for sub in ("m", "v"):
+        assert all(
+            leaf.dtype == jnp.bfloat16
+            for leaf in jax.tree.leaves(resbf.carry["opt"][sub])
+        )
+    # master params stay fp32 and the run lands in the fp32 quality basin
+    assert all(
+        leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(resbf.params)
+    )
+    v32, vbf = float(res32.val_losses[-1]), float(resbf.val_losses[-1])
+    assert np.isfinite(vbf) and vbf != v32
+    assert abs(vbf - v32) / v32 < 0.05, (v32, vbf)
+
+
+def test_bf16_moments_rejected_by_pallas_and_resume_roundtrip(tmp_path):
+    """Reduced moments are an XLA-path knob (fp32 Pallas programs reject
+    them), and a bf16-moments carry round-trips through the resume
+    checkpoint bit-exactly."""
+    from vae_los_angeles_tpu.training import checkpoint
+
+    arrays = _arrays(n=48)
+    tr, va = arrays.take(jnp.arange(32)), arrays.take(jnp.arange(32, 48))
+    cfg = _cfg(moments_dtype="bfloat16")
+    with pytest.raises(ValueError, match="XLA paths only"):
+        engine.fit("rna2dna", cfg, tr, va, jax.random.PRNGKey(0), N_SITES,
+                   num_epochs=1, fused_epoch=True)
+
+    res = engine.fit("rna2dna", cfg, tr, va, jax.random.PRNGKey(0), N_SITES,
+                     num_epochs=2)
+    checkpoint.save_resume("rna2dna", "bf16m", res.carry, 2,
+                           checkpoint_dir=str(tmp_path), seed=0)
+    carry2, n_done, _, _ = checkpoint.load_resume(
+        "rna2dna", "bf16m", checkpoint_dir=str(tmp_path)
+    )
+    assert n_done == 2
+    for orig, back in zip(
+        jax.tree.leaves(res.carry["opt"]), jax.tree.leaves(carry2["opt"])
+    ):
+        assert orig.dtype == np.asarray(back).dtype
+        assert np.array_equal(np.asarray(orig), np.asarray(back))
+
+
 def test_bf16_predict_composes_with_chunking_and_mesh():
     """compute_dtype rides through the chunked/sharded serving paths: the
     chunked + population-mesh prediction equals the whole-table bf16 one."""

@@ -75,6 +75,10 @@ class Config:
     # native MXU rate — with fp32 accumulation, fp32 biases/BatchNorm/losses
     # and fp32 master params + optimizer state; see ops.nn.cast_matmul_params).
     compute_dtype: str = "float32"  # env override: COMPUTE_DTYPE=bfloat16
+    # AdamW moment STORAGE dtype ("float32" default = torch-parity recipe;
+    # "bfloat16" halves the m/v HBM sweep that dominates wide-regime step
+    # time — updates still computed in fp32; see ops.optim.adamw_init).
+    moments_dtype: str = "float32"  # env override: MOMENTS_DTYPE=bfloat16
     # Debug mode (SURVEY §5 sanitizer row): jax_debug_nans re-runs the
     # offending jitted program op-by-op and raises AT the first NaN-producing
     # primitive, instead of training silently to a NaN loss.

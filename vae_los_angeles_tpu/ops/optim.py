@@ -30,29 +30,47 @@ ADAM_EPS = 1e-8
 PLATEAU_THRESHOLD = 1e-4  # torch default, threshold_mode='rel'
 
 
-def adamw_init(params):
-    zeros = jax.tree.map(jnp.zeros_like, params)
+def adamw_init(params, moments_dtype=None):
+    """Fresh AdamW state.
+
+    ``moments_dtype`` (e.g. ``jnp.bfloat16``) stores the m/v moment tensors
+    reduced — the wide-regime bandwidth knob: each step sweeps
+    params+moments through HBM, and at whole-methylome width that sweep IS
+    the step time (benchmarks/RESULTS.md scale demo #2), so halving the
+    moment bytes cuts it ~1/3. Updates are always COMPUTED in fp32
+    (``adamw_update`` upcasts, then rounds back to storage dtype); None
+    keeps full-fp32 moments — bit-identical to the torch-parity recipe."""
+    def zeros(p):
+        # zeros_like (not zeros): committed/sharded params pass their
+        # sharding to the moments, which plain jnp.zeros would drop
+        return jnp.zeros_like(p, dtype=moments_dtype or p.dtype)
+
     return {
         "step": jnp.zeros((), jnp.int32),
-        "m": zeros,
-        "v": jax.tree.map(jnp.zeros_like, params),
+        "m": jax.tree.map(zeros, params),
+        "v": jax.tree.map(zeros, params),
     }
 
 
 def adamw_update(params, grads, state, lr, weight_decay):
-    """One AdamW step. ``lr`` may be a traced scalar (plateau-scheduled)."""
+    """One AdamW step. ``lr`` may be a traced scalar (plateau-scheduled).
+
+    Moments may be stored reduced (see ``adamw_init``): math runs in fp32
+    and results round back to each leaf's storage dtype — an exact identity
+    when the storage is fp32, so the default path stays bit-compatible."""
     step = state["step"] + 1
     t = step.astype(jnp.float32)
     bc1 = 1.0 - ADAM_B1**t
     bc2 = 1.0 - ADAM_B2**t
 
     def leaf(p, g, m, v):
-        m = ADAM_B1 * m + (1.0 - ADAM_B1) * g
-        v = ADAM_B2 * v + (1.0 - ADAM_B2) * jnp.square(g)
+        mdt, vdt = m.dtype, v.dtype
+        m = ADAM_B1 * m.astype(jnp.float32) + (1.0 - ADAM_B1) * g
+        v = ADAM_B2 * v.astype(jnp.float32) + (1.0 - ADAM_B2) * jnp.square(g)
         # torch order: decay p first, then apply bias-corrected Adam step.
         p = p * (1.0 - lr * weight_decay)
         p = p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + ADAM_EPS)
-        return p, m, v
+        return p, m.astype(mdt), v.astype(vdt)
 
     flat_p, treedef = jax.tree.flatten(params)
     flat_g = treedef.flatten_up_to(grads)

@@ -171,13 +171,20 @@ def sharded_train_step(task_name: str, compute_dtype: str = "float32"):
 
 
 def make_sharded_train_state(task_name: str, cfg, n_sites: int, mesh: Mesh, key):
-    """Initialize params/BN/opt state laid out on the mesh."""
+    """Initialize params/BN/opt state laid out on the mesh.
+
+    ``cfg.moments_dtype="bfloat16"`` stores AdamW m/v reduced — the moment
+    shards inherit the param shardings either way (zeros created per leaf)."""
+    from vae_los_angeles_tpu.ops import nn as ops_nn
+
     task = TASKS[task_name]
     params, state = task.init(key, cfg, n_sites)
     params = shard_params(params, mesh)
     replicated = NamedSharding(mesh, P())
     state = jax.tree.map(lambda x: jax.device_put(x, replicated), state)
-    opt = optim.adamw_init(params)
+    opt = optim.adamw_init(
+        params, ops_nn.resolve_compute_dtype(getattr(cfg, "moments_dtype", None))
+    )
     # m/v inherit the param shardings via zeros_like; scalar leaves (the step
     # counter) are host-created and must be committed to the mesh too, or the
     # step's output sharding (replicated) won't match its input on call 2.

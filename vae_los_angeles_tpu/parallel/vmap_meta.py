@@ -108,7 +108,10 @@ def _vmapped_init(task_name: str, cfg: Config, n_sites: int):
         task = TASKS[task_name]
         _VMAP_INIT_CACHE[cache_key] = jax.jit(
             jax.vmap(
-                lambda k, lr: engine.init_carry(*task.init(k, cfg, n_sites), lr)
+                lambda k, lr: engine.init_carry(
+                    *task.init(k, cfg, n_sites), lr,
+                    moments_dtype=cfg.moments_dtype,
+                )
             )
         )
     return _VMAP_INIT_CACHE[cache_key]

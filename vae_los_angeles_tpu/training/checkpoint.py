@@ -24,6 +24,7 @@ from datetime import datetime
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -35,6 +36,7 @@ def new_run_id() -> str:
 # marker key so empty dict subtrees (e.g. a stateless model's {}) survive
 # the flatten/unflatten round-trip instead of silently vanishing
 _EMPTY = "__empty_dict__"
+_BF16 = ".__bf16__"  # leaf-key marker: value stored as uint16 bit pattern
 
 
 def _flatten(tree, prefix=""):
@@ -59,13 +61,23 @@ def _flatten(tree, prefix=""):
             f"{type(tree).__name__} at '{prefix[:-1] or '<root>'}'"
         )
     else:
-        out[prefix[:-1]] = np.asarray(tree)
+        arr = np.asarray(tree)
+        if arr.dtype == jnp.bfloat16:
+            # np.savez degrades bfloat16 (an ml_dtypes extension dtype) to a
+            # raw 'V2' void array on load — store the bit pattern as uint16
+            # with a key marker and view it back in _unflatten
+            out[prefix[:-1] + _BF16] = arr.view(np.uint16)
+        else:
+            out[prefix[:-1]] = arr
     return out
 
 
 def _unflatten(flat):
     tree = {}
     for key, val in flat.items():
+        if key.endswith(_BF16):
+            key = key[: -len(_BF16)]
+            val = val.view(jnp.bfloat16)
         parts = key.split("/")
         node = tree
         for p in parts[:-1]:

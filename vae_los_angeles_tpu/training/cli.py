@@ -299,14 +299,20 @@ def run_training(
 
     from vae_los_angeles_tpu.ops import nn as ops_nn
 
-    bf16_requested = ops_nn.resolve_compute_dtype(cfg.compute_dtype) != jnp.float32
-    if bf16_requested and (fused_step or fused_epoch):
-        # same graceful downgrade as --dp below: the Pallas kernels are fp32
-        # programs, so an explicit bf16 request routes to the XLA path
-        print(
-            f"COMPUTE_DTYPE={cfg.compute_dtype}: using the XLA path "
-            "(Pallas kernels are fp32 programs)"
+    reduced = {
+        name: dtype
+        for name, dtype in (
+            ("COMPUTE_DTYPE", cfg.compute_dtype),
+            ("MOMENTS_DTYPE", cfg.moments_dtype),
         )
+        if ops_nn.resolve_compute_dtype(dtype) != jnp.float32
+    }
+    if reduced and (fused_step or fused_epoch):
+        # same graceful downgrade as --dp below: the Pallas kernels are fp32
+        # programs, so an explicit reduced-precision request routes to the
+        # XLA path
+        req = ", ".join(f"{k}={v}" for k, v in reduced.items())
+        print(f"{req}: using the XLA path (Pallas kernels are fp32 programs)")
         fused_step = fused_epoch = False
     mesh = None
     if args.dp:

@@ -66,12 +66,17 @@ class FitResult(NamedTuple):
                              # NaN-diverged epochs, unlike isnan(val_losses))
 
 
-def init_carry(params0, state0, lr):
-    """Fresh fused-training carry for a model; vmap-able over populations."""
+def init_carry(params0, state0, lr, moments_dtype: str = "float32"):
+    """Fresh fused-training carry for a model; vmap-able over populations.
+
+    ``moments_dtype="bfloat16"`` stores AdamW m/v reduced (fp32 math) —
+    the wide-regime HBM-sweep knob, see ``optim.adamw_init``."""
     return {
         "params": params0,
         "state": state0,
-        "opt": optim.adamw_init(params0),
+        "opt": optim.adamw_init(
+            params0, ops_nn.resolve_compute_dtype(moments_dtype)
+        ),
         "plateau": optim.plateau_init(lr),
         "estop": optim.early_stop_init(),
         "best": {"params": params0, "state": state0},
@@ -533,7 +538,18 @@ def fit(
                 "init_params was given without init_state — pass both halves "
                 "of the task.init(...) result"
             )
-        carry0 = init_carry(init_params, init_state, hp["lr"])
+        carry0 = init_carry(init_params, init_state, hp["lr"],
+                            moments_dtype=cfg.moments_dtype)
+    if (fused_step or fused_epoch) and any(
+        leaf.dtype != jnp.float32
+        for leaf in jax.tree.leaves(carry0["opt"]["m"])
+    ):
+        raise ValueError(
+            "moments_dtype='bfloat16' applies to the XLA paths only — the "
+            "Pallas fused kernels are fp32 programs; at the reference dims "
+            "they keep moments VMEM-resident anyway, so the HBM-sweep saving "
+            "this knob exists for (wide regime) doesn't apply there"
+        )
     data_sharding = None
     if mesh is not None:
         if fused_step or fused_epoch:
