@@ -58,6 +58,12 @@ def main():
                          "the wide step is HBM-sweep-bound over "
                          "params+moments, so this cuts ~1/3 of the swept "
                          "bytes (ops.optim.adamw_init)")
+    ap.add_argument("--optimizer", choices=["adamw", "adafactor"],
+                    default="adamw",
+                    help="adafactor = factored second moments, no first "
+                         "moment: the optimizer sweep drops from 3x to ~1x "
+                         "the weight bytes — the biggest wide-regime lever "
+                         "(ops.optim.adafactor_init)")
     ap.add_argument("--model_parallel", type=int, default=2)
     ap.add_argument("--devices", type=int, default=8,
                     help="tp mode: width of the VIRTUAL CPU mesh (default 8); "
@@ -82,7 +88,8 @@ def main():
     cfg = Config(input_dim_b=args.dim_b, input_dim_a=args.dim_a,
                  batch_size=args.batch_size, patience=10_000,
                  compute_dtype=args.compute_dtype,
-                 moments_dtype=args.moments_dtype)
+                 moments_dtype=args.moments_dtype,
+                 optimizer=args.optimizer)
     n_sites = 24
     print(f"devices: {jax.device_count()}×{jax.devices()[0].platform} | "
           f"dim_b={args.dim_b:,} → 512×dim_b decoder weight "
@@ -122,7 +129,8 @@ def main():
         print(json.dumps({
             "metric": f"rna2dna_wide{args.dim_b}_epoch_ms"
                       + ("_bf16" if args.compute_dtype == "bfloat16" else "")
-                      + ("_bf16m" if args.moments_dtype == "bfloat16" else ""),
+                      + ("_bf16m" if args.moments_dtype == "bfloat16" else "")
+                      + ("_af" if args.optimizer == "adafactor" else ""),
             "value": round(spb * 1e3, 2), "unit": "ms",
             "vs_baseline": None,
         }))
@@ -154,7 +162,8 @@ def main():
                              jnp.asarray(beta[:n_rows]),
                              jnp.asarray(site[:n_rows])), mesh)
         step = sharding.sharded_train_step(
-            "rna2dna", compute_dtype=args.compute_dtype
+            "rna2dna", compute_dtype=args.compute_dtype,
+            optimizer=args.optimizer,
         )
         sargs = (jnp.float32(5e-4), jnp.float32(1e-5), jnp.float32(1e-3),
                  jnp.float32(1.0))
@@ -176,7 +185,8 @@ def main():
         print(json.dumps({
             "metric": f"rna2dna_wide{args.dim_b}_tp_step_ms"
                       + ("_bf16" if args.compute_dtype == "bfloat16" else "")
-                      + ("_bf16m" if args.moments_dtype == "bfloat16" else ""),
+                      + ("_bf16m" if args.moments_dtype == "bfloat16" else "")
+                      + ("_af" if args.optimizer == "adafactor" else ""),
             "value": round(steady * 1e3, 2), "unit": "ms",
             "vs_baseline": None,
         }))

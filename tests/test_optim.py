@@ -39,6 +39,56 @@ def test_adamw_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(params["b"]), tb.detach().numpy(), atol=1e-5)
 
 
+def test_adafactor_matches_hf_oracle(rng):
+    """Factored (2-D), full (1-D) and 3-D leaves vs the live
+    transformers.optimization.Adafactor in its recommended external-lr
+    configuration (scale_parameter=False, relative_step=False, beta1=None) —
+    the semantics adafactor_update documents."""
+    from transformers.optimization import Adafactor
+
+    w0 = rng.normal(size=(7, 4)).astype(np.float32)
+    e0 = rng.normal(size=(3, 5, 2)).astype(np.float32)  # 3-D: leading batch
+    b0 = rng.normal(size=(4,)).astype(np.float32)
+    x = rng.normal(size=(16, 7)).astype(np.float32)
+    y = rng.normal(size=(16, 4)).astype(np.float32)
+    lr, wd = 1e-3, 1e-2
+
+    tw = torch.tensor(w0, requires_grad=True)
+    te = torch.tensor(e0, requires_grad=True)
+    tb = torch.tensor(b0, requires_grad=True)
+    topt = Adafactor(
+        [tw, te, tb], lr=lr, weight_decay=wd, beta1=None,
+        scale_parameter=False, relative_step=False, warmup_init=False,
+    )
+
+    params = {"w": jnp.asarray(w0), "e": jnp.asarray(e0), "b": jnp.asarray(b0)}
+    state = optim.adafactor_init(params)
+    assert state["vr"]["w"].shape == (7,)
+    assert state["vc"]["w"].shape == (4,)
+    assert state["vr"]["e"].shape == (3, 5)
+    assert state["vc"]["e"].shape == (3, 2)
+    assert state["vr"]["b"].shape == (4,)  # 1-D: full second moment
+
+    def loss_fn(p):
+        pred = jnp.dot(x, p["w"]) + p["b"]
+        return jnp.sum(jnp.square(pred - y)) + jnp.sum(jnp.square(p["e"]))
+
+    grad_fn = jax.grad(loss_fn)
+    for _ in range(25):
+        topt.zero_grad()
+        tloss = ((torch.from_numpy(x) @ tw + tb - torch.from_numpy(y)) ** 2).sum()
+        tloss = tloss + (te**2).sum()
+        tloss.backward()
+        topt.step()
+        grads = grad_fn(params)
+        params, state = optim.adafactor_update(params, grads, state, lr, wd)
+
+    for k, t in (("w", tw), ("e", te), ("b", tb)):
+        np.testing.assert_allclose(
+            np.asarray(params[k]), t.detach().numpy(), atol=2e-5, err_msg=k
+        )
+
+
 def test_plateau_matches_torch():
     factor, patience = 0.5, 5
     lr0 = 5e-4

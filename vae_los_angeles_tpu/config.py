@@ -79,6 +79,11 @@ class Config:
     # "bfloat16" halves the m/v HBM sweep that dominates wide-regime step
     # time — updates still computed in fp32; see ops.optim.adamw_init).
     moments_dtype: str = "float32"  # env override: MOMENTS_DTYPE=bfloat16
+    # Optimizer: "adamw" (default — torch-parity recipe) or "adafactor"
+    # (factored second moments, no first moment: ~3x fewer optimizer bytes
+    # swept per step — the wide-regime choice; ops.optim.adafactor_init,
+    # parity-locked vs transformers.optimization.Adafactor).
+    optimizer: str = "adamw"  # env override: OPTIMIZER=adafactor
     # Debug mode (SURVEY §5 sanitizer row): jax_debug_nans re-runs the
     # offending jitted program op-by-op and raises AT the first NaN-producing
     # primitive, instead of training silently to a NaN loss.

@@ -115,6 +115,102 @@ def adam_update(params, grads, state, lr, weight_decay=0.0):
 
 
 # ---------------------------------------------------------------------------
+# Adafactor (Shazeer & Stern 2018): factored second moments
+# ---------------------------------------------------------------------------
+
+ADAFACTOR_EPS1 = 1e-30
+ADAFACTOR_CLIP = 1.0
+ADAFACTOR_DECAY = -0.8
+
+
+def adafactor_init(params, moments_dtype=None):
+    """Adafactor state: for an (r, c) matrix the second-moment statistics are
+    one row vector (r,) and one column vector (c,) instead of an (r, c)
+    tensor — and there is no first moment at all (T5-style, ``beta1=None``).
+
+    THE wide-regime optimizer: the whole-methylome AdamW step is bound by
+    sweeping params+m+v (3×weights) through HBM; Adafactor's sweep is params
+    only (~3× fewer bytes), with update quality carried by the factored
+    variance approximation + update clipping. Semantics match
+    ``transformers.optimization.Adafactor(scale_parameter=False,
+    relative_step=False, beta1=None)`` — the recommended external-lr
+    configuration — and are locked against that live oracle in
+    tests/test_optim.py. 1-D leaves (biases, BN) keep full second moments
+    (they are tiny). ``moments_dtype`` optionally stores the (already tiny)
+    statistics reduced, composing with MOMENTS_DTYPE."""
+    dt = moments_dtype or jnp.float32
+
+    def row(p):  # factored row stats; doubles as the FULL moment for <2-D
+        shape = p.shape[:-1] if p.ndim >= 2 else p.shape
+        return jnp.zeros(shape, dt)
+
+    def col(p):  # factored col stats; zero-size placeholder for <2-D
+        shape = p.shape[:-2] + p.shape[-1:] if p.ndim >= 2 else (0,)
+        return jnp.zeros(shape, dt)
+
+    return {
+        "step": jnp.zeros((), jnp.int32),
+        "vr": jax.tree.map(row, params),
+        "vc": jax.tree.map(col, params),
+    }
+
+
+def adafactor_update(params, grads, state, lr, weight_decay):
+    """One Adafactor step (external ``lr`` may be a traced scalar, so the
+    plateau scheduler composes exactly as with AdamW).
+
+    Per HF/fairseq reference: beta2t = 1 - step^-0.8; factored leaves update
+    row/col means of g²+eps1 and approximate rsqrt(v) as
+    rsqrt(row/mean(row)) ⊗ rsqrt(col); the update is RMS-clipped to 1.0,
+    lr-scaled, and applied after decoupled weight decay. Math in fp32;
+    statistics round back to their storage dtype."""
+    step = state["step"] + 1
+    t = step.astype(jnp.float32)
+    beta2t = 1.0 - t**ADAFACTOR_DECAY
+
+    def leaf(p, g, vr, vc):
+        vrdt, vcdt = vr.dtype, vc.dtype
+        u = jnp.square(g) + ADAFACTOR_EPS1
+        if p.ndim >= 2:
+            vr = beta2t * vr.astype(jnp.float32) + (1.0 - beta2t) * u.mean(-1)
+            vc = beta2t * vc.astype(jnp.float32) + (1.0 - beta2t) * u.mean(-2)
+            r = jax.lax.rsqrt(vr / vr.mean(-1, keepdims=True))
+            c = jax.lax.rsqrt(vc)
+            upd = r[..., :, None] * c[..., None, :] * g
+        else:
+            vr = beta2t * vr.astype(jnp.float32) + (1.0 - beta2t) * u
+            upd = jax.lax.rsqrt(vr) * g
+        rms = jnp.sqrt(jnp.mean(jnp.square(upd)))
+        upd = upd / jnp.maximum(1.0, rms / ADAFACTOR_CLIP)
+        # HF order: p += -wd*lr*p, then p -= lr*update  ==  decoupled decay
+        p = p * (1.0 - lr * weight_decay)
+        p = p - lr * upd
+        return p, vr.astype(vrdt), vc.astype(vcdt)
+
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_vr = treedef.flatten_up_to(state["vr"])
+    flat_vc = treedef.flatten_up_to(state["vc"])
+    out = [leaf(p, g, vr, vc)
+           for p, g, vr, vc in zip(flat_p, flat_g, flat_vr, flat_vc)]
+    return (
+        treedef.unflatten([o[0] for o in out]),
+        {
+            "step": step,
+            "vr": treedef.unflatten([o[1] for o in out]),
+            "vc": treedef.unflatten([o[2] for o in out]),
+        },
+    )
+
+
+# (init, update) pairs the training layers select from via Config.optimizer
+OPTIMIZERS = {
+    "adamw": (adamw_init, adamw_update),  # torch-parity default
+    "adafactor": (adafactor_init, adafactor_update),  # wide-regime choice
+}
+
+
+# ---------------------------------------------------------------------------
 # ReduceLROnPlateau (min mode) as a scan-friendly state transition
 # ---------------------------------------------------------------------------
 

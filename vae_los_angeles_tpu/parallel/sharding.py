@@ -127,7 +127,8 @@ def shard_params(params, mesh: Mesh):
 
 
 @functools.lru_cache(maxsize=None)
-def build_sharded_train_step(task_name: str, compute_dtype: str = "float32"):
+def build_sharded_train_step(task_name: str, compute_dtype: str = "float32",
+                             optimizer: str = "adamw"):
     """One fused forward+backward+AdamW step, jittable over a mesh.
 
     All sharding is carried by the committed input arrays; GSPMD propagates
@@ -145,6 +146,7 @@ def build_sharded_train_step(task_name: str, compute_dtype: str = "float32"):
 
     task = TASKS[task_name]
     fwd_dtype = ops_nn.resolve_compute_dtype(compute_dtype)
+    _, opt_update = optim.OPTIMIZERS[optimizer]
 
     def loss_fn(params, state, key, batch, beta_kl, gamma, class_weights):
         fwd_params = ops_nn.cast_matmul_params(params, fwd_dtype)
@@ -160,14 +162,15 @@ def build_sharded_train_step(task_name: str, compute_dtype: str = "float32"):
         (loss, new_state), grads = grad_fn(
             params, state, key, batch, beta_kl, gamma, class_weights
         )
-        params, opt = optim.adamw_update(params, grads, opt, lr, weight_decay)
+        params, opt = opt_update(params, grads, opt, lr, weight_decay)
         return params, new_state, opt, loss
 
     return train_step
 
 
-def sharded_train_step(task_name: str, compute_dtype: str = "float32"):
-    return build_sharded_train_step(task_name, compute_dtype)
+def sharded_train_step(task_name: str, compute_dtype: str = "float32",
+                       optimizer: str = "adamw"):
+    return build_sharded_train_step(task_name, compute_dtype, optimizer)
 
 
 def make_sharded_train_state(task_name: str, cfg, n_sites: int, mesh: Mesh, key):
@@ -182,13 +185,17 @@ def make_sharded_train_state(task_name: str, cfg, n_sites: int, mesh: Mesh, key)
     params = shard_params(params, mesh)
     replicated = NamedSharding(mesh, P())
     state = jax.tree.map(lambda x: jax.device_put(x, replicated), state)
-    opt = optim.adamw_init(
+    opt_init, _ = optim.OPTIMIZERS[getattr(cfg, "optimizer", "adamw")]
+    opt = opt_init(
         params, ops_nn.resolve_compute_dtype(getattr(cfg, "moments_dtype", None))
     )
-    # m/v inherit the param shardings via zeros_like; scalar leaves (the step
-    # counter) are host-created and must be committed to the mesh too, or the
-    # step's output sharding (replicated) won't match its input on call 2.
+    # AdamW m/v inherit the param shardings via zeros_like; everything else
+    # (the step counter, Adafactor's small factored row/col statistics) is
+    # host-created and must be committed to the mesh, or the step's output
+    # sharding won't match its input on call 2.
     opt = jax.tree.map(
-        lambda x: jax.device_put(x, replicated) if x.ndim == 0 else x, opt
+        lambda x: x if isinstance(x.sharding, NamedSharding)
+        else jax.device_put(x, replicated),
+        opt,
     )
     return params, state, opt

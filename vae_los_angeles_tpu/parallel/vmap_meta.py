@@ -111,6 +111,7 @@ def _vmapped_init(task_name: str, cfg: Config, n_sites: int):
                 lambda k, lr: engine.init_carry(
                     *task.init(k, cfg, n_sites), lr,
                     moments_dtype=cfg.moments_dtype,
+                    optimizer=cfg.optimizer,
                 )
             )
         )
@@ -118,7 +119,8 @@ def _vmapped_init(task_name: str, cfg: Config, n_sites: int):
 
 
 def _vmapped_fit(task_name, num_epochs, batch_size, n_train, n_val, drop_last,
-                 has_cw, data_axis, hp_axis, compute_dtype="float32"):
+                 has_cw, data_axis, hp_axis, compute_dtype="float32",
+                 optimizer="adamw"):
     """jit(vmap(fit)) with configurable in_axes, cached per static config.
 
     Deliberately the XLA-path fit, never the Pallas kernels: measured on the
@@ -141,11 +143,12 @@ def _vmapped_fit(task_name, num_epochs, batch_size, n_train, n_val, drop_last,
     4.7×) with the bit-identical masked-select form — 584.9 s → 124.3 s
     measured for the pop=4×50-epoch program (RESULTS.md round 2)."""
     cache_key = (task_name, num_epochs, batch_size, n_train, n_val, drop_last,
-                 has_cw, data_axis, hp_axis, compute_dtype)
+                 has_cw, data_axis, hp_axis, compute_dtype, optimizer)
     if cache_key not in _VMAP_FIT_CACHE:
         fit_fn = engine.build_fit_fn(
             task_name, num_epochs, batch_size, n_train, n_val, drop_last,
             has_cw, stop_via_mask=True, compute_dtype=compute_dtype,
+            optimizer=optimizer,
         )
         # (carry0, train, val, hp, class_weights, key, epoch_offset)
         in_axes = (0, data_axis, data_axis, hp_axis, None, 0, None)
@@ -200,6 +203,7 @@ def fit_folds(
         fit_v = _vmapped_fit(
             task_name, int(num_epochs), int(cfg.batch_size), n_tr, n_va,
             bool(drop_last), False, 0, None, str(cfg.compute_dtype),
+            str(cfg.optimizer),
         )
         batched: engine.FitResult = fit_v(
             carry0, stacked_tr, stacked_va, hp, None, group_keys, jnp.int32(0)
@@ -290,6 +294,7 @@ def fit_trials(
         task_name, int(num_epochs), int(cfg.batch_size),
         int(len(train_arrays)), int(len(val_arrays)), True,
         class_weights is not None, None, 0, str(cfg.compute_dtype),
+        str(cfg.optimizer),
     )
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
     res = fit_v(

@@ -307,12 +307,15 @@ def run_training(
         )
         if ops_nn.resolve_compute_dtype(dtype) != jnp.float32
     }
+    if cfg.optimizer != "adamw":
+        reduced["OPTIMIZER"] = cfg.optimizer
     if reduced and (fused_step or fused_epoch):
         # same graceful downgrade as --dp below: the Pallas kernels are fp32
-        # programs, so an explicit reduced-precision request routes to the
-        # XLA path
+        # AdamW programs, so an explicit reduced-precision/alt-optimizer
+        # request routes to the XLA path
         req = ", ".join(f"{k}={v}" for k, v in reduced.items())
-        print(f"{req}: using the XLA path (Pallas kernels are fp32 programs)")
+        print(f"{req}: using the XLA path (Pallas kernels are fp32 AdamW "
+              "programs)")
         fused_step = fused_epoch = False
     mesh = None
     if args.dp:

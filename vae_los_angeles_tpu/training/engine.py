@@ -66,17 +66,29 @@ class FitResult(NamedTuple):
                              # NaN-diverged epochs, unlike isnan(val_losses))
 
 
-def init_carry(params0, state0, lr, moments_dtype: str = "float32"):
+# "adamw" (torch-parity default) | "adafactor" (factored second moments, no
+# first moment — sweeps params only instead of params+m+v: the wide regime's
+# optimizer; ops/optim.py adafactor_init)
+_OPTIMIZERS = optim.OPTIMIZERS
+
+
+def init_carry(params0, state0, lr, moments_dtype: str = "float32",
+               optimizer: str = "adamw"):
     """Fresh fused-training carry for a model; vmap-able over populations.
 
-    ``moments_dtype="bfloat16"`` stores AdamW m/v reduced (fp32 math) —
-    the wide-regime HBM-sweep knob, see ``optim.adamw_init``."""
+    ``moments_dtype="bfloat16"`` stores optimizer moments reduced (fp32
+    math) — a wide-regime HBM-sweep knob, see ``optim.adamw_init``.
+    ``optimizer="adafactor"`` switches to factored second moments (the
+    bigger wide-regime lever; see ``optim.adafactor_init``)."""
+    if optimizer not in _OPTIMIZERS:
+        raise ValueError(
+            f"unsupported optimizer {optimizer!r}; valid: {sorted(_OPTIMIZERS)}"
+        )
+    opt_init, _ = _OPTIMIZERS[optimizer]
     return {
         "params": params0,
         "state": state0,
-        "opt": optim.adamw_init(
-            params0, ops_nn.resolve_compute_dtype(moments_dtype)
-        ),
+        "opt": opt_init(params0, ops_nn.resolve_compute_dtype(moments_dtype)),
         "plateau": optim.plateau_init(lr),
         "estop": optim.early_stop_init(),
         "best": {"params": params0, "state": state0},
@@ -135,6 +147,7 @@ def build_fit_fn(
     stop_via_mask: bool = False,
     compute_dtype: str = "float32",
     stop_fill_inf: bool = False,
+    optimizer: str = "adamw",
 ):
     """Construct the PURE fused training function for a static problem shape.
 
@@ -186,6 +199,18 @@ def build_fit_fn(
         )
         return loss
 
+    if optimizer not in _OPTIMIZERS:
+        raise ValueError(
+            f"unsupported optimizer {optimizer!r}; valid: {sorted(_OPTIMIZERS)}"
+        )
+    if optimizer != "adamw" and (fused_step or fused_epoch):
+        raise ValueError(
+            "optimizer='adafactor' applies to the XLA paths only — the "
+            "Pallas fused kernels run AdamW in-kernel (at the reference dims "
+            "the AdamW state is VMEM-resident anyway; Adafactor's sweep "
+            "saving exists for the wide XLA regime, benchmarks/bench_wide.py)"
+        )
+    _, opt_update = _OPTIMIZERS[optimizer]
     grad_fn = jax.value_and_grad(train_loss_fn, has_aux=True)
 
     if fused_step:
@@ -366,7 +391,7 @@ def build_fit_fn(
                             params, state, bkey, batch, beta_kl, class_weights,
                             hp["gamma"],
                         )
-                    params, opt = optim.adamw_update(
+                    params, opt = opt_update(
                         params, grads, opt, lr, hp["weight_decay"]
                     )
                     return (params, new_state, opt), loss
@@ -528,6 +553,15 @@ def fit(
         hp = hyperparams(cfg)
     if resume_carry is not None:
         carry0 = resume_carry
+        if ("vr" in carry0["opt"]) != (cfg.optimizer == "adafactor"):
+            # a structure mismatch would otherwise surface as an opaque
+            # pytree error deep in tracing
+            found = "adafactor" if "vr" in carry0["opt"] else "adamw"
+            raise ValueError(
+                f"resume checkpoint holds {found!r} optimizer state but "
+                f"Config.optimizer is {cfg.optimizer!r} — resume with the "
+                "optimizer the run was started with"
+            )
     else:
         if init_params is None:
             init_params, init_state = task.init(key, cfg, n_sites)
@@ -539,10 +573,11 @@ def fit(
                 "of the task.init(...) result"
             )
         carry0 = init_carry(init_params, init_state, hp["lr"],
-                            moments_dtype=cfg.moments_dtype)
+                            moments_dtype=cfg.moments_dtype,
+                            optimizer=cfg.optimizer)
     if (fused_step or fused_epoch) and any(
-        leaf.dtype != jnp.float32
-        for leaf in jax.tree.leaves(carry0["opt"]["m"])
+        jnp.issubdtype(leaf.dtype, jnp.floating) and leaf.dtype != jnp.float32
+        for leaf in jax.tree.leaves(carry0["opt"])
     ):
         raise ValueError(
             "moments_dtype='bfloat16' applies to the XLA paths only — the "
@@ -586,6 +621,7 @@ def fit(
         # read at call time and part of the cache key, so toggling debug mode
         # in-process can't serve a stale program
         bool(jax.config.jax_debug_nans),
+        str(cfg.optimizer),
     )
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
     if mesh is not None:
