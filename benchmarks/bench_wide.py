@@ -161,9 +161,11 @@ def main():
             MultiModalArrays(jnp.asarray(tpm[:n_rows]),
                              jnp.asarray(beta[:n_rows]),
                              jnp.asarray(site[:n_rows])), mesh)
+        # donate: in-place state updates — without it the multi-GB wide
+        # params+opt state double-buffers across the step boundary
         step = sharding.sharded_train_step(
             "rna2dna", compute_dtype=args.compute_dtype,
-            optimizer=args.optimizer,
+            optimizer=args.optimizer, donate=True,
         )
         sargs = (jnp.float32(5e-4), jnp.float32(1e-5), jnp.float32(1e-3),
                  jnp.float32(1.0))

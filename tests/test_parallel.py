@@ -45,6 +45,29 @@ def test_sharded_train_step_dp_tp():
     assert len(w.sharding.device_set) == 8 or not w.sharding.is_fully_replicated
 
 
+def test_sharded_train_step_donate_mode():
+    """donate=True (in-place state updates for the multi-GB wide regime)
+    must run repeatedly with chained outputs and produce the same loss as
+    the non-donating build (donation is an aliasing hint, not math)."""
+    mesh = sharding.make_mesh(8, model_parallel=2)
+    key = jax.random.PRNGKey(3)
+    args = (jnp.float32(5e-4), jnp.float32(1e-5), jnp.float32(0.0),
+            jnp.float32(1.0))
+    losses = {}
+    for donate in (False, True):
+        params, state, opt = sharding.make_sharded_train_state(
+            "rna2dna", CFG, N_SITES, mesh, key
+        )
+        batch = sharding.shard_arrays(_arrays(n=64), mesh)
+        step = sharding.sharded_train_step("rna2dna", donate=donate)
+        for _ in range(2):
+            params, state, opt, loss = step(params, state, opt, batch, key,
+                                            *args)
+        losses[donate] = float(loss)
+    assert np.isfinite(losses[True])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6)
+
+
 def test_sharded_step_matches_unsharded():
     """DP+TP sharding must not change the math (collectives are exact)."""
     mesh = sharding.make_mesh(8, model_parallel=2)

@@ -128,7 +128,7 @@ def shard_params(params, mesh: Mesh):
 
 @functools.lru_cache(maxsize=None)
 def build_sharded_train_step(task_name: str, compute_dtype: str = "float32",
-                             optimizer: str = "adamw"):
+                             optimizer: str = "adamw", donate: bool = False):
     """One fused forward+backward+AdamW step, jittable over a mesh.
 
     All sharding is carried by the committed input arrays; GSPMD propagates
@@ -156,7 +156,11 @@ def build_sharded_train_step(task_name: str, compute_dtype: str = "float32",
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    @jax.jit
+    # donate=True aliases params/state/opt into their updated outputs —
+    # in-place updates instead of double-buffering, halving peak HBM for the
+    # multi-GB wide-regime state. Opt-in because donated inputs become
+    # invalid after the call (callers that reuse pre-step state must not).
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
     def train_step(params, state, opt, batch, key, lr, weight_decay, beta_kl,
                    gamma, class_weights=None):
         (loss, new_state), grads = grad_fn(
@@ -169,8 +173,8 @@ def build_sharded_train_step(task_name: str, compute_dtype: str = "float32",
 
 
 def sharded_train_step(task_name: str, compute_dtype: str = "float32",
-                       optimizer: str = "adamw"):
-    return build_sharded_train_step(task_name, compute_dtype, optimizer)
+                       optimizer: str = "adamw", donate: bool = False):
+    return build_sharded_train_step(task_name, compute_dtype, optimizer, donate)
 
 
 def make_sharded_train_state(task_name: str, cfg, n_sites: int, mesh: Mesh, key):
