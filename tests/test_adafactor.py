@@ -110,6 +110,55 @@ def test_adafactor_population_fit_folds():
         assert "vr" in f.carry["opt"]
 
 
+def test_sharded_step_rejects_mismatched_optimizer_state():
+    """A state built under one Config.optimizer fed to a step built for
+    another errors clearly at trace time, not as a KeyError mid-trace."""
+    from vae_los_angeles_tpu.parallel import sharding
+
+    mesh = sharding.make_mesh(8, model_parallel=2)
+    params, state, opt = sharding.make_sharded_train_state(
+        "rna2dna", _cfg(), N_SITES, mesh, jax.random.PRNGKey(0)
+    )  # adafactor state
+    batch = sharding.shard_arrays(_arrays(n=32), mesh)
+    step = sharding.sharded_train_step("rna2dna")  # adamw step
+    sargs = (jnp.float32(1e-3), jnp.float32(1e-5), jnp.float32(1e-3),
+             jnp.float32(1.0))
+    with pytest.raises(ValueError, match="optimizer state slots"):
+        step(params, state, opt, batch, jax.random.PRNGKey(0), *sargs)
+    with pytest.raises(ValueError, match="unsupported optimizer"):
+        sharding.sharded_train_step("rna2dna", optimizer="sgd")
+
+
+def test_resume_notes_ignored_moments_dtype(tmp_path, capsys):
+    """Resuming under a different MOMENTS_DTYPE keeps the checkpoint's
+    storage and says so (the knob applies to fresh runs only)."""
+    from vae_los_angeles_tpu.training import checkpoint
+
+    arrays = _arrays(n=48)
+    tr, va = arrays.take(jnp.arange(32)), arrays.take(jnp.arange(32, 48))
+    cfg = _cfg(optimizer="adamw")  # fp32 moments
+    res = engine.fit("rna2dna", cfg, tr, va, jax.random.PRNGKey(0), N_SITES,
+                     num_epochs=1)
+    checkpoint.save_resume("rna2dna", "mdt", res.carry, 1,
+                           checkpoint_dir=str(tmp_path), seed=0)
+    carry2, _, _, _ = checkpoint.load_resume(
+        "rna2dna", "mdt", checkpoint_dir=str(tmp_path)
+    )
+    engine.fit("rna2dna", cfg.replace(moments_dtype="bfloat16"), tr, va,
+               jax.random.PRNGKey(0), N_SITES, num_epochs=1,
+               resume_carry=carry2, start_epoch=1)
+    out = capsys.readouterr().out
+    assert "ignored for this run" in out
+
+
+def test_checkpoint_rejects_reserved_bf16_marker(tmp_path):
+    from vae_los_angeles_tpu.training import checkpoint
+
+    with pytest.raises(ValueError, match="reserved bfloat16 storage marker"):
+        checkpoint.save(str(tmp_path / "x.npz"),
+                        {"w.__bf16__": jnp.ones((2,))})
+
+
 def test_adafactor_sharded_tp_step():
     """The DP×TP step runs Adafactor with mesh-committed factored stats and
     stays stable across repeated calls (output shardings must match inputs)."""

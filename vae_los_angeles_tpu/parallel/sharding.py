@@ -146,7 +146,14 @@ def build_sharded_train_step(task_name: str, compute_dtype: str = "float32",
 
     task = TASKS[task_name]
     fwd_dtype = ops_nn.resolve_compute_dtype(compute_dtype)
+    if optimizer not in optim.OPTIMIZERS:
+        raise ValueError(
+            f"unsupported optimizer {optimizer!r}; "
+            f"valid: {sorted(optim.OPTIMIZERS)}"
+        )
     _, opt_update = optim.OPTIMIZERS[optimizer]
+    expected_slots = {"adamw": {"step", "m", "v"},
+                      "adafactor": {"step", "vr", "vc"}}[optimizer]
 
     def loss_fn(params, state, key, batch, beta_kl, gamma, class_weights):
         fwd_params = ops_nn.cast_matmul_params(params, fwd_dtype)
@@ -163,6 +170,15 @@ def build_sharded_train_step(task_name: str, compute_dtype: str = "float32",
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2) if donate else ())
     def train_step(params, state, opt, batch, key, lr, weight_decay, beta_kl,
                    gamma, class_weights=None):
+        if set(opt) != expected_slots:
+            # trace-time check: a state built under a DIFFERENT
+            # Config.optimizer than this step would otherwise die as an
+            # opaque KeyError deep in tracing
+            raise ValueError(
+                f"optimizer state slots {sorted(opt)} don't match "
+                f"{optimizer!r} (expected {sorted(expected_slots)}) — build "
+                "the state and the step from the same Config.optimizer"
+            )
         (loss, new_state), grads = grad_fn(
             params, state, key, batch, beta_kl, gamma, class_weights
         )

@@ -51,6 +51,13 @@ def _flatten(tree, prefix=""):
                     f"checkpoint key {k!r} (at '{prefix}') contains '/', "
                     "which is the flattened-path separator"
                 )
+            if str(k).endswith(_BF16):
+                # _unflatten would strip the suffix and bit-reinterpret the
+                # leaf as bfloat16 — reject instead of silently corrupting
+                raise ValueError(
+                    f"checkpoint key {k!r} (at '{prefix}') ends with the "
+                    f"reserved bfloat16 storage marker {_BF16!r}"
+                )
             out.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(tree, (tuple, list)):
         # refuse rather than round-trip a tuple into a string-keyed dict —

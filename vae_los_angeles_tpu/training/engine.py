@@ -562,6 +562,21 @@ def fit(
                 f"Config.optimizer is {cfg.optimizer!r} — resume with the "
                 "optimizer the run was started with"
             )
+        want = np.dtype(ops_nn.resolve_compute_dtype(cfg.moments_dtype))
+        stored = {
+            np.dtype(leaf.dtype)
+            for k in ("m", "v", "vr", "vc") if k in carry0["opt"]
+            for leaf in jax.tree.leaves(carry0["opt"][k])
+        }
+        if stored and stored != {want}:
+            # the checkpoint's storage dtype rules on resume — say so
+            # instead of silently ignoring the knob
+            print(
+                f"Note: resume checkpoint stores optimizer moments as "
+                f"{'/'.join(sorted(str(d) for d in stored))}; "
+                f"Config.moments_dtype={cfg.moments_dtype!r} is ignored for "
+                "this run (the knob applies to fresh runs)"
+            )
     else:
         if init_params is None:
             init_params, init_state = task.init(key, cfg, n_sites)
