@@ -128,6 +128,23 @@ def run_training(
         "(full carry: params, optimizer moments, scheduler, early-stop)",
     )
     parser.add_argument(
+        "--compute_dtype", choices=["float32", "bfloat16"], default=None,
+        help="bfloat16 = MXU-native matmul operands, fp32 accumulation + "
+        "fp32 masters/AdamW/BN (XLA paths; default float32 = torch-parity "
+        "recipe). Same as COMPUTE_DTYPE env",
+    )
+    parser.add_argument(
+        "--moments_dtype", choices=["float32", "bfloat16"], default=None,
+        help="bfloat16 = optimizer moments STORED reduced, fp32 math — the "
+        "wide-regime HBM-sweep knob. Same as MOMENTS_DTYPE env",
+    )
+    parser.add_argument(
+        "--optimizer", choices=["adamw", "adafactor"], default=None,
+        help="adafactor = factored second moments (wide-regime optimizer, "
+        "parity-locked vs transformers' Adafactor; use a higher lr). "
+        "Default adamw = torch-parity recipe. Same as OPTIMIZER env",
+    )
+    parser.add_argument(
         "--dp",
         action="store_true",
         help="data-parallel training: shard the sample axis over all visible "
@@ -138,6 +155,16 @@ def run_training(
     args = parser.parse_args(argv)
 
     cfg = cfg or Config.from_env()
+    # explicit flags win over env/config spellings of the same knobs
+    overrides = {
+        k: v
+        for k, v in (("compute_dtype", args.compute_dtype),
+                     ("moments_dtype", args.moments_dtype),
+                     ("optimizer", args.optimizer))
+        if v is not None
+    }
+    if overrides:
+        cfg = cfg.replace(**overrides)
     if cfg.platform:
         # honor the reference's DEVICE env override (train_rna2dna.py:166-174)
         try:
