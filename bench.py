@@ -47,42 +47,55 @@ TARGET_SECONDS = 60.0  # BASELINE.json north star: 200 epochs < 60 s
 EPOCHS = int(os.getenv("BENCH_EPOCHS", "200"))
 
 
-def _wait_for_backend(attempts: int, wait_s: float) -> None:
-    """Ride out transient relay flaps before first backend use.
-
-    The tunneled TPU relay can be briefly unavailable; a failed in-process
-    init pins the error for the process lifetime, so probe in a SUBPROCESS
-    and only touch the backend here once a probe succeeds. Never raises —
-    after the last failed attempt the real init below produces the loud,
-    honest error."""
-    import subprocess
-
-    # already initialized (e.g. bench imported into a running process), or
-    # explicitly pinned off the relay (tests force jax_platforms=cpu; the
-    # axon sitecustomize ignores the JAX_PLATFORMS env a subprocess would
-    # inherit, so probing would hit the relay the parent will never use)
+def _backend_pinned_or_initialized() -> bool:
+    """True when probing would be pointless: the backend is already
+    initialized (e.g. bench imported into a running process), or the
+    platform is explicitly pinned off the relay (tests force
+    jax_platforms=cpu; the axon ``sitecustomize`` ignores the
+    ``JAX_PLATFORMS`` env a subprocess would inherit, so probing would hit
+    the relay the parent will never use)."""
     from jax._src import xla_bridge
 
     if xla_bridge.backends_are_initialized():
-        return
+        return True
     pinned = jax.config.jax_platforms
-    if pinned and "tpu" not in pinned and "axon" not in pinned:
-        return
+    return bool(pinned and "tpu" not in pinned and "axon" not in pinned)
+
+
+def _probe_backend(timeout: float = 180.0) -> bool:
+    """One bounded OUT-OF-PROCESS backend-visibility probe (a failed
+    in-process init pins the error for the process lifetime, and relay init
+    is load-dependent — it can hang for minutes)."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True,
+                timeout=timeout,
+            ).returncode
+            == 0
+        )
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_backend(attempts: int, wait_s: float) -> bool:
+    """Ride out transient relay flaps before first backend use.
+
+    Never raises: when every probe fails the process falls back to the CPU
+    backend (the platform flip must happen before first backend use — the
+    axon ``sitecustomize`` ignores a ``JAX_PLATFORMS`` env var, so it is
+    done via ``jax.config.update`` here) and returns True, so the driver
+    contract still records an honest, annotated measurement instead of an
+    init traceback when the relay is down for the whole bench window."""
+    if _backend_pinned_or_initialized():
+        return False
 
     for i in range(attempts):
-        try:
-            ok = (
-                subprocess.run(
-                    [sys.executable, "-c", "import jax; jax.devices()"],
-                    capture_output=True,
-                    timeout=180,
-                ).returncode
-                == 0
-            )
-        except subprocess.TimeoutExpired:
-            ok = False
-        if ok:
-            return
+        if _probe_backend():
+            return False
         if i < attempts - 1:
             print(
                 f"backend probe failed (attempt {i + 1}/{attempts}); "
@@ -90,11 +103,20 @@ def _wait_for_backend(attempts: int, wait_s: float) -> None:
                 file=sys.stderr,
             )
             time.sleep(wait_s)
+    print(
+        f"TPU backend unreachable after {attempts} probes — falling back to "
+        "the CPU backend so the bench still records an honest number "
+        "(measured CPU reference: ~393 s steady-state for this workload; "
+        "the TPU megakernel number is 0.5-0.6 s, see benchmarks/RESULTS.md)",
+        file=sys.stderr,
+    )
+    jax.config.update("jax_platforms", "cpu")
+    return True
 
 
 def main():
     cfg = Config.from_env().replace(patience=10_000)  # run all 200 epochs
-    _wait_for_backend(
+    cpu_fallback = _wait_for_backend(
         attempts=int(os.getenv("BENCH_INIT_RETRIES", "3")),
         wait_s=float(os.getenv("BENCH_INIT_WAIT_S", "60")),
     )
@@ -160,7 +182,7 @@ def main():
 
     n_train = len(tr_idx)
     samples_per_sec = EPOCHS * (n_train // cfg.batch_size) * cfg.batch_size / wall
-    compile_s = compile_and_run - wall
+    compile_s = max(0.0, compile_and_run - wall)  # clamp: run-to-run noise can exceed compile on CPU
     print(
         f"compile: {compile_s:.2f}s | compile+run: {compile_and_run:.2f}s | "
         f"steady-state 200-epoch run: {wall:.2f}s | "
@@ -169,16 +191,15 @@ def main():
         f"mode={mode}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "rna2dna_200epoch_wallclock",
-                "value": round(wall, 3),
-                "unit": "s",
-                "vs_baseline": round(TARGET_SECONDS / wall, 2),
-            }
-        )
-    )
+    line = {
+        "metric": "rna2dna_200epoch_wallclock",
+        "value": round(wall, 3),
+        "unit": "s",
+        "vs_baseline": round(TARGET_SECONDS / wall, 2),
+    }
+    if cpu_fallback:
+        line["platform"] = "cpu (TPU relay unreachable; see stderr)"
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

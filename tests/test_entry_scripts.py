@@ -85,6 +85,39 @@ def test_bench_dp_mode(monkeypatch, capsys, spelling):
     assert "dp mesh" in out.err and "mode=dp" in out.err
 
 
+def test_bench_cpu_fallback_annotates(monkeypatch, capsys):
+    """When every relay probe fails, bench.py must fall back to the CPU
+    backend and annotate the JSON line with a "platform" key (the driver's
+    BENCH_r*.json then records an honest measurement instead of an init
+    traceback when the relay is down for the whole bench window)."""
+    import importlib
+    import json
+
+    monkeypatch.setenv("BENCH_EPOCHS", "2")
+    monkeypatch.setenv("BENCH_SAMPLES", "256")
+    monkeypatch.setenv("BENCH_INIT_RETRIES", "1")  # no retry sleeps in CI
+    monkeypatch.delenv("BENCH_MODE", raising=False)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+
+        importlib.reload(bench)  # re-read BENCH_* env at module level
+        # simulate: backend not yet initialized/pinned, relay down for good
+        monkeypatch.setattr(bench, "_backend_pinned_or_initialized", lambda: False)
+        monkeypatch.setattr(bench, "_probe_backend", lambda timeout=0.0: False)
+        bench.main()
+    finally:
+        sys.path.remove(REPO)
+    out = capsys.readouterr()
+    lines = [ln for ln in out.out.strip().splitlines() if ln.startswith("{")]
+    assert len(lines) == 1
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "rna2dna_200epoch_wallclock"
+    assert "cpu" in payload["platform"]
+    assert "falling back" in out.err
+
+
 def test_graft_entry_lowers():
     """entry() must produce a jittable forward (lowering = compile check)."""
     sys.path.insert(0, REPO)
