@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vae_los_angeles_tpu.ops.nn import BN_EPS, BN_MOMENTUM
 from vae_los_angeles_tpu.ops.optim import ADAM_B1, ADAM_B2, ADAM_EPS
+from vae_los_angeles_tpu.ops.pallas.fused_vae import scoped_vmem_limit
 from vae_los_angeles_tpu.ops.pallas.fused_train import (
     DROPOUT_RATE,
     PARAM_ORDER,
@@ -284,10 +285,9 @@ def _epoch_call(flat_p, flat_m, flat_v, rm, rv, x_ep, t_ep, oh_ep, eps_ep,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # default 16 MB scoped-VMEM cap OOMs past batch ~128 (state ~11 MB
-            # + batch-scaled activations); v5e's physical VMEM takes the same
-            # raised cap the multimodal megakernel uses
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # raised scoped-VMEM cap where the chip has it (see
+            # scoped_vmem_limit: batch>128 needs >16 MB; v2/v3 keep default)
+            vmem_limit_bytes=scoped_vmem_limit(),
         ),
     )(
         jnp.asarray([seed], jnp.int32),
@@ -581,10 +581,9 @@ def _d2r_epoch_call(flat_p, flat_m, flat_v, rm1, rv1, rm2, rv2, x_ep, t_ep,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # default 16 MB scoped-VMEM cap OOMs past batch ~128 (state ~11 MB
-            # + batch-scaled activations); v5e's physical VMEM takes the same
-            # raised cap the multimodal megakernel uses
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # raised scoped-VMEM cap where the chip has it (see
+            # scoped_vmem_limit: batch>128 needs >16 MB; v2/v3 keep default)
+            vmem_limit_bytes=scoped_vmem_limit(),
         ),
     )(
         jnp.asarray([seed], jnp.int32),

@@ -49,6 +49,23 @@ def _interpret():
     return pltpu.InterpretParams()
 
 
+def scoped_vmem_limit():
+    """Scoped-VMEM cap for the whole-epoch megakernels.
+
+    The default 16 MB scoped cap OOMs past batch ~128 (state ~11 MB +
+    batch-scaled activations), so on v4/v5e+ the kernels request 100 MB —
+    well inside those chips' 64-128 MiB physical VMEM. TPU v2/v3 only HAVE
+    16 MiB/core, so requesting more than the hardware capacity there would
+    fail kernel compile outright; keep the compiler default (None), which
+    still fits the reference batch-32 recipe on those chips."""
+    if jax.default_backend() != "tpu":
+        return 100 * 1024 * 1024  # interpret mode: value is inert
+    kind = jax.devices()[0].device_kind
+    if any(g in kind for g in ("v2", "v3")):
+        return None
+    return 100 * 1024 * 1024
+
+
 def fold_bn_eval(linear, bn_params, bn_state):
     """Fold eval-mode BN into the preceding linear: returns (W', b')."""
     s = bn_params["gamma"] / jnp.sqrt(bn_state["var"] + BN_EPS)
