@@ -337,3 +337,93 @@ def test_cv_statistical_report_non_significant(capsys):
     assert "no significant difference" in out
     assert "nan significantly better" not in out
     assert "vae significantly better" in out  # the clear pairs still report
+
+
+def test_hpo_trial_keys_global_and_slice_stable():
+    """Trial run keys derive from the GLOBAL trial index: equal-sized shape
+    buckets must not share key rows (split(key, n) would hand both buckets
+    identical rows), and slicing survivors preserves their original keys."""
+    from vae_los_angeles_tpu.evaluation.hpo import _trial_keys
+
+    a = _trial_keys(0, [0, 1, 2])
+    b = _trial_keys(0, [3, 4, 5])
+    # no row of bucket a appears in bucket b (and vice versa)
+    assert not any((row == b).all(axis=1).any() for row in a)
+    # continuation: survivors keep their original rows
+    np.testing.assert_array_equal(_trial_keys(0, [0, 2]), a[[0, 2]])
+
+
+def test_hpo_timeout_checked_between_rungs(monkeypatch):
+    """--timeout expiring mid-bucket stops STARTING new rungs (optuna
+    semantics: in-flight work completes, no new work begins); survivors keep
+    the results of the rungs that ran."""
+    import time as time_mod
+
+    from vae_los_angeles_tpu.config import Config
+    from vae_los_angeles_tpu.data.dataset import MultiModalArrays
+    from vae_los_angeles_tpu.data.synthetic import generate_synthetic_arrays
+    from vae_los_angeles_tpu.evaluation.hpo import run_vmapped
+
+    tpm, beta, site = generate_synthetic_arrays(
+        n_samples=96, dim_a=11, dim_b=13, n_sites=3, seed=0
+    )
+    arr = MultiModalArrays(jnp.asarray(tpm), jnp.asarray(beta),
+                           jnp.asarray(site))
+    tr, va = arr.take(jnp.arange(64)), arr.take(jnp.arange(64, 96))
+    cfg = Config(input_dim_a=11, input_dim_b=13, batch_size=16)
+    trials = [
+        dict(latent_dim=4, embed_dim=4, learning_rate=1e-3,
+             weight_decay=1e-5, beta_start=1e-3, gamma=1.0)
+        for _ in range(4)
+    ]
+    # monotonic() call order in run_vmapped: t0, bucket check, rung-1 check.
+    # 0 elapsed at the bucket check (bucket starts), expired by rung 1.
+    ticks = iter([0.0, 0.0, 10_000.0])
+    monkeypatch.setattr(time_mod, "monotonic",
+                        lambda: next(ticks, 10_000.0))
+    values, pruned_at = run_vmapped(
+        cfg, trials, tr, va, 3, None, num_epochs=4, seed=0,
+        timeout=500.0, prune_rungs=2,
+    )
+    # rung 0 (2 epochs) ran for everyone — including its end-of-rung pruning
+    # decision — and every trial has a finite rung-0 result; rung 1 never
+    # started, so the surviving (unpruned) trials kept their epoch-2 results
+    assert np.isfinite(values).all()
+    survivors = pruned_at == -1
+    assert survivors.any(), "median pruning can never drop every trial"
+    assert (pruned_at[~survivors] == 2).all()  # pruned at the rung boundary
+
+
+def test_chunked_predict_places_weights_once(monkeypatch):
+    """predict(chunk_size=) must place host-resident weights on device ONCE
+    before the chunk loop — per-chunk re-transfer is the cost this path's
+    wide-regime users cannot afford."""
+    from vae_los_angeles_tpu.data.dataset import MultiModalArrays
+    from vae_los_angeles_tpu.data.synthetic import generate_synthetic_arrays
+    from vae_los_angeles_tpu.training import engine
+    from vae_los_angeles_tpu.training.tasks import TASKS
+
+    cfg = Config(input_dim_a=11, input_dim_b=13, latent_dim=4, embed_dim=4)
+    params, state = TASKS["rna2dna"].init(jax.random.PRNGKey(0), cfg, 3)
+    # host-resident numpy weights, the documented chunked-serving setup
+    params = jax.tree.map(np.asarray, params)
+    state = jax.tree.map(np.asarray, state)
+    tpm, beta, site = generate_synthetic_arrays(
+        n_samples=50, dim_a=11, dim_b=13, n_sites=3, seed=1
+    )
+    arrays = MultiModalArrays(np.asarray(tpm), np.asarray(beta),
+                              np.asarray(site))
+
+    puts = []
+    real_put = jax.device_put
+
+    def spy(tree, *a, **k):
+        puts.append(tree)
+        return real_put(tree, *a, **k)
+
+    monkeypatch.setattr(jax, "device_put", spy)
+    out = engine.predict("rna2dna", params, state, arrays, chunk_size=16)
+    assert out.shape == (50, 13)
+    # exactly one placement of the weights, despite ceil(50/16)=4 chunks
+    weight_puts = [t for t in puts if isinstance(t, tuple) and len(t) == 2]
+    assert len(weight_puts) == 1

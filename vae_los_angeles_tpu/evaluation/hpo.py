@@ -135,6 +135,19 @@ def _rung_lengths(num_epochs: int, rungs: int):
     return [base + (1 if r < rem else 0) for r in range(rungs)]
 
 
+def _trial_keys(seed: int, idxs) -> np.ndarray:
+    """Per-trial run keys, derived from each trial's GLOBAL index.
+
+    ``split(PRNGKey(seed), len(idxs))`` would hand two equal-sized shape
+    buckets byte-identical key rows — position-j trials across buckets would
+    share dropout/sampling noise streams. fold_in by global trial index makes
+    every trial's stream unique and independent of bucket composition."""
+    return np.stack(
+        [np.asarray(jax.random.fold_in(jax.random.PRNGKey(seed), i))
+         for i in idxs]
+    )
+
+
 def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
                 num_epochs, seed=0, timeout=None, prune_rungs: int = 1):
     """Bucket trials by shape; train each bucket as one vmapped population.
@@ -191,13 +204,21 @@ def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
         # fixed per-trial run keys, reused across rungs: each trial's noise
         # stream is keyed by absolute epoch (fold_in(key, epoch)), so a
         # continued survivor trains bit-identically to an unpruned run
-        trial_keys = np.asarray(
-            jax.random.split(jax.random.PRNGKey(seed), len(idxs))
-        )
+        trial_keys = _trial_keys(seed, idxs)
         live = list(range(len(idxs)))  # bucket-local positions still training
         carry = None
         epoch_offset = 0
         for r, rung_epochs in enumerate(rungs):
+            if r and timeout is not None and time.monotonic() - t0 > timeout:
+                # same semantics as optuna's study timeout: no NEW work is
+                # started once the budget expires — survivors keep the best
+                # val loss they reached through the completed rungs
+                print(
+                    f"    --timeout {timeout:.0f}s reached after rung {r - 1};"
+                    f" {len(live)} survivor(s) keep their epoch-{epoch_offset}"
+                    " results"
+                )
+                break
             sub_pop = {k: v[live] for k, v in pop.items()}
             res = vmap_meta.fit_trials(
                 "multimodal", bucket_cfg, train_arrays, val_arrays,
