@@ -394,3 +394,85 @@ def test_degenerate_mesh_is_plain_path():
     p_plain = engine.predict("rna2dna", p0, s0, va)
     p_degen = engine.predict("rna2dna", p0, s0, va, mesh=mesh1)
     np.testing.assert_array_equal(np.asarray(p_plain), np.asarray(p_degen))
+
+
+def test_population_debug_nans_healthy_early_stop():
+    """The vmapped population honors the same debug-mode contract as the
+    single-run path (CLAUDE.md: 'post-stop loss rows fill +inf there'): a
+    HEALTHY early-stopped member must not crash jax_debug_nans, and the
+    builder cache must not serve the NaN-fill program compiled before the
+    flag flipped."""
+    arrays = _arrays(n=120, seed=7)
+    tr, va = arrays.take(np.arange(96)), arrays.take(np.arange(96, 120))
+    pop = {
+        "lr": np.asarray([0.0, 1e-3], np.float32),
+        "patience": np.asarray([1, 1000], np.int32),
+    }
+    key = jax.random.PRNGKey(11)
+    jax.config.update("jax_debug_nans", True)
+    try:
+        res = vmap_meta.fit_trials(
+            "rna2dna", CFG, tr, va, key, N_SITES, pop, num_epochs=10
+        )
+    finally:
+        jax.config.update("jax_debug_nans", False)
+    epochs_ran = np.asarray(res.epochs_ran)
+    assert bool(np.asarray(res.stopped)[0]), "trial 0 must early-stop"
+    tail = np.asarray(res.val_losses)[0, epochs_ran[0]:]
+    assert np.all(np.isposinf(tail))  # debug fill is +inf, not NaN
+
+
+def test_fit_trials_continuation_requires_keys():
+    """carry0/start_epoch without explicit keys must raise: split(key, n) is
+    a function of n, so a sliced survivor population would silently switch
+    noise streams mid-run."""
+    import pytest
+
+    arrays = _arrays(n=120, seed=7)
+    tr, va = arrays.take(np.arange(96)), arrays.take(np.arange(96, 120))
+    pop = {"lr": np.asarray([3e-4, 1e-3], np.float32)}
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(9), 2))
+    part1 = vmap_meta.fit_trials(
+        "rna2dna", CFG, tr, va, jax.random.PRNGKey(9), N_SITES, pop,
+        num_epochs=2, keys=keys,
+    )
+    with pytest.raises(ValueError, match="explicit per-trial `keys`"):
+        vmap_meta.fit_trials(
+            "rna2dna", CFG, tr, va, jax.random.PRNGKey(9), N_SITES, pop,
+            num_epochs=2, carry0=part1.carry, start_epoch=2,
+        )
+
+
+def test_vmapped_fit_cache_is_thread_safe(monkeypatch):
+    """CV_PARALLEL_SWEEPS calls the population builders from a thread pool;
+    concurrent same-key requests must build the program ONCE (an
+    unsynchronized check-then-set would duplicate the multi-minute relay
+    compile the cache exists to amortize)."""
+    import threading
+
+    from vae_los_angeles_tpu.training import engine as eng
+
+    calls = []
+    real = eng.build_fit_fn
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(eng, "build_fit_fn", counting)
+    monkeypatch.setattr(vmap_meta, "_VMAP_FIT_CACHE", {})
+    args = ("rna2dna", 3, 16, 96, 24, True, False, None, 0)
+    got = [None] * 6
+    barrier = threading.Barrier(6)
+
+    def worker(i):
+        barrier.wait()
+        got[i] = vmap_meta._vmapped_fit(*args)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1
+    assert all(g is got[0] for g in got)

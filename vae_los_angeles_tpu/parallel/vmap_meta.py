@@ -27,6 +27,7 @@ reference's wall-clock hot spot is folds×directions sequential trainings
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -96,6 +97,12 @@ def _pad_population(tree, target: int):
 
 _VMAP_FIT_CACHE: dict = {}
 _VMAP_INIT_CACHE: dict = {}
+# CV_PARALLEL_SWEEPS>1 calls these builders from a ThreadPoolExecutor
+# (evaluation/cross_modality_cv.py); an unsynchronized check-then-set would
+# let two sweeps race past the miss and EACH pay the multi-minute population
+# compile the cache exists to amortize. The lock only serializes program
+# CONSTRUCTION (trace/jit wrapper build, cheap) — execution stays parallel.
+_CACHE_LOCK = threading.Lock()
 
 
 def _vmapped_init(task_name: str, cfg: Config, n_sites: int):
@@ -104,18 +111,19 @@ def _vmapped_init(task_name: str, cfg: Config, n_sites: int):
     import dataclasses
 
     cache_key = (task_name, dataclasses.astuple(cfg), n_sites)
-    if cache_key not in _VMAP_INIT_CACHE:
-        task = TASKS[task_name]
-        _VMAP_INIT_CACHE[cache_key] = jax.jit(
-            jax.vmap(
-                lambda k, lr: engine.init_carry(
-                    *task.init(k, cfg, n_sites), lr,
-                    moments_dtype=cfg.moments_dtype,
-                    optimizer=cfg.optimizer,
+    with _CACHE_LOCK:
+        if cache_key not in _VMAP_INIT_CACHE:
+            task = TASKS[task_name]
+            _VMAP_INIT_CACHE[cache_key] = jax.jit(
+                jax.vmap(
+                    lambda k, lr: engine.init_carry(
+                        *task.init(k, cfg, n_sites), lr,
+                        moments_dtype=cfg.moments_dtype,
+                        optimizer=cfg.optimizer,
+                    )
                 )
             )
-        )
-    return _VMAP_INIT_CACHE[cache_key]
+        return _VMAP_INIT_CACHE[cache_key]
 
 
 def _vmapped_fit(task_name, num_epochs, batch_size, n_train, n_val, drop_last,
@@ -142,18 +150,29 @@ def _vmapped_fit(task_name, num_epochs, batch_size, n_train, n_val, drop_last,
     early-stop ``lax.cond`` (whose batching rule blows XLA:TPU compile up
     4.7×) with the bit-identical masked-select form — 584.9 s → 124.3 s
     measured for the pop=4×50-epoch program (RESULTS.md round 2)."""
+    # Same debug-mode contract as the single-run path (engine._build_fit):
+    # under jax_debug_nans a healthy early-stopped member's post-stop rows
+    # must fill +inf, not NaN — otherwise the debugger re-runs the whole
+    # population program op-by-op and crashes a HEALTHY run. Read at call
+    # time and part of the cache key so toggling the flag in-process can't
+    # serve a stale program.
+    stop_fill_inf = bool(jax.config.jax_debug_nans)
     cache_key = (task_name, num_epochs, batch_size, n_train, n_val, drop_last,
-                 has_cw, data_axis, hp_axis, compute_dtype, optimizer)
-    if cache_key not in _VMAP_FIT_CACHE:
-        fit_fn = engine.build_fit_fn(
-            task_name, num_epochs, batch_size, n_train, n_val, drop_last,
-            has_cw, stop_via_mask=True, compute_dtype=compute_dtype,
-            optimizer=optimizer,
-        )
-        # (carry0, train, val, hp, class_weights, key, epoch_offset)
-        in_axes = (0, data_axis, data_axis, hp_axis, None, 0, None)
-        _VMAP_FIT_CACHE[cache_key] = jax.jit(jax.vmap(fit_fn, in_axes=in_axes))
-    return _VMAP_FIT_CACHE[cache_key]
+                 has_cw, data_axis, hp_axis, compute_dtype, optimizer,
+                 stop_fill_inf)
+    with _CACHE_LOCK:
+        if cache_key not in _VMAP_FIT_CACHE:
+            fit_fn = engine.build_fit_fn(
+                task_name, num_epochs, batch_size, n_train, n_val, drop_last,
+                has_cw, stop_via_mask=True, compute_dtype=compute_dtype,
+                optimizer=optimizer, stop_fill_inf=stop_fill_inf,
+            )
+            # (carry0, train, val, hp, class_weights, key, epoch_offset)
+            in_axes = (0, data_axis, data_axis, hp_axis, None, 0, None)
+            _VMAP_FIT_CACHE[cache_key] = jax.jit(
+                jax.vmap(fit_fn, in_axes=in_axes)
+            )
+        return _VMAP_FIT_CACHE[cache_key]
 
 
 def fit_folds(
@@ -274,6 +293,16 @@ def fit_trials(
     }
 
     if keys is None:
+        if carry0 is not None or start_epoch:
+            # split(key, n) is a function of n: continuing a SLICED population
+            # without the survivors' original key rows would silently switch
+            # their noise streams mid-run, breaking the bit-identical
+            # continuation guarantee rung pruning is built on.
+            raise ValueError(
+                "continuing a population (carry0/start_epoch) requires "
+                "explicit per-trial `keys` — pass the rows of the original "
+                "run's keys for the surviving trials"
+            )
         keys = jax.random.split(key, n_trials)
     else:
         keys = jnp.asarray(keys)
