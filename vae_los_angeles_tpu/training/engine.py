@@ -714,6 +714,14 @@ def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None,
         n = len(arrays)
         if n == 0:
             raise ValueError("cannot serve an empty cohort")
+        # Place the WEIGHTS once before the chunk loop: the per-chunk calls
+        # get a fresh fold_in key each iteration, so host-resident
+        # params/state would otherwise re-ride host→device with every chunk
+        # (multi-GB per transfer in the wide regime this path serves).
+        if mesh is not None and mesh.size > 1:
+            params, state = replicate_for_serving((params, state), mesh)
+        else:
+            params, state = jax.device_put((params, state))
         outs = []
         for i, start in enumerate(range(0, n, chunk_size)):
             # clipped indices pad the final chunk to the common shape
