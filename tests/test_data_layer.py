@@ -1,6 +1,8 @@
 """Data-layer tests: split-protocol parity, synthetic schema, batching,
 sharded-input training."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -129,3 +131,30 @@ def test_batch_indices_wraps_tiny_n():
     idx = batch_indices(jax.random.PRNGKey(0), 3, 8, drop_last=False)
     assert idx.shape == (1, 8)
     assert set(np.asarray(idx).ravel()) == {0, 1, 2}  # only real samples
+
+
+def test_ensure_synthetic_artifacts_no_clobber(tmp_path):
+    """The shared --synthetic bootstrap: generates once, no-ops when the
+    target exists, and never overwrites sibling artifacts when only a
+    custom target basename is missing."""
+    from vae_los_angeles_tpu.data.synthetic import ensure_synthetic_artifacts
+
+    d = str(tmp_path / "data")
+    assert ensure_synthetic_artifacts(d, dim_a=7, dim_b=9) is True
+    for name in ("processed_data.pkl", "label_encoder.pkl",
+                 "rna_only_unmatched.pkl", "dna_only_unmatched.pkl",
+                 "feature_names.pkl"):
+        assert os.path.exists(os.path.join(d, name)), name
+    # idempotent: second call is a no-op
+    mtime = os.path.getmtime(os.path.join(d, "processed_data.pkl"))
+    assert ensure_synthetic_artifacts(d, dim_a=7, dim_b=9) is False
+    assert os.path.getmtime(os.path.join(d, "processed_data.pkl")) == mtime
+    # custom missing target: generated, but existing siblings are preserved
+    le = os.path.join(d, "label_encoder.pkl")
+    le_mtime = os.path.getmtime(le)
+    custom = os.path.join(d, "custom.pkl")
+    assert ensure_synthetic_artifacts(d, target_pkl=custom, dim_a=7, dim_b=9)
+    assert os.path.exists(custom)
+    assert os.path.getmtime(le) == le_mtime
+    # no staging debris
+    assert not [n for n in os.listdir(d) if n.startswith(".synthetic_")]

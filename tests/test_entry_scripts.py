@@ -242,3 +242,19 @@ def test_console_scripts_resolve_and_exit_zero():
         # the delegate must really exist (lazy imports hide typos until use)
         mod = importlib.import_module(called["module"])
         assert callable(getattr(mod, called["attr"])), (cmd, called)
+
+
+def test_training_cli_synthetic_bootstrap(tmp_path, monkeypatch):
+    """The training CLI's --synthetic flag bootstraps the artifact set via
+    the shared ensure_synthetic_artifacts helper and trains from it."""
+    from vae_los_angeles_tpu.config import Config
+    from vae_los_angeles_tpu.training.cli import run_training
+
+    monkeypatch.chdir(tmp_path)
+    cfg = Config(input_dim_a=9, input_dim_b=11, latent_dim=4, embed_dim=4,
+                 batch_size=32, num_epochs=2)
+    result, run_id, wall = run_training(
+        "rna2dna", "rna2dna", cfg=cfg, argv=["--synthetic", "--epochs", "2"]
+    )
+    assert (tmp_path / "data" / "processed_data.pkl").exists()
+    assert (tmp_path / "checkpoints" / f"best_rna2dna_{run_id}.npz").exists()

@@ -254,3 +254,18 @@ def test_downstream_trimodal(workspace):
     assert any(
         (workspace / "plots" / "downstream_task").glob("per_tissue_f1_comparison_*.png")
     )
+
+
+def test_hpo_synthetic_bootstrap(tmp_path, monkeypatch):
+    """--synthetic bootstraps the full artifact set (same flag as the
+    training CLIs) so HPO runs standalone in offline environments."""
+    from vae_los_angeles_tpu.evaluation.hpo import main as hpo_main
+
+    monkeypatch.chdir(tmp_path)
+    best_params, best_value = hpo_main(
+        ["--trials", "2", "--epochs", "2", "--synthetic"], cfg=CFG
+    )
+    assert np.isfinite(best_value)
+    assert (tmp_path / "data" / "processed_data.pkl").exists()
+    assert (tmp_path / "data" / "label_encoder.pkl").exists()
+    assert (tmp_path / "best_hyperparameters.json").exists()

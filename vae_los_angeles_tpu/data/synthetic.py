@@ -132,4 +132,41 @@ def write_synthetic_artifacts(
     with open(os.path.join(data_dir, "feature_names.pkl"), "wb") as f:
         pickle.dump(feature_names, f)
 
+
+def ensure_synthetic_artifacts(
+    data_dir: str,
+    target_pkl: str = None,
+    dim_a: int = 1177,
+    dim_b: int = 1211,
+):
+    """Bootstrap the prepare_data artifact set for offline runs — the
+    `--synthetic` flag shared by the training and HPO CLIs.
+
+    No-ops when ``target_pkl`` (default ``data_dir/processed_data.pkl``)
+    already exists. Otherwise generates into a scratch dir and moves files
+    WITHOUT overwriting: generating directly into ``data_dir`` would clobber
+    real processed_data.pkl / label_encoder.pkl / unmatched pickles when only
+    a custom ``target_pkl`` basename is missing. Returns True when artifacts
+    were generated."""
+    import shutil
+    import tempfile
+
+    target_pkl = target_pkl or os.path.join(data_dir, "processed_data.pkl")
+    if os.path.exists(target_pkl):
+        return False
+    print("Generating synthetic data artifacts...")
+    os.makedirs(data_dir, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix=".synthetic_", dir=data_dir)
+    try:
+        write_synthetic_artifacts(staging, dim_a=dim_a, dim_b=dim_b)
+        # the requested pickle is known-missing (checked above)
+        os.replace(os.path.join(staging, "processed_data.pkl"), target_pkl)
+        for name in sorted(os.listdir(staging)):
+            dest = os.path.join(data_dir, name)
+            if not os.path.exists(dest):
+                os.replace(os.path.join(staging, name), dest)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return True
+
     return matched, le

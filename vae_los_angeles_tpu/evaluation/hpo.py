@@ -367,10 +367,21 @@ def main(argv=None, cfg: Optional[Config] = None):
         help="split the epoch budget into this many rungs and apply the "
         "median pruning rule between them (vmapped mode); 1 = no pruning",
     )
+    parser.add_argument(
+        "--synthetic", action="store_true",
+        help="generate synthetic data first if processed_data.pkl is "
+        "missing (same bootstrap as the training CLIs)",
+    )
     args = parser.parse_args(argv)
 
     cfg = cfg or Config.from_env()
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    if args.synthetic:
+        from vae_los_angeles_tpu.data.synthetic import ensure_synthetic_artifacts
+
+        ensure_synthetic_artifacts(
+            cfg.data_dir, dim_a=cfg.input_dim_a, dim_b=cfg.input_dim_b
+        )
     cfg, train_arrays, val_arrays, n_sites, class_weights = _load(cfg)
     # explicit --epochs 0 means "no training epochs", like the training CLIs
     num_epochs = cfg.num_epochs if args.epochs is None else args.epochs

@@ -220,32 +220,13 @@ def run_training(
     if args.data_path:
         # honor the exact file named, not just its directory
         cfg = cfg.replace(data_dir=os.path.dirname(args.data_path) or ".")
-    target_pkl = args.data_path or os.path.join(cfg.data_dir, "processed_data.pkl")
-    if args.synthetic and not os.path.exists(target_pkl):
-        import shutil
-        import tempfile
+    if args.synthetic:
+        from vae_los_angeles_tpu.data.synthetic import ensure_synthetic_artifacts
 
-        from vae_los_angeles_tpu.data.synthetic import write_synthetic_artifacts
-
-        print("Generating synthetic data artifacts...")
-        # stage in a scratch dir, then move WITHOUT overwriting: generating
-        # directly into data_dir would clobber real processed_data.pkl /
-        # label_encoder.pkl / unmatched pickles when only the custom
-        # --data_path basename is missing
-        os.makedirs(cfg.data_dir, exist_ok=True)
-        staging = tempfile.mkdtemp(prefix=".synthetic_", dir=cfg.data_dir)
-        try:
-            write_synthetic_artifacts(
-                staging, dim_a=cfg.input_dim_a, dim_b=cfg.input_dim_b
-            )
-            # the requested pickle is known-missing (checked above)
-            os.replace(os.path.join(staging, "processed_data.pkl"), target_pkl)
-            for name in sorted(os.listdir(staging)):
-                dest = os.path.join(cfg.data_dir, name)
-                if not os.path.exists(dest):
-                    os.replace(os.path.join(staging, name), dest)
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        ensure_synthetic_artifacts(
+            cfg.data_dir, target_pkl=args.data_path,
+            dim_a=cfg.input_dim_a, dim_b=cfg.input_dim_b,
+        )
 
     dataset, label_encoder = load_data(cfg, data_path=args.data_path)
     n_sites = len(label_encoder.classes_)
