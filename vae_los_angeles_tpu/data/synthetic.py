@@ -132,6 +132,8 @@ def write_synthetic_artifacts(
     with open(os.path.join(data_dir, "feature_names.pkl"), "wb") as f:
         pickle.dump(feature_names, f)
 
+    return matched, le
+
 
 def ensure_synthetic_artifacts(
     data_dir: str,
@@ -168,5 +170,3 @@ def ensure_synthetic_artifacts(
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return True
-
-    return matched, le
