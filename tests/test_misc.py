@@ -427,3 +427,98 @@ def test_chunked_predict_places_weights_once(monkeypatch):
     # exactly one placement of the weights, despite ceil(50/16)=4 chunks
     weight_puts = [t for t in puts if isinstance(t, tuple) and len(t) == 2]
     assert len(weight_puts) == 1
+
+
+def test_optuna_mode_segmented_pruning(monkeypatch):
+    """--prune-rungs in optuna mode: each trial trains in fused segments via
+    carry continuation (bit-identical to one unsegmented run), and a pruned
+    trial's remaining segments never execute — MedianPruner saves real
+    compute, matching the reference's per-epoch abort semantics."""
+    import sys
+    import types
+
+    from vae_los_angeles_tpu.config import Config
+    from vae_los_angeles_tpu.data.dataset import MultiModalArrays
+    from vae_los_angeles_tpu.data.synthetic import generate_synthetic_arrays
+    from vae_los_angeles_tpu.evaluation import hpo
+    from vae_los_angeles_tpu.training import engine
+
+    class TrialPruned(Exception):
+        pass
+
+    class FakeTrial:
+        """Minimal optuna.Trial: suggests the low end of each range;
+        should_prune() fires (only) for odd trial numbers."""
+
+        def __init__(self, number):
+            self.number = number
+            self.reports = []
+
+        def suggest_int(self, name, lo, hi):
+            return lo
+
+        def suggest_float(self, name, lo, hi, log=False):
+            return lo
+
+        def suggest_categorical(self, name, choices):
+            return choices[0]
+
+        def report(self, value, step):
+            self.reports.append((step, value))
+
+        def should_prune(self):
+            return self.number % 2 == 1
+
+    class FakeStudy:
+        def __init__(self):
+            self.trials = []
+            self.values = []
+
+        def optimize(self, objective, n_trials, timeout):
+            for i in range(n_trials):
+                t = FakeTrial(i)
+                self.trials.append(t)
+                try:
+                    self.values.append(objective(t))
+                except TrialPruned:
+                    self.values.append(None)
+
+    fake = types.ModuleType("optuna")
+    fake.TrialPruned = TrialPruned
+    fake.create_study = lambda direction, pruner=None: FakeStudy()
+    monkeypatch.setitem(sys.modules, "optuna", fake)
+
+    fit_calls = []
+    real_fit = engine.fit
+
+    def spy(*a, **k):
+        fit_calls.append((k.get("num_epochs"), k.get("start_epoch", 0)))
+        return real_fit(*a, **k)
+
+    monkeypatch.setattr(hpo.engine, "fit", spy)
+
+    tpm, beta, site = generate_synthetic_arrays(
+        n_samples=96, dim_a=11, dim_b=13, n_sites=3, seed=0
+    )
+    arr = MultiModalArrays(jnp.asarray(tpm), jnp.asarray(beta),
+                           jnp.asarray(site))
+    tr, va = arr.take(jnp.arange(64)), arr.take(jnp.arange(64, 96))
+    cfg = Config(input_dim_a=11, input_dim_b=13, batch_size=16)
+
+    study = hpo.run_optuna(cfg, 2, None, tr, va, 3, None,
+                           num_epochs=4, seed=0, prune_rungs=2)
+
+    # trial 0 (never pruned): two segments, [0,2) then [2,4); trial 1:
+    # pruned at its first report — segment 2 never ran
+    assert fit_calls == [(2, 0), (2, 2), (2, 0)]
+    assert study.values[1] is None  # pruned
+    assert study.trials[1].reports == [(0, study.trials[1].reports[0][1])]
+    # segmented == unsegmented, bit-exact (same params/key, one fused run)
+    full = real_fit(
+        "multimodal",
+        cfg.replace(latent_dim=10, embed_dim=16, patience=10**6),
+        tr, va, jax.random.PRNGKey(0), 3, num_epochs=4,
+        hp=engine.hyperparams(cfg, lr=1e-5, weight_decay=1e-6,
+                              beta_start=1e-4, gamma=0.5),
+    )
+    assert study.values[0] == float(np.nanmin(np.asarray(full.val_losses)))

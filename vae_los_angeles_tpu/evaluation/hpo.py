@@ -30,12 +30,14 @@ distinct population width (each rung's survivor count is a new shape) —
 worth it when epochs × population is large relative to compile time, which
 is why the default is ``--prune-rungs 1`` (off, matching the reference's
 effective behavior: its default study never fires MedianPruner for n_trials
-≤ n_startup_trials=5). In optuna mode the whole fused run completes before
-the loss curve is replayed through ``trial.report``/``should_prune`` —
-pruning there restores the reference's trial-state bookkeeping (PRUNED
-trials in the study), not compute. Trials train their full epoch budget with
-early stopping disabled, exactly like the reference's objective loop
-(:101-127).
+≤ n_startup_trials=5). Optuna mode honors the same flag: ``--prune-rungs K``
+trains each trial in K fused segments (bit-identical continuation via the
+engine carry), reporting per-epoch losses and raising ``TrialPruned`` as
+soon as ``should_prune()`` fires — a pruned trial's remaining segments never
+run, so MedianPruner saves real compute there too; with the default K=1 the
+whole budget runs first and the replayed curve only restores the reference's
+trial-state bookkeeping. Trials train their full epoch budget with early
+stopping disabled, exactly like the reference's objective loop (:101-127).
 
 Note: the reference's objective returns an unmodified ``np.inf``
 (:100,:133 — a bug documented in SURVEY §2.2); this implementation returns
@@ -264,7 +266,21 @@ def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
 
 
 def run_optuna(cfg, n_trials, timeout, train_arrays, val_arrays, n_sites,
-               class_weights, num_epochs, seed=0):
+               class_weights, num_epochs, seed=0, prune_rungs: int = 1,
+               pruner=None):
+    """Sequential Optuna study (reference optimize_hyperparameters.py:135-140).
+
+    ``prune_rungs`` > 1 trains each trial in that many fused segments,
+    reporting per-epoch losses and checking ``trial.should_prune()`` at each
+    segment boundary — a pruned trial's remaining segments never run, so
+    MedianPruner saves real compute here (reference :129-131 aborts
+    per-epoch; a fused whole-run program cannot stop mid-dispatch, so the
+    segment boundary is the TPU-native pruning point, same as the vmapped
+    mode's rungs). Continuation across segments is bit-identical to an
+    unsegmented run: the carry round-trips and the noise schedule is keyed
+    by absolute epoch. With the default ``prune_rungs=1`` the whole budget
+    runs first and pruning only restores the study's trial-state
+    bookkeeping."""
     try:
         import optuna
     except ImportError:
@@ -301,23 +317,37 @@ def run_optuna(cfg, n_trials, timeout, train_arrays, val_arrays, n_sites,
             beta_start=params["beta_start"],
             gamma=params["gamma"],
         )
-        res = engine.fit(
-            "multimodal", trial_cfg, train_arrays, val_arrays,
-            jax.random.PRNGKey(seed + trial.number), n_sites,
-            num_epochs=num_epochs, class_weights=class_weights, hp=hp,
-        )
-        val_losses = np.asarray(jax.device_get(res.val_losses))
-        for epoch, v in enumerate(val_losses):
-            if np.isfinite(v):
-                trial.report(float(v), epoch)
-                if trial.should_prune():
-                    # the fused run already completed — pruning here restores
-                    # the reference's trial-state bookkeeping (:129-131:
-                    # PRUNED trials in the study), not wall-clock
-                    raise optuna.TrialPruned()
-        return float(np.nanmin(val_losses))
+        key = jax.random.PRNGKey(seed + trial.number)
+        carry = None
+        offset = 0
+        best = np.inf
+        for rung_epochs in _rung_lengths(num_epochs, prune_rungs):
+            res = engine.fit(
+                "multimodal", trial_cfg, train_arrays, val_arrays, key,
+                n_sites, num_epochs=rung_epochs,
+                class_weights=class_weights, hp=hp,
+                resume_carry=carry, start_epoch=offset,
+            )
+            val_losses = np.asarray(jax.device_get(res.val_losses))
+            finite = val_losses[np.isfinite(val_losses)]
+            if finite.size:
+                best = min(best, float(finite.min()))
+            for epoch, v in enumerate(val_losses):
+                if np.isfinite(v):
+                    # per-epoch report + prune check, the reference's exact
+                    # pruning point (:129-131). Within an already-computed
+                    # segment this only restores the study's trial-state
+                    # bookkeeping; with prune_rungs>1 it also skips the
+                    # remaining segments — real compute saved.
+                    trial.report(float(v), offset + epoch)
+                    if trial.should_prune():
+                        raise optuna.TrialPruned()
+            offset += rung_epochs
+            carry = res.carry
+        return best if np.isfinite(best) else float("inf")
 
-    study = optuna.create_study(direction="minimize")
+    # default pruner = MedianPruner, like the reference's create_study
+    study = optuna.create_study(direction="minimize", pruner=pruner)
     study.optimize(objective, n_trials=n_trials, timeout=timeout)
     return study
 
@@ -364,8 +394,9 @@ def main(argv=None, cfg: Optional[Config] = None):
     )
     parser.add_argument(
         "--prune-rungs", type=int, default=1,
-        help="split the epoch budget into this many rungs and apply the "
-        "median pruning rule between them (vmapped mode); 1 = no pruning",
+        help="split the epoch budget into this many rungs/segments and "
+        "apply the median pruning rule between them (both modes); "
+        "1 = no mid-run pruning",
     )
     parser.add_argument(
         "--synthetic", action="store_true",
@@ -419,6 +450,7 @@ def main(argv=None, cfg: Optional[Config] = None):
         study = run_optuna(
             cfg, args.trials, args.timeout, train_arrays, val_arrays, n_sites,
             class_weights, num_epochs, args.seed,
+            prune_rungs=args.prune_rungs,
         )
         best_params, best_value = dict(study.best_params), float(study.best_value)
 
