@@ -722,7 +722,14 @@ def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None,
             params, state = replicate_for_serving((params, state), mesh)
         else:
             params, state = jax.device_put((params, state))
+        # Two-deep dispatch window: jit dispatch is async, so staging the
+        # NEXT chunk (host gather + transfer + dispatch) overlaps the
+        # CURRENT chunk's compute+fetch instead of serializing behind its
+        # blocking np.asarray. Costs one extra in-flight chunk of device
+        # memory (chunk_size rows in + out), preserving the HBM bound that
+        # is this path's reason to exist.
         outs = []
+        pending = []  # [(device_out, valid_rows)], at most 2 in flight
         for i, start in enumerate(range(0, n, chunk_size)):
             # clipped indices pad the final chunk to the common shape
             idx = np.minimum(np.arange(start, start + chunk_size), n - 1)
@@ -732,7 +739,12 @@ def predict(task_name: str, params, state, arrays: MultiModalArrays, key=None,
                 jax.random.fold_in(key, i), mesh,
                 compute_dtype=compute_dtype,
             )
-            outs.append(np.asarray(out)[: min(chunk_size, n - start)])
+            pending.append((out, min(chunk_size, n - start)))
+            if len(pending) == 2:
+                done, rows = pending.pop(0)
+                outs.append(np.asarray(done)[:rows])
+        for done, rows in pending:
+            outs.append(np.asarray(done)[:rows])
         return np.concatenate(outs, axis=0)
     data_sharding = None
     if mesh is not None and mesh.size == 1:
