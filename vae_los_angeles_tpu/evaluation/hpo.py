@@ -52,6 +52,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vae_los_angeles_tpu.config import Config
@@ -150,8 +151,54 @@ def _trial_keys(seed: int, idxs) -> np.ndarray:
     )
 
 
+def _padded_carry(cfg, n_sites, trial_keys, lrs, latents):
+    """Population carry for the pad-latent-to-max mode (SURVEY hard-part #4).
+
+    Initializes every trial at the PADDED width ``cfg.latent_dim`` (the
+    bucket max), then
+
+    * stores each trial's 0/1 latent mask in the state pytree, where it
+      threads through the fused engine, rung-pruned carry slices and the
+      best-snapshot without engine changes (``models/vae.py`` masks
+      mu/logvar/z, so padded dims contribute 0 loss, 0 KL, 0 gradient); and
+    * rescales the three decoder first layers to each trial's TRUE fan-in:
+      torch-parity Linear init bounds are 1/√fan_in (ops/nn.linear_init,
+      reference torch.nn.Linear), and the padded init drew them at
+      fan_in = max_latent — without the √(max/true) correction a trial
+      padded 20→100 would start its decoders ~2.2× too small vs an
+      unpadded latent-20 model.
+    """
+    from vae_los_angeles_tpu.training.tasks import TASKS
+
+    task = TASKS["multimodal_padded"]
+    init_one = lambda k, lr: engine.init_carry(
+        *task.init(k, cfg, n_sites), lr,
+        moments_dtype=cfg.moments_dtype, optimizer=cfg.optimizer,
+    )
+    carry = jax.jit(jax.vmap(init_one))(
+        jnp.asarray(trial_keys), jnp.asarray(lrs, jnp.float32)
+    )
+    masks = np.zeros((len(latents), cfg.latent_dim), np.float32)
+    for j, width in enumerate(latents):
+        masks[j, :width] = 1.0
+    mask_arr = jnp.asarray(masks)
+    carry["state"]["latent_mask"] = mask_arr
+    carry["best"]["state"]["latent_mask"] = mask_arr
+    scale = jnp.asarray(
+        np.sqrt(cfg.latent_dim / np.asarray(latents, np.float64)), jnp.float32
+    )
+    for dec in ("decoder_a", "decoder_b", "decoder_c"):
+        w = carry["params"][dec]["fc1"]["w"] * scale[:, None, None]
+        b = carry["params"][dec]["fc1"]["b"] * scale[:, None]
+        for tree in (carry["params"], carry["best"]["params"]):
+            tree[dec]["fc1"]["w"] = w
+            tree[dec]["fc1"]["b"] = b
+    return carry
+
+
 def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
-                num_epochs, seed=0, timeout=None, prune_rungs: int = 1):
+                num_epochs, seed=0, timeout=None, prune_rungs: int = 1,
+                pad_shapes: bool = False):
     """Bucket trials by shape; train each bucket as one vmapped population.
 
     ``timeout``: wall-clock budget in seconds (the reference's 3000 s cap,

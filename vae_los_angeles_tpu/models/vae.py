@@ -101,8 +101,20 @@ def multimodal_vae_apply(
     site: Optional[jnp.ndarray] = None,
     *,
     train: bool = False,
+    latent_mask: Optional[jnp.ndarray] = None,
 ) -> MultiModalVAEOutput:
-    """Forward over any static subset of (a, b, site) (reference vae.py:37-79)."""
+    """Forward over any static subset of (a, b, site) (reference vae.py:37-79).
+
+    ``latent_mask`` (shape ``(latent_dim,)``, 0/1) restricts the model to a
+    latent SUB-space: masked dims get mu = logvar = z = 0, so they contribute
+    exactly 0 to the KL term (−½·(1+0−0−e⁰) = 0) and 0 to every decoder
+    pre-activation, and their encoder/decoder weight slices receive zero
+    gradient. This is SURVEY hard-part #4's "pad latent to max and mask"
+    option: an HPO population whose trials want DIFFERENT latent_dims can
+    share one padded executable, each trial carrying its own mask
+    (`evaluation/hpo.py --pad-shapes`). An all-ones mask multiplies by 1.0
+    and is bit-identical to the unmasked forward.
+    """
     if a is None and b is None and site is None:
         raise ValueError("at least one modality must be provided")
     if key is None:
@@ -129,7 +141,12 @@ def multimodal_vae_apply(
         logvar_list.append(lv_c)
 
     mu, logvar = fuse_posteriors(mu_list, logvar_list)
-    z = reparameterize(k_z, mu, logvar)
+    if latent_mask is not None:
+        mu = mu * latent_mask
+        logvar = logvar * latent_mask
+        z = latent_mask * reparameterize(k_z, mu, logvar)
+    else:
+        z = reparameterize(k_z, mu, logvar)
 
     out_a = decoder_a_apply(params["decoder_a"], z)
     out_b_logits = decoder_b_apply_logits(params["decoder_b"], z)

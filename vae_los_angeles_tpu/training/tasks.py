@@ -146,6 +146,52 @@ def _multimodal_predict(params, state, key, batch):
     return vae.multimodal_vae_apply(params, state, key, a=batch.tpm, train=False).out_b
 
 
+def _multimodal_padded_init(key, cfg, n_sites):
+    """Tri-modal init at a PADDED latent width, with the live-dims mask in
+    the state pytree (all-ones here; `evaluation/hpo.py --pad-shapes`
+    overwrites it per trial). Riding in ``state`` means the mask threads
+    through the fused engine, vmapped populations, rung-pruned carry slices
+    and checkpoints without any engine-signature change."""
+    import jax.numpy as jnp
+
+    params, state = vae.multimodal_vae_init(
+        key, cfg.input_dim_a, cfg.input_dim_b, n_sites, cfg.latent_dim, cfg.embed_dim
+    )
+    state = dict(state)
+    state["latent_mask"] = jnp.ones((cfg.latent_dim,), jnp.float32)
+    return params, state
+
+
+def _multimodal_padded_loss(params, state, key, batch, beta_kl, gamma,
+                            class_weights, train):
+    out = vae.multimodal_vae_apply(
+        params, state, key, a=batch.tpm, b=batch.beta, site=batch.site,
+        train=train, latent_mask=state["latent_mask"],
+    )
+    total, _ = losses.vae_loss(
+        out.out_a,
+        batch.tpm,
+        out.out_b_logits,
+        batch.beta,
+        out.out_c,
+        batch.site,
+        out.mu,
+        out.logvar,
+        beta=beta_kl,
+        gamma=gamma,
+        class_weights=class_weights,
+    )
+    # multimodal_vae_apply copies every state key, so out.state keeps the mask
+    return total, out.state
+
+
+def _multimodal_padded_predict(params, state, key, batch):
+    return vae.multimodal_vae_apply(
+        params, state, key, a=batch.tpm, train=False,
+        latent_mask=state["latent_mask"],
+    ).out_b
+
+
 TASKS = {
     "rna2dna": Task(
         "rna2dna",
@@ -184,6 +230,17 @@ TASKS = {
         _multimodal_init,
         _multimodal_loss,
         _multimodal_predict,
+        lambda b: b.beta,
+        True,
+    ),
+    # padded-latent variant for shape-heterogeneous HPO populations
+    # (SURVEY hard-part #4 "pad latent to max and mask"); the per-model
+    # latent mask lives in the state pytree — see _multimodal_padded_init
+    "multimodal_padded": Task(
+        "multimodal_padded",
+        _multimodal_padded_init,
+        _multimodal_padded_loss,
+        _multimodal_padded_predict,
         lambda b: b.beta,
         True,
     ),
