@@ -168,16 +168,8 @@ def _padded_carry(cfg, n_sites, trial_keys, lrs, latents):
       padded 20→100 would start its decoders ~2.2× too small vs an
       unpadded latent-20 model.
     """
-    from vae_los_angeles_tpu.training.tasks import TASKS
-
-    task = TASKS["multimodal_padded"]
-    init_one = lambda k, lr: engine.init_carry(
-        *task.init(k, cfg, n_sites), lr,
-        moments_dtype=cfg.moments_dtype, optimizer=cfg.optimizer,
-    )
-    carry = jax.jit(jax.vmap(init_one))(
-        jnp.asarray(trial_keys), jnp.asarray(lrs, jnp.float32)
-    )
+    init = vmap_meta._vmapped_init("multimodal_padded", cfg, n_sites)
+    carry = init(jnp.asarray(trial_keys), jnp.asarray(lrs, jnp.float32))
     masks = np.zeros((len(latents), cfg.latent_dim), np.float32)
     for j, width in enumerate(latents):
         masks[j, :width] = 1.0
@@ -211,6 +203,20 @@ def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
     carries continue into the next rung — pruned trials' remaining epochs are
     never executed.
 
+    ``pad_shapes`` (SURVEY hard-part #4, "pad latent to max and mask"):
+    buckets are keyed by ``embed_dim`` ONLY; every trial in a bucket trains
+    at the bucket's max ``latent_dim`` with a per-trial 0/1 latent mask
+    (task ``multimodal_padded``), so trials of DIFFERENT latent widths share
+    one compiled executable. Masked dims contribute exactly 0 loss, 0 KL and
+    0 gradient (``models/vae.py``), and each trial's decoder first layers
+    are rescaled to its true fan-in (``_padded_carry``), so a padded trial's
+    live sub-model is initialized and trained exactly like an unpadded one
+    (tests/test_hpo_padded.py proves both properties). The trade-off vs the
+    default bucketing is padded FLOPs: a latent-10 trial in a max-latent-100
+    bucket pays 100-wide matmuls on the latent edge. Composes with
+    ``prune_rungs`` — the mask rides in the carry's state pytree, so rung
+    slicing threads it automatically.
+
     Returns ``(values, pruned_at)``: per-trial best val loss (inf for
     never-started trials) and the epoch a trial was pruned at (-1 = ran to
     completion). Pruned trials report the best val loss they reached before
@@ -221,18 +227,25 @@ def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
 
     buckets = {}
     for i, t in enumerate(trials):
-        buckets.setdefault((t["latent_dim"], t["embed_dim"]), []).append(i)
+        bkey = t["embed_dim"] if pad_shapes else (t["latent_dim"], t["embed_dim"])
+        buckets.setdefault(bkey, []).append(i)
 
     t0 = time.monotonic()
     values = np.full(len(trials), np.inf)
     pruned_at = np.full(len(trials), -1, np.int64)
-    for (latent, embed), idxs in buckets.items():
+    for bkey, idxs in buckets.items():
+        latents = [trials[i]["latent_dim"] for i in idxs]
+        if pad_shapes:
+            latent, embed = max(latents), bkey
+        else:
+            latent, embed = bkey
         if timeout is not None and time.monotonic() - t0 > timeout:
             print(
                 f"  --timeout {timeout:.0f}s reached; skipping bucket "
                 f"latent={latent} embed={embed} ({len(idxs)} trial(s))"
             )
             continue
+        task_name = "multimodal_padded" if pad_shapes else "multimodal"
         bucket_cfg = cfg.replace(latent_dim=latent, embed_dim=embed, patience=10**6)
         pop = {
             "lr": np.asarray([trials[i]["learning_rate"] for i in idxs], np.float32),
@@ -248,6 +261,7 @@ def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
         print(
             f"  bucket latent={latent} embed={embed}: "
             f"{len(idxs)} trial(s) in one vmapped fit"
+            + (f" (padded widths {sorted(set(latents))})" if pad_shapes else "")
             + (f", {len(rungs)} pruning rungs {rungs}" if len(rungs) > 1 else "")
         )
         # fixed per-trial run keys, reused across rungs: each trial's noise
@@ -255,7 +269,11 @@ def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
         # continued survivor trains bit-identically to an unpruned run
         trial_keys = _trial_keys(seed, idxs)
         live = list(range(len(idxs)))  # bucket-local positions still training
-        carry = None
+        carry = (
+            _padded_carry(bucket_cfg, n_sites, trial_keys, pop["lr"], latents)
+            if pad_shapes
+            else None
+        )
         epoch_offset = 0
         for r, rung_epochs in enumerate(rungs):
             if r and timeout is not None and time.monotonic() - t0 > timeout:
@@ -270,7 +288,7 @@ def run_vmapped(cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
                 break
             sub_pop = {k: v[live] for k, v in pop.items()}
             res = vmap_meta.fit_trials(
-                "multimodal", bucket_cfg, train_arrays, val_arrays,
+                task_name, bucket_cfg, train_arrays, val_arrays,
                 jax.random.PRNGKey(seed), n_sites, sub_pop,
                 num_epochs=rung_epochs, class_weights=class_weights,
                 # multi-chip: trials shard over all visible devices
@@ -446,6 +464,13 @@ def main(argv=None, cfg: Optional[Config] = None):
         "1 = no mid-run pruning",
     )
     parser.add_argument(
+        "--pad-shapes", action="store_true",
+        help="vmapped mode: sample latent_dim fully independently per trial "
+        "(the reference's exact space) and still batch — trials sharing an "
+        "embed_dim train together at the bucket-max latent width, each with "
+        "a 0/1 latent mask (masked dims are exactly inert; see run_vmapped)",
+    )
+    parser.add_argument(
         "--synthetic", action="store_true",
         help="generate synthetic data first if processed_data.pkl is "
         "missing (same bootstrap as the training CLIs)",
@@ -465,12 +490,17 @@ def main(argv=None, cfg: Optional[Config] = None):
     num_epochs = cfg.num_epochs if args.epochs is None else args.epochs
 
     if args.mode == "vmapped":
-        trials = sample_trials(args.trials, args.seed, args.bucket_size)
-        print(f"Running {args.trials} trials (vmapped populations)...")
+        # --pad-shapes batches across DIFFERENT latent widths, so shape
+        # bucketing in the sampler is unnecessary: bucket_size=1 restores
+        # the reference's fully independent per-trial shape draws
+        bucket_size = 1 if args.pad_shapes else args.bucket_size
+        trials = sample_trials(args.trials, args.seed, bucket_size)
+        print(f"Running {args.trials} trials (vmapped populations"
+              + (", padded latents)..." if args.pad_shapes else ")..."))
         values, pruned_at = run_vmapped(
             cfg, trials, train_arrays, val_arrays, n_sites, class_weights,
             num_epochs, args.seed, timeout=args.timeout,
-            prune_rungs=args.prune_rungs,
+            prune_rungs=args.prune_rungs, pad_shapes=args.pad_shapes,
         )
         # like optuna's study: only COMPLETE trials are eligible as best
         # (pruned excluded), and an all-diverged/skipped sweep is an error,

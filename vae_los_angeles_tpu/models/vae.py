@@ -142,6 +142,10 @@ def multimodal_vae_apply(
 
     mu, logvar = fuse_posteriors(mu_list, logvar_list)
     if latent_mask is not None:
+        # match the activation dtype: a float32 mask would silently promote
+        # bf16 activations (COMPUTE_DTYPE=bfloat16) back to float32 through
+        # the fused posterior and all three decoder matmuls
+        latent_mask = latent_mask.astype(mu.dtype)
         mu = mu * latent_mask
         logvar = logvar * latent_mask
         z = latent_mask * reparameterize(k_z, mu, logvar)
