@@ -286,6 +286,26 @@ def main(argv=None):
     parser.add_argument(
         "--data_dir", type=str, default=os.getenv("DATA_DIR", "data")
     )
+    parser.add_argument(
+        "--verify-ingest", nargs="?", const="builtin", default=None,
+        metavar="MANIFEST.json",
+        help="validate the raw tables' schema against the recorded ingest "
+        "manifest (data/ingest_manifest.py) and exit — no processing. "
+        "Optionally pass a JSON manifest recorded from live tables "
+        "(ingest_manifest.record_manifest); default is the built-in "
+        "contract transcribed from the reference's access patterns",
+    )
+    parser.add_argument(
+        "--rna-parquet", default=None,
+        help="local path to the RNA expression parquet (skips the Kaggle "
+        "download — lets --verify-ingest and full prep run against a "
+        "pre-downloaded mirror in offline environments)",
+    )
+    parser.add_argument(
+        "--dna-parquet", default=None,
+        help="local path to the annotated DNA methylation parquet "
+        "(see --rna-parquet)",
+    )
     args = parser.parse_args(argv)
 
     cfg = Config.from_env()
@@ -300,20 +320,48 @@ def main(argv=None):
         print("Synthetic data preparation complete!")
         return
 
-    try:
-        rna_path, dna_path = download_datasets()
-    except Exception as e:
+    if args.rna_parquet and args.dna_parquet:
+        rna_file, dna_file = args.rna_parquet, args.dna_parquet
+    else:
+        try:
+            rna_path, dna_path = download_datasets()
+        except Exception as e:
+            raise SystemExit(
+                f"Kaggle download failed ({e}). In offline environments run "
+                "with --synthetic to generate schema-compatible synthetic "
+                "data, or point --rna-parquet/--dna-parquet at local mirrors."
+            )
+        rna_file = os.path.join(rna_path, "expression_onko_db.parquet")
+        dna_files = [f for f in os.listdir(dna_path) if f.endswith(".parquet")]
+        dna_file = os.path.join(dna_path, dna_files[0])
+
+    df_expr = pd.read_parquet(rna_file)
+    df_dna = pd.read_parquet(dna_file)
+
+    # ingest assumptions are executable, not implicit: every real-data run
+    # checks the raw tables against the recorded contract before any
+    # transform touches them (--verify-ingest checks and stops there)
+    from vae_los_angeles_tpu.data import ingest_manifest
+
+    manifest = (
+        ingest_manifest.load_manifest(args.verify_ingest)
+        if args.verify_ingest and args.verify_ingest != "builtin"
+        else None
+    )
+    ok = ingest_manifest.report(
+        {"rna_expression": df_expr, "dna_methylation": df_dna}, manifest
+    )
+    if args.verify_ingest:
+        raise SystemExit(0 if ok else 2)
+    if not ok:
         raise SystemExit(
-            f"Kaggle download failed ({e}). In offline environments run with "
-            "--synthetic to generate schema-compatible synthetic data."
+            "raw table schema does not match the recorded ingest manifest "
+            "(issues above) — the Kaggle datasets drifted or the local "
+            "mirrors are wrong; re-record with "
+            "ingest_manifest.record_manifest if the drift is intentional"
         )
 
-    df_expr = pd.read_parquet(os.path.join(rna_path, "expression_onko_db.parquet"))
     rna_df, gene_names = prepare_rna_data(df_expr, cfg.input_dim_a)
-    dna_files = [
-        f for f in os.listdir(dna_path) if f.endswith(".parquet")
-    ]
-    df_dna = pd.read_parquet(os.path.join(dna_path, dna_files[0]))
     dna_df, probe_ids = prepare_dna_methylation_data(df_dna, cfg.input_dim_b)
 
     merged_df, label_encoder = merge_and_normalize_data(

@@ -149,17 +149,47 @@ def _build_imputed_matrix_native(combined_df):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Prepare DNA methylation matrix")
     parser.add_argument("--output", default="data/dna_methylation_imputed.parquet")
+    parser.add_argument(
+        "--input-dir", default=None,
+        help="local directory of parquet shards (skips the Kaggle download)",
+    )
+    parser.add_argument(
+        "--verify-ingest", nargs="?", const="builtin", default=None,
+        metavar="MANIFEST.json",
+        help="validate the concatenated shards against the recorded ingest "
+        "manifest (data/ingest_manifest.py) and exit — no processing",
+    )
     args = parser.parse_args(argv)
-    try:
-        import kagglehub
+    if args.input_dir:
+        dna_path = args.input_dir
+    else:
+        try:
+            import kagglehub
 
-        dna_path = kagglehub.dataset_download(DNA_PREP_DATASET)
-    except Exception as e:
-        raise SystemExit(
-            f"Kaggle download failed ({e}); this step requires network access."
-        )
+            dna_path = kagglehub.dataset_download(DNA_PREP_DATASET)
+        except Exception as e:
+            raise SystemExit(
+                f"Kaggle download failed ({e}); this step requires network "
+                "access (or a local mirror via --input-dir)."
+            )
     combined_df = load_parquet_shards(dna_path)
     print(f"Shape before processing: {combined_df.shape}")
+
+    from vae_los_angeles_tpu.data import ingest_manifest
+
+    manifest = (
+        ingest_manifest.load_manifest(args.verify_ingest)
+        if args.verify_ingest and args.verify_ingest != "builtin"
+        else None
+    )
+    ok = ingest_manifest.report({"dna_prep_shards": combined_df}, manifest)
+    if args.verify_ingest:
+        raise SystemExit(0 if ok else 2)
+    if not ok:
+        raise SystemExit(
+            "shard schema does not match the recorded ingest manifest "
+            "(issues above)"
+        )
     combined_df = build_imputed_matrix(combined_df)
     print(f"Final shape: {combined_df.shape}")
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
