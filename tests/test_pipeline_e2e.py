@@ -193,6 +193,35 @@ def test_cross_modality_cv(workspace):
         pass  # plotly optional; CV gracefully skips the html plots
 
 
+def test_cross_modality_cv_unified_families(workspace):
+    """--unified-families: VAE+AE of a direction train as ONE program; the
+    report still carries all four families per direction, and the VAE rows
+    are bit-identical to the separate-program run (same fold keys)."""
+    from vae_los_angeles_tpu.evaluation.cross_modality_cv import main as cv_main
+
+    argv = ["--folds", "2", "--epochs", "2", "--neighbors", "3",
+            "--data_path", "data/processed_data.pkl"]
+    unified = cv_main(argv + ["--unified-families"])
+    kinds = {(r["direction"], r["model"]) for r in unified}
+    for direction in ("DNA -> RNA", "RNA -> DNA"):
+        for model in ("mean", "knn", "vae", "ae"):
+            assert (direction, model) in kinds
+    separate = cv_main(argv)
+    for r_u in unified:
+        if r_u["model"] != "vae":
+            continue
+        r_s = next(
+            r for r in separate
+            if r["model"] == "vae" and r["direction"] == r_u["direction"]
+        )
+        for metric in r_u["fold_metrics"]:
+            np.testing.assert_array_equal(
+                np.asarray(r_u["fold_metrics"][metric]),
+                np.asarray(r_s["fold_metrics"][metric]),
+                err_msg=f"{r_u['direction']} vae {metric} must be identical",
+            )
+
+
 def test_cross_modality_cv_parallel_sweeps(workspace, monkeypatch):
     """Sweeps run sequentially by default (threaded compile overlap measured
     2.7× slower on the relay — RESULTS.md); CV_PARALLEL_SWEEPS opts into the

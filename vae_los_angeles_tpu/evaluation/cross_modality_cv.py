@@ -57,6 +57,17 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--data_path", type=str, default="data/processed_data.pkl")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--unified-families", action="store_true",
+        default=bool(int(os.getenv("CV_UNIFIED_FAMILIES", "0"))),
+        help="train each direction's VAE and AE fold populations as ONE "
+        "compiled program (2 XLA programs instead of 4 — the harness is "
+        "compile-dominated). The VAE half is bit-identical to the separate "
+        "program; the AE half is the same math as the standalone AE task "
+        "(see training/tasks.py _unified_init) with a different param "
+        "naming/key layout, so its per-fold numbers are statistically "
+        "equivalent, not bit-equal, to --no-unified runs",
+    )
     return p.parse_args(argv)
 
 
@@ -129,24 +140,10 @@ def run_cross_validation(
                 for k in METRIC_NAMES:
                     fold_metrics[k].append(m[k])
         else:
-            from sklearn.model_selection import train_test_split
-
-            cfg = Config.from_env().replace(
-                input_dim_a=rna_all.shape[1],
-                input_dim_b=dna_all.shape[1],
-                batch_size=batch_size,
+            cfg, inner_train, inner_val, outer_val = _prep_nn_folds(
+                rna_all, dna_all, site, fold_indices, batch_size
             )
             n_sites = int(site.max() + 1)
-            # per-fold inner 90/10 early-stopping split (reference :113-115)
-            inner_train, inner_val, outer_val = [], [], []
-            for train_index, val_index in fold_indices:
-                tr_in, va_in = train_test_split(
-                    train_index, test_size=0.1, random_state=42
-                )
-                inner_train.append(_fold_arrays(rna_all, dna_all, site, tr_in))
-                inner_val.append(_fold_arrays(rna_all, dna_all, site, va_in))
-                outer_val.append(_fold_arrays(rna_all, dna_all, site, val_index))
-
             fits = vmap_meta.fit_folds(
                 task_name, cfg, inner_train, inner_val,
                 jax.random.PRNGKey(seed), n_sites,
@@ -190,6 +187,110 @@ def run_cross_validation(
         print(
             f"    MSE     = {aggregated['mean_MSE']:.4f} "
             f"(+/- {aggregated['std_MSE']:.4f})"
+        )
+        results.append(aggregated)
+    return results
+
+
+def _prep_nn_folds(rna_all, dna_all, site, fold_indices, batch_size):
+    """Shared fold prep for the NN sweeps: per-fold inner 90/10 early-stop
+    split (reference :113-115) + canonical Config."""
+    from sklearn.model_selection import train_test_split
+
+    cfg = Config.from_env().replace(
+        input_dim_a=rna_all.shape[1],
+        input_dim_b=dna_all.shape[1],
+        batch_size=batch_size,
+    )
+    inner_train, inner_val, outer_val = [], [], []
+    for train_index, val_index in fold_indices:
+        tr_in, va_in = train_test_split(train_index, test_size=0.1,
+                                        random_state=42)
+        inner_train.append(_fold_arrays(rna_all, dna_all, site, tr_in))
+        inner_val.append(_fold_arrays(rna_all, dna_all, site, va_in))
+        outer_val.append(_fold_arrays(rna_all, dna_all, site, val_index))
+    return cfg, inner_train, inner_val, outer_val
+
+
+def run_unified_direction(X, y, site, fold_indices, direction_name,
+                          epochs=10, batch_size=32, seed=0):
+    """One direction's VAE **and** AE fold populations in ONE compiled
+    program (task ``*_unified``; VERDICT r2 #5 — the CV harness is
+    compile-dominated, and the AE loss/arch is the VAE's with β=0 and
+    z = mu, so the pair shares an executable selected per member by the
+    ``kl_on`` state scalar).
+
+    Members 0..F-1 (kl_on=1) reuse the standalone sweep's per-fold key rows
+    and train bit-identically to ``run_cross_validation(model_type="vae")``;
+    members F..2F-1 (kl_on=0) are the AE folds. Returns the same two
+    aggregated result dicts the separate sweeps produce; their ``time``
+    fields each carry the COMBINED wall (one program trained both).
+    """
+    import jax.numpy as jnp
+
+    print(f"\nRunning unified VAE+AE Cross-Validation for {direction_name}...")
+    if direction_name not in ("RNA -> DNA", "DNA -> RNA"):
+        raise ValueError(f"unknown direction {direction_name!r}")
+    is_rna2dna = direction_name != "DNA -> RNA"
+    rna_all = X if is_rna2dna else y
+    dna_all = y if is_rna2dna else X
+    task_name = ("rna2dna" if is_rna2dna else "dna2rna") + "_unified"
+
+    cfg, inner_train, inner_val, outer_val = _prep_nn_folds(
+        rna_all, dna_all, site, fold_indices, batch_size
+    )
+    n_sites = int(site.max() + 1)
+    n_folds = len(fold_indices)
+    start_time = time.time()
+
+    fold_keys = jax.random.split(jax.random.PRNGKey(seed), n_folds)
+    fits = vmap_meta.fit_folds(
+        task_name, cfg, inner_train * 2, inner_val * 2,
+        jax.random.PRNGKey(seed), n_sites,
+        num_epochs=epochs, drop_last=False,
+        mesh=vmap_meta.population_mesh(),
+        keys=jnp.concatenate([fold_keys, fold_keys]),
+        state_overrides={
+            "kl_on": np.asarray([1.0] * n_folds + [0.0] * n_folds, np.float32)
+        },
+    )
+    family_metrics = {"vae": {k: [] for k in METRIC_NAMES},
+                      "ae": {k: [] for k in METRIC_NAMES}}
+    for member, fit_res in enumerate(fits):
+        family = "vae" if member < n_folds else "ae"
+        fold_idx = member % n_folds
+        pred = np.asarray(
+            engine.predict(
+                task_name, fit_res.params, fit_res.state,
+                outer_val[fold_idx], compute_dtype=cfg.compute_dtype,
+            )
+        )
+        truth = np.asarray(
+            outer_val[fold_idx].beta if is_rna2dna else outer_val[fold_idx].tpm
+        )
+        m = compute_cv_metrics(truth, pred)
+        for k in METRIC_NAMES:
+            family_metrics[family][k].append(m[k])
+
+    elapsed = time.time() - start_time
+    results = []
+    for family in ("vae", "ae"):
+        fold_metrics = family_metrics[family]
+        aggregated = {
+            "direction": direction_name,
+            "model": family,
+            "param_name": "epochs",
+            "param_value": epochs,
+            "time": elapsed,
+            "fold_metrics": fold_metrics,
+        }
+        for name in fold_metrics:
+            aggregated[f"mean_{name}"] = float(np.mean(fold_metrics[name]))
+            aggregated[f"std_{name}"] = float(np.std(fold_metrics[name]))
+        print(
+            f"  [{family}] Mean R2 = {aggregated['mean_Mean R2']:.4f} "
+            f"(+/- {aggregated['std_Mean R2']:.4f}), "
+            f"MSE = {aggregated['mean_MSE']:.4f}"
         )
         results.append(aggregated)
     return results
@@ -367,29 +468,34 @@ def main(argv=None):
     from concurrent.futures import ThreadPoolExecutor
 
     common = dict(epochs=args.epochs, batch_size=args.batch_size, seed=args.seed)
-    sweeps = []
+    sweeps = []  # (callable, args, kwargs)
     for direction, X, y in (
         ("DNA -> RNA", dna_data, rna_data),
         ("RNA -> DNA", rna_data, dna_data),
     ):
         sweeps += [
-            (X, y, site_data, [], fold_indices, direction, "mean"),
-            (X, y, site_data, args.neighbors, fold_indices, direction, "knn"),
+            (run_cross_validation,
+             (X, y, site_data, [], fold_indices, direction, "mean"), {}),
+            (run_cross_validation,
+             (X, y, site_data, args.neighbors, fold_indices, direction,
+              "knn"), {}),
         ]
-        sweeps += [
-            (X, y, site_data, [], fold_indices, direction, fam)
-            for fam in ("vae", "ae")
-        ]
+        if args.unified_families:
+            # one compiled program per direction for BOTH NN families
+            sweeps.append(
+                (run_unified_direction,
+                 (X, y, site_data, fold_indices, direction), common)
+            )
+        else:
+            sweeps += [
+                (run_cross_validation,
+                 (X, y, site_data, [], fold_indices, direction, fam), common)
+                for fam in ("vae", "ae")
+            ]
     n_workers = int(os.getenv("CV_PARALLEL_SWEEPS", "1"))
     all_results = []
     with ThreadPoolExecutor(max_workers=max(1, n_workers)) as pool:
-        futures = [
-            pool.submit(
-                run_cross_validation, *sw,
-                **(common if sw[-1] in ("vae", "ae") else {}),
-            )
-            for sw in sweeps
-        ]
+        futures = [pool.submit(fn, *a, **kw) for fn, a, kw in sweeps]
         for f in futures:  # input order preserved → deterministic report
             all_results.extend(f.result())
 

@@ -13,6 +13,10 @@ Two modes:
     each bucket trains as ONE compiled vmapped population
     (`parallel.vmap_meta.fit_trials`) — the reference's sequential-trials
     loop (:140) collapses into a handful of device dispatches.
+    ``--pad-shapes`` lifts the shape constraint entirely: latent_dim is
+    sampled fully independently per trial (the reference's exact space) and
+    buckets key on embed_dim only, every trial training at the bucket-max
+    width with a per-trial latent mask (see `run_vmapped`).
   * ``optuna``: sequential Optuna study for API/workflow parity; each trial
     is still a single fused device dispatch, with per-epoch
     ``trial.report`` replayed from the returned loss curve.

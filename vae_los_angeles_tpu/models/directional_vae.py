@@ -73,6 +73,7 @@ def rna2dna_vae_apply(
     site: Optional[jnp.ndarray] = None,
     *,
     train: bool = False,
+    noise_scale=None,
 ) -> DirectionalVAEOutput:
     if rna is None and site is None:
         raise ValueError("at least one of rna/site must be provided")
@@ -94,7 +95,7 @@ def rna2dna_vae_apply(
         logvar_list.append(lv_s)
 
     mu, logvar = fuse_posteriors(mu_list, logvar_list)
-    z = reparameterize(k_z, mu, logvar)
+    z = reparameterize(k_z, mu, logvar, noise_scale)
     logits = decoder_b_apply_logits(params["decoder_dna"], z)
     return DirectionalVAEOutput(
         recon=sigmoid(logits), recon_logits=logits, mu=mu, logvar=logvar, state=new_state
@@ -129,6 +130,7 @@ def dna2rna_vae_apply(
     site: Optional[jnp.ndarray] = None,
     *,
     train: bool = False,
+    noise_scale=None,
 ) -> DirectionalVAEOutput:
     if dna is None and site is None:
         raise ValueError("at least one of dna/site must be provided")
@@ -150,7 +152,7 @@ def dna2rna_vae_apply(
         logvar_list.append(lv_s)
 
     mu, logvar = fuse_posteriors(mu_list, logvar_list)
-    z = reparameterize(k_z, mu, logvar)
+    z = reparameterize(k_z, mu, logvar, noise_scale)
     recon = decoder_a_apply(params["decoder_rna"], z)
     return DirectionalVAEOutput(
         recon=recon, recon_logits=recon, mu=mu, logvar=logvar, state=new_state

@@ -41,10 +41,20 @@ from vae_los_angeles_tpu.models.encoders import (
 from vae_los_angeles_tpu.ops.nn import sigmoid
 
 
-def reparameterize(key, mu, logvar):
-    """z = mu + eps * exp(0.5*logvar), eps ~ N(0, I) (reference vae.py:11-15)."""
+def reparameterize(key, mu, logvar, noise_scale=None):
+    """z = mu + eps * exp(0.5*logvar), eps ~ N(0, I) (reference vae.py:11-15).
+
+    ``noise_scale`` (traced scalar) scales eps: 1.0 is bit-identical to the
+    unscaled draw (eps * 1.0 is IEEE-exact, and the expression tree is
+    unchanged), 0.0 makes the model DETERMINISTIC (z = mu exactly) — which
+    together with a zero KL weight turns a directional VAE into the
+    reference's directional AE (same trunk, mu head as the latent
+    projection). This is what lets one compiled CV program train both
+    families (training/tasks.py *_unified)."""
     std = jnp.exp(0.5 * logvar)
     eps = jax.random.normal(key, mu.shape, mu.dtype)
+    if noise_scale is not None:
+        eps = eps * noise_scale
     return mu + eps * std
 
 

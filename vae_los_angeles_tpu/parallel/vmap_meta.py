@@ -186,6 +186,8 @@ def fit_folds(
     num_epochs=None,
     drop_last: bool = False,
     mesh: Optional[Mesh] = None,
+    keys=None,
+    state_overrides: Optional[Dict[str, np.ndarray]] = None,
 ) -> List[engine.FitResult]:
     """Train one model per CV fold, folds of equal shape batched via vmap.
 
@@ -193,6 +195,17 @@ def fit_folds(
     defaults False to match the CV inner loaders (vae_cross_modality_cv.py:121).
     With ``mesh``, the fold axis is sharded over the mesh's "data" axis —
     each chip trains its share of the folds (see module docstring).
+
+    ``keys``: explicit (n_folds, 2) per-fold run keys, overriding the
+    default ``split(key, n_folds)`` — lets a caller embed one fold list
+    inside a larger population with unchanged noise streams (the unified CV
+    path reuses the standalone sweep's key rows so its VAE members train
+    bit-identically to the separate-program run).
+
+    ``state_overrides``: name → (n_folds, ...) arrays written into each
+    member's state pytree (and its best-snapshot) after init — the hook for
+    per-member mode scalars like the unified tasks' ``kl_on`` or a padded
+    task's latent mask, in input fold order.
     """
     if num_epochs is None:
         num_epochs = cfg.num_epochs
@@ -202,23 +215,46 @@ def fit_folds(
         groups.setdefault((len(tr), len(va)), []).append(i)
 
     results: List = [None] * len(fold_train)
-    keys = jax.random.split(key, len(fold_train))
+    if keys is None:
+        keys = jax.random.split(key, len(fold_train))
+    else:
+        keys = jnp.asarray(keys)
+        if keys.shape[0] != len(fold_train):
+            raise ValueError(
+                f"keys has {keys.shape[0]} rows for {len(fold_train)} folds"
+            )
     hp = engine.hyperparams(cfg)
     for (n_tr, n_va), idxs in groups.items():
         stacked_tr = _stack_arrays([fold_train[i] for i in idxs])
         stacked_va = _stack_arrays([fold_val[i] for i in idxs])
         group_keys = keys[np.asarray(idxs)]
+        overrides = {
+            name: jnp.asarray(arr)[np.asarray(idxs)]
+            for name, arr in (state_overrides or {}).items()
+        }
         init = _vmapped_init(task_name, cfg, n_sites)
         if mesh is not None:
             padded = _padded_size(len(idxs), mesh)
             stacked_tr = _pad_population(stacked_tr, padded)
             stacked_va = _pad_population(stacked_va, padded)
             group_keys = _pad_population(group_keys, padded)
+            overrides = {
+                k: _pad_population(v, padded) for k, v in overrides.items()
+            }
             stacked_tr = _shard_population(stacked_tr, mesh)
             stacked_va = _shard_population(stacked_va, mesh)
             group_keys = _shard_population(group_keys, mesh)
+            overrides = _shard_population(overrides, mesh)
         pop_n = group_keys.shape[0]
         carry0 = init(group_keys, jnp.broadcast_to(hp["lr"], (pop_n,)))
+        for name, arr in overrides.items():
+            if name not in carry0["state"]:
+                raise ValueError(
+                    f"state_overrides[{name!r}]: task {task_name!r} has no "
+                    f"such state entry (have: {sorted(carry0['state'])})"
+                )
+            carry0["state"][name] = arr
+            carry0["best"]["state"][name] = arr
         fit_v = _vmapped_fit(
             task_name, int(num_epochs), int(cfg.batch_size), n_tr, n_va,
             bool(drop_last), False, 0, None, str(cfg.compute_dtype),

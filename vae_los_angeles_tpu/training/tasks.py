@@ -192,6 +192,77 @@ def _multimodal_padded_predict(params, state, key, batch):
     ).out_b
 
 
+def _unified_init(vae_init):
+    """Directional-VAE init plus a ``kl_on`` scalar in the state pytree.
+
+    ``kl_on`` selects the family PER POPULATION MEMBER under vmap: 1.0 keeps
+    the exact VAE semantics (eps·1.0 and β·1.0 are IEEE-exact, so a kl_on=1
+    member trains bit-identically to the plain VAE task), 0.0 makes the
+    model deterministic (z = mu) with a zero KL weight — mathematically the
+    reference's directional AE: identical trunk, the mu head as the AE's
+    latent projection, mean latent fusion (mean of mus ≡ mean of latents
+    when z = mu), identical sum-reduced recon loss. The logvar heads receive
+    exactly zero gradient there (loss is independent of them). Riding in
+    state, kl_on threads through the fused engine and vmapped fold
+    populations without engine changes — the same pattern as
+    multimodal_padded's latent_mask. This is what collapses the CV
+    harness's per-direction (vae, ae) program PAIR into ONE compiled
+    population (evaluation/cross_modality_cv.py --unified-families;
+    reference vae_cross_modality_cv.py:198-283 trains them as separate
+    sequential loops)."""
+
+    def init(key, cfg, n_sites):
+        import jax.numpy as jnp
+
+        params, state = vae_init(key, cfg, n_sites)
+        state = dict(state)
+        state["kl_on"] = jnp.float32(1.0)
+        return params, state
+
+    return init
+
+
+def _rna2dna_unified_loss(params, state, key, batch, beta_kl, gamma,
+                          class_weights, train):
+    kl_on = state["kl_on"]
+    out = directional_vae.rna2dna_vae_apply(
+        params, state, key, rna=batch.tpm, site=batch.site, train=train,
+        noise_scale=kl_on,
+    )
+    total, _ = losses.rna2dna_loss(
+        out.recon_logits, batch.beta, out.mu, out.logvar, beta=beta_kl * kl_on
+    )
+    # rna2dna_vae_apply copies every state key, so out.state keeps kl_on
+    return total, out.state
+
+
+def _rna2dna_unified_predict(params, state, key, batch):
+    return directional_vae.rna2dna_vae_apply(
+        params, state, key, rna=batch.tpm, site=batch.site, train=False,
+        noise_scale=state["kl_on"],
+    ).recon
+
+
+def _dna2rna_unified_loss(params, state, key, batch, beta_kl, gamma,
+                          class_weights, train):
+    kl_on = state["kl_on"]
+    out = directional_vae.dna2rna_vae_apply(
+        params, state, key, dna=batch.beta, site=batch.site, train=train,
+        noise_scale=kl_on,
+    )
+    total, _ = losses.dna2rna_loss(
+        out.recon, batch.tpm, out.mu, out.logvar, beta=beta_kl * kl_on
+    )
+    return total, out.state
+
+
+def _dna2rna_unified_predict(params, state, key, batch):
+    return directional_vae.dna2rna_vae_apply(
+        params, state, key, dna=batch.beta, site=batch.site, train=False,
+        noise_scale=state["kl_on"],
+    ).recon
+
+
 TASKS = {
     "rna2dna": Task(
         "rna2dna",
@@ -231,6 +302,25 @@ TASKS = {
         _multimodal_loss,
         _multimodal_predict,
         lambda b: b.beta,
+        True,
+    ),
+    # family-unified directional tasks: one program trains VAE and AE fold
+    # populations together, selected per member by state["kl_on"] — see
+    # _unified_init for the exact-equivalence argument
+    "rna2dna_unified": Task(
+        "rna2dna_unified",
+        _unified_init(_rna2dna_init),
+        _rna2dna_unified_loss,
+        _rna2dna_unified_predict,
+        lambda b: b.beta,
+        True,
+    ),
+    "dna2rna_unified": Task(
+        "dna2rna_unified",
+        _unified_init(_dna2rna_init),
+        _dna2rna_unified_loss,
+        _dna2rna_unified_predict,
+        lambda b: b.tpm,
         True,
     ),
     # padded-latent variant for shape-heterogeneous HPO populations
