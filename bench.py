@@ -120,7 +120,14 @@ def main():
         attempts=int(os.getenv("BENCH_INIT_RETRIES", "3")),
         wait_s=float(os.getenv("BENCH_INIT_WAIT_S", "60")),
     )
+    # Backend init + first round-trip, timed SEPARATELY: on the relay this
+    # fixed cost is large and load-dependent (150-250 s measured, RESULTS.md
+    # compile ledger) and has nothing to do with XLA compilation — folding
+    # it into "compile" made BENCH_r02's 833 s tail unreadable.
+    t0 = time.perf_counter()
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    float(jax.device_get(jnp.zeros((8, 128)).sum()))
+    init_s = time.perf_counter() - t0
 
     tpm, beta, site = generate_synthetic_arrays(
         n_samples=N_SAMPLES,
@@ -132,7 +139,12 @@ def main():
     tr_idx, va_idx = train_val_indices(N_SAMPLES, cfg.train_test_split, cfg.random_seed)
     arrays = MultiModalArrays(jnp.asarray(tpm), jnp.asarray(beta), jnp.asarray(site))
     train_arrays, val_arrays = arrays.take(tr_idx), arrays.take(va_idx)
-    jax.block_until_ready((train_arrays, val_arrays))
+    # device_get, not block_until_ready (the relay's returns early): the
+    # dataset must be ON DEVICE before the compile timer starts
+    t0 = time.perf_counter()
+    float(jax.device_get(train_arrays.tpm[0, 0]))
+    float(jax.device_get(val_arrays.beta[0, 0]))
+    place_s = time.perf_counter() - t0
 
     # fastest path on TPU: the whole-epoch Pallas megakernel (every AdamW
     # step of an epoch in ONE kernel, params+moments VMEM-resident).
@@ -184,6 +196,7 @@ def main():
     samples_per_sec = EPOCHS * (n_train // cfg.batch_size) * cfg.batch_size / wall
     compile_s = max(0.0, compile_and_run - wall)  # clamp: run-to-run noise can exceed compile on CPU
     print(
+        f"backend init: {init_s:.2f}s | data placement: {place_s:.2f}s | "
         f"compile: {compile_s:.2f}s | compile+run: {compile_and_run:.2f}s | "
         f"steady-state 200-epoch run: {wall:.2f}s | "
         f"{samples_per_sec:,.0f} samples/s | "
