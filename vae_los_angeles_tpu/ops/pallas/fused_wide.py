@@ -186,7 +186,7 @@ def fused_wide_output_step(h, target, w, b, m_w, v_w, m_b, v_b,
     ).reshape(1, 4)
 
     f32 = jnp.float32
-    wide = lambda r: pl.BlockSpec((d_in, block_cols), lambda j: (0, j))
+    wide = lambda: pl.BlockSpec((d_in, block_cols), lambda j: (0, j))
     row = lambda: pl.BlockSpec((1, block_cols), lambda j: (0, j))
     batch_blk = lambda: pl.BlockSpec((n, block_cols), lambda j: (0, j))
     const = lambda shape: pl.BlockSpec(shape, lambda j: (0, 0))
@@ -199,15 +199,15 @@ def fused_wide_output_step(h, target, w, b, m_w, v_w, m_b, v_b,
                          memory_space=pltpu.SMEM),
             const((n, d_in)),   # h
             batch_blk(),        # target
-            wide(None),         # w
+            wide(),             # w
             row(),              # b
-            wide(None),         # m_w
-            wide(None),         # v_w
+            wide(),             # m_w
+            wide(),             # v_w
             row(),              # m_b
             row(),              # v_b
         ],
         out_specs=(
-            wide(None), row(), wide(None), wide(None), row(), row(),
+            wide(), row(), wide(), wide(), row(), row(),
             const((n, d_in)),   # dh (accumulated across blocks)
             pl.BlockSpec((1, 1), lambda j: (0, 0)),  # loss accumulator
         ),
