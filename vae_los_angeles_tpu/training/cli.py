@@ -145,6 +145,16 @@ def run_training(
         "Default adamw = torch-parity recipe. Same as OPTIMIZER env",
     )
     parser.add_argument(
+        "--replicates", type=int, default=1, metavar="N",
+        help="train N independent replicates (identical hyperparameters, "
+        "per-replicate seeds) as ONE vmapped population — the standard "
+        "multi-seed robustness protocol at near-single-run device cost "
+        "(the replicate axis batches every matmul; multi-chip hosts shard "
+        "replicates over all chips). Saves the best replicate under the "
+        "run-id protocol and reports mean±std. XLA path only; does not "
+        "compose with --resume",
+    )
+    parser.add_argument(
         "--dp",
         action="store_true",
         help="data-parallel training: shard the sample axis over all visible "
@@ -177,6 +187,14 @@ def run_training(
         # device sync per dispatch — a debugging tool, not a training mode.
         jax.config.update("jax_debug_nans", True)
         print("DEBUG_NANS: jax_debug_nans enabled (op-level NaN localization)")
+    if args.replicates < 1:
+        raise SystemExit(f"--replicates must be >= 1, got {args.replicates}")
+    if args.replicates > 1 and args.resume:
+        raise SystemExit(
+            "--resume does not compose with --replicates: population members "
+            "train on per-member noise streams that a single resume "
+            "checkpoint cannot reproduce"
+        )
     resume_carry, start_epoch = None, 0
     if args.resume:
         resume_carry, start_epoch, run_id, saved_seed = checkpoint.load_resume(
@@ -339,22 +357,64 @@ def run_training(
                 print("--dp: using the XLA path (Pallas kernels are single-chip)")
                 fused_step = fused_epoch = False
             print(f"Data-parallel over {mesh.devices.size} devices")
+    if args.replicates > 1 and (fused_step or fused_epoch):
+        print("--replicates: using the XLA path (vmapped populations)")
+        fused_step = fused_epoch = False
     with trace_ctx:
-        result = engine.fit(
-            task_name,
-            cfg,
-            train_arrays,
-            val_arrays,
-            jax.random.PRNGKey(seed),
-            n_sites,
-            num_epochs=num_epochs,
-            class_weights=class_weights,
-            resume_carry=resume_carry,
-            start_epoch=start_epoch,
-            fused_step=fused_step,
-            fused_epoch=fused_epoch,
-            mesh=mesh,
-        )
+        if args.replicates > 1:
+            # N identical-hyperparameter members, per-replicate noise streams
+            # keyed by fold_in(seed, r) — one compiled program trains them
+            # all; population_mesh() shards replicates over multi-chip hosts
+            # (the same machinery as the CV folds / HPO trials)
+            from vae_los_angeles_tpu.parallel import vmap_meta
+
+            if mesh is not None:
+                print("--dp with --replicates: replicates themselves shard "
+                      "over the mesh (no sample-axis sharding needed)")
+            R = args.replicates
+            rep_keys = np.stack([
+                np.asarray(jax.random.fold_in(jax.random.PRNGKey(seed), r))
+                for r in range(R)
+            ])
+            pop = {"lr": np.full(R, cfg.learning_rate, np.float32)}
+            res = vmap_meta.fit_trials(
+                task_name, cfg, train_arrays, val_arrays,
+                jax.random.PRNGKey(seed), n_sites, pop,
+                num_epochs=num_epochs, class_weights=class_weights,
+                mesh=vmap_meta.population_mesh(), keys=rep_keys,
+            )
+            best_vals = np.asarray(res.best_val_loss)
+            finite = np.isfinite(best_vals)
+            if not finite.any():
+                raise SystemExit(
+                    "every replicate diverged to a non-finite validation "
+                    "loss — nothing to save"
+                )
+            best_r = int(np.argmin(np.where(finite, best_vals, np.inf)))
+            print(f"\nReplicates (best val loss each): "
+                  + ", ".join(f"r{r}={v:.2f}" for r, v in enumerate(best_vals)))
+            print(
+                f"mean={best_vals[finite].mean():.2f} "
+                f"std={best_vals[finite].std():.2f} -> keeping replicate "
+                f"{best_r}"
+            )
+            result = jax.tree.map(lambda x: x[best_r], res)
+        else:
+            result = engine.fit(
+                task_name,
+                cfg,
+                train_arrays,
+                val_arrays,
+                jax.random.PRNGKey(seed),
+                n_sites,
+                num_epochs=num_epochs,
+                class_weights=class_weights,
+                resume_carry=resume_carry,
+                start_epoch=start_epoch,
+                fused_step=fused_step,
+                fused_epoch=fused_epoch,
+                mesh=mesh,
+            )
         # device_get (not block_until_ready): remote-relay platforms can
         # return from block_until_ready before execution completes
         float(jax.device_get(result.best_val_loss))
@@ -407,10 +467,16 @@ def run_training(
         model_name, run_id, result.params, result.state, cfg.checkpoint_dir
     )
     print(f"✓ Best model saved (val_loss: {float(result.best_val_loss):.2f})")
-    checkpoint.save_resume(
-        model_name, run_id, result.carry, start_epoch + n_ran,
-        cfg.checkpoint_dir, seed=seed,
-    )
+    if args.replicates == 1:
+        checkpoint.save_resume(
+            model_name, run_id, result.carry, start_epoch + n_ran,
+            cfg.checkpoint_dir, seed=seed,
+        )
+    else:
+        # a replicate's noise stream is keyed by fold_in(seed, r), which a
+        # seed-recording resume checkpoint cannot reproduce — skipping keeps
+        # the bit-exact --resume contract honest
+        print("(resume checkpoint not written for --replicates runs)")
 
     print("\nGenerating loss plots...")
     plot_losses(
