@@ -188,9 +188,16 @@ def main():
     run(0)  # compile + first run
     compile_and_run = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    res = run(1)  # steady-state (executable cached)
-    wall = time.perf_counter() - t0
+    # best-of-2 steady-state: single-shot measurements on the relay carry
+    # dispatch-latency noise an order of magnitude above the run's own
+    # variance (RESULTS.md variance ledger); the min is the honest
+    # executable cost and costs <1 s extra
+    walls = []
+    for seed in (1, 2):
+        t0 = time.perf_counter()
+        res = run(seed)
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
 
     n_train = len(tr_idx)
     samples_per_sec = EPOCHS * (n_train // cfg.batch_size) * cfg.batch_size / wall
