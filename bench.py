@@ -142,8 +142,10 @@ def main():
     # device_get, not block_until_ready (the relay's returns early): the
     # dataset must be ON DEVICE before the compile timer starts
     t0 = time.perf_counter()
-    float(jax.device_get(train_arrays.tpm[0, 0]))
-    float(jax.device_get(val_arrays.beta[0, 0]))
+    for tbl in (train_arrays, val_arrays):  # force ALL six arrays: a
+        # pending transfer would otherwise leak into the compile timer
+        for leaf in (tbl.tpm, tbl.beta, tbl.site):
+            float(jax.device_get(leaf[0] if leaf.ndim == 1 else leaf[0, 0]))
     place_s = time.perf_counter() - t0
 
     # fastest path on TPU: the whole-epoch Pallas megakernel (every AdamW

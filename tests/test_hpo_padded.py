@@ -284,3 +284,14 @@ def test_mask_under_bfloat16_policy():
                         init_params=pp, init_state=sp)
     np.testing.assert_array_equal(np.asarray(plain.val_losses),
                                   np.asarray(padded.val_losses))
+
+
+def test_pad_shapes_cli_guards():
+    """--pad-shapes is vmapped-only and replaces bucketed sampling — the
+    CLI rejects the silent-no-op combinations instead of ignoring them."""
+    import pytest
+
+    with pytest.raises(SystemExit):
+        hpo.main(["--mode", "optuna", "--pad-shapes"])
+    with pytest.raises(SystemExit):
+        hpo.main(["--pad-shapes", "--bucket-size", "4"])

@@ -171,3 +171,22 @@ def test_prepare_dna_local_input_end_to_end(tmp_path):
     got = pd.read_parquet(out)
     assert set(got.columns) == {"case_barcode", "probe_id", "beta_value"}
     assert not got["beta_value"].isna().any()
+
+
+def test_prepare_data_single_mirror_flag_rejected(tmp_path):
+    """One local-mirror flag alone must fail loudly, not silently fall back
+    to downloading both tables."""
+    rna_p = tmp_path / "rna.parquet"
+    _rna_frame().to_parquet(rna_p)
+    with pytest.raises(SystemExit, match="together"):
+        prepare_data.main(["--rna-parquet", str(rna_p)])
+
+
+def test_prepare_dna_missing_input_dir_rejected(tmp_path):
+    """A typo'd --input-dir (os.walk yields nothing) must name the bad path
+    instead of raising pandas' opaque 'No objects to concatenate'."""
+    with pytest.raises(SystemExit, match="no parquet shards"):
+        prepare_dna.main([
+            "--input-dir", str(tmp_path / "nope"),
+            "--output", str(tmp_path / "out.parquet"),
+        ])

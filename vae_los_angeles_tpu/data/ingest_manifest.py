@@ -65,18 +65,14 @@ EXPECTED: Dict[str, dict] = {
     },
 }
 
-_KIND_CLASSES = {
-    # numpy dtype.kind letters per contract kind; 'O'/'U' + pandas string
-    # dtypes count as string (parquet readers vary by pandas version)
-    "string": set("OUS"),
-    "numeric": set("fiu"),
-    "integer": set("iu"),
-}
+# numpy dtype.kind letters that count as string; 'O'/'U'/'S' plus pandas
+# extension string dtypes (parquet readers vary by pandas version)
+_STRING_KINDS = set("OUS")
 
 
 def _column_kind(series) -> str:
     kind = getattr(series.dtype, "kind", "O")
-    if kind in _KIND_CLASSES["string"] or str(series.dtype).startswith(
+    if kind in _STRING_KINDS or str(series.dtype).startswith(
         ("string", "large_string")
     ):
         return "string"

@@ -320,6 +320,13 @@ def main(argv=None):
         print("Synthetic data preparation complete!")
         return
 
+    if bool(args.rna_parquet) != bool(args.dna_parquet):
+        # one flag alone would be SILENTLY discarded and both tables
+        # re-downloaded — fail loudly instead
+        raise SystemExit(
+            "--rna-parquet and --dna-parquet must be given together "
+            "(local-mirror mode replaces the whole Kaggle download)"
+        )
     if args.rna_parquet and args.dna_parquet:
         rna_file, dna_file = args.rna_parquet, args.dna_parquet
     else:

@@ -31,6 +31,10 @@ def load_parquet_shards(dataset_path: str):
                 print(f"Error loading {file}: {e}")
     import pandas as pd
 
+    if not frames:
+        # a typo'd --input-dir walks nothing (os.walk on a missing path is
+        # silent) and pd.concat([]) raises an opaque ValueError
+        raise SystemExit(f"no parquet shards found under {dataset_path!r}")
     return pd.concat(frames, ignore_index=True)
 
 

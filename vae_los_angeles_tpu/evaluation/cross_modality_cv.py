@@ -169,26 +169,12 @@ def run_cross_validation(
                     fold_metrics[k].append(m[k])
 
         elapsed = time.time() - start_time
-        aggregated = {
-            "direction": direction_name,
-            "model": model_type,
-            "param_name": param_name,
-            "param_value": param,
-            "time": elapsed,
-            "fold_metrics": fold_metrics,
-        }
-        for name in fold_metrics:
-            aggregated[f"mean_{name}"] = float(np.mean(fold_metrics[name]))
-            aggregated[f"std_{name}"] = float(np.std(fold_metrics[name]))
-        print(
-            f"    Mean R2 = {aggregated['mean_Mean R2']:.4f} "
-            f"(+/- {aggregated['std_Mean R2']:.4f})"
+        results.append(
+            _aggregate_sweep(
+                direction_name, model_type, param_name, param, elapsed,
+                fold_metrics,
+            )
         )
-        print(
-            f"    MSE     = {aggregated['mean_MSE']:.4f} "
-            f"(+/- {aggregated['std_MSE']:.4f})"
-        )
-        results.append(aggregated)
     return results
 
 
@@ -212,22 +198,53 @@ def _prep_nn_folds(rna_all, dna_all, site, fold_indices, batch_size):
     return cfg, inner_train, inner_val, outer_val
 
 
+def _aggregate_sweep(direction_name, model, param_name, param_value,
+                     elapsed, fold_metrics, quiet=False):
+    """One sweep's aggregated result record (the schema tidy_results /
+    pairwise_tests / the summary table consume) — shared by the standalone
+    and unified runners so the rows cannot drift apart."""
+    aggregated = {
+        "direction": direction_name,
+        "model": model,
+        "param_name": param_name,
+        "param_value": param_value,
+        "time": elapsed,
+        "fold_metrics": fold_metrics,
+    }
+    for name in fold_metrics:
+        aggregated[f"mean_{name}"] = float(np.mean(fold_metrics[name]))
+        aggregated[f"std_{name}"] = float(np.std(fold_metrics[name]))
+    if not quiet:
+        print(
+            f"    Mean R2 = {aggregated['mean_Mean R2']:.4f} "
+            f"(+/- {aggregated['std_Mean R2']:.4f})"
+        )
+        print(
+            f"    MSE     = {aggregated['mean_MSE']:.4f} "
+            f"(+/- {aggregated['std_MSE']:.4f})"
+        )
+    return aggregated
+
+
 def run_unified_direction(X, y, site, fold_indices, direction_name,
                           epochs=10, batch_size=32, seed=0):
-    """One direction's VAE **and** AE fold populations in ONE compiled
+    """One direction's VAE **and** AE fold populations through ONE compiled
     program (task ``*_unified``; VERDICT r2 #5 — the CV harness is
     compile-dominated, and the AE loss/arch is the VAE's with β=0 and
     z = mu, so the pair shares an executable selected per member by the
     ``kl_on`` state scalar).
 
-    Members 0..F-1 (kl_on=1) reuse the standalone sweep's per-fold key rows
-    and train bit-identically to ``run_cross_validation(model_type="vae")``;
-    members F..2F-1 (kl_on=0) are the AE folds. Returns the same two
+    The shared executable is driven TWICE (kl_on=1 folds, then kl_on=0
+    folds) rather than as one doubled population: the vmapped-fit/init
+    caches key on shapes and task, so the second call reuses the first
+    call's compiled program, and the fold data stays resident ONCE instead
+    of being physically duplicated into a 2F-member stack — at real-data
+    width the fold tables dominate HBM. The VAE call reuses the standalone
+    sweep's per-fold key rows and trains bit-identically to
+    ``run_cross_validation(model_type="vae")``. Returns the same two
     aggregated result dicts the separate sweeps produce; their ``time``
-    fields each carry the COMBINED wall (one program trained both).
+    fields each carry the COMBINED wall (one compile served both).
     """
-    import jax.numpy as jnp
-
     print(f"\nRunning unified VAE+AE Cross-Validation for {direction_name}...")
     if direction_name not in ("RNA -> DNA", "DNA -> RNA"):
         raise ValueError(f"unknown direction {direction_name!r}")
@@ -244,49 +261,42 @@ def run_unified_direction(X, y, site, fold_indices, direction_name,
     start_time = time.time()
 
     fold_keys = jax.random.split(jax.random.PRNGKey(seed), n_folds)
-    fits = vmap_meta.fit_folds(
-        task_name, cfg, inner_train * 2, inner_val * 2,
-        jax.random.PRNGKey(seed), n_sites,
-        num_epochs=epochs, drop_last=False,
-        mesh=vmap_meta.population_mesh(),
-        keys=jnp.concatenate([fold_keys, fold_keys]),
-        state_overrides={
-            "kl_on": np.asarray([1.0] * n_folds + [0.0] * n_folds, np.float32)
-        },
-    )
-    family_metrics = {"vae": {k: [] for k in METRIC_NAMES},
-                      "ae": {k: [] for k in METRIC_NAMES}}
-    for member, fit_res in enumerate(fits):
-        family = "vae" if member < n_folds else "ae"
-        fold_idx = member % n_folds
-        pred = np.asarray(
-            engine.predict(
-                task_name, fit_res.params, fit_res.state,
-                outer_val[fold_idx], compute_dtype=cfg.compute_dtype,
+    family_metrics = {}
+    for family, kl_on in (("vae", 1.0), ("ae", 0.0)):
+        fits = vmap_meta.fit_folds(
+            task_name, cfg, inner_train, inner_val,
+            jax.random.PRNGKey(seed), n_sites,
+            num_epochs=epochs, drop_last=False,
+            mesh=vmap_meta.population_mesh(),
+            keys=fold_keys,
+            state_overrides={
+                "kl_on": np.full(n_folds, kl_on, np.float32)
+            },
+        )
+        fold_metrics = {k: [] for k in METRIC_NAMES}
+        for fold_idx, fit_res in enumerate(fits):
+            pred = np.asarray(
+                engine.predict(
+                    task_name, fit_res.params, fit_res.state,
+                    outer_val[fold_idx], compute_dtype=cfg.compute_dtype,
+                )
             )
-        )
-        truth = np.asarray(
-            outer_val[fold_idx].beta if is_rna2dna else outer_val[fold_idx].tpm
-        )
-        m = compute_cv_metrics(truth, pred)
-        for k in METRIC_NAMES:
-            family_metrics[family][k].append(m[k])
+            truth = np.asarray(
+                outer_val[fold_idx].beta if is_rna2dna
+                else outer_val[fold_idx].tpm
+            )
+            m = compute_cv_metrics(truth, pred)
+            for k in METRIC_NAMES:
+                fold_metrics[k].append(m[k])
+        family_metrics[family] = fold_metrics
 
     elapsed = time.time() - start_time
     results = []
     for family in ("vae", "ae"):
-        fold_metrics = family_metrics[family]
-        aggregated = {
-            "direction": direction_name,
-            "model": family,
-            "param_name": "epochs",
-            "param_value": epochs,
-            "time": elapsed,
-            "fold_metrics": fold_metrics,
-        }
-        for name in fold_metrics:
-            aggregated[f"mean_{name}"] = float(np.mean(fold_metrics[name]))
-            aggregated[f"std_{name}"] = float(np.std(fold_metrics[name]))
+        aggregated = _aggregate_sweep(
+            direction_name, family, "epochs", epochs, elapsed,
+            family_metrics[family], quiet=True,
+        )
         print(
             f"  [{family}] Mean R2 = {aggregated['mean_Mean R2']:.4f} "
             f"(+/- {aggregated['std_Mean R2']:.4f}), "

@@ -456,10 +456,12 @@ def main(argv=None, cfg: Optional[Config] = None):
     parser.add_argument("--mode", choices=["vmapped", "optuna"], default="vmapped")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
-        "--bucket-size", type=int, default=4,
+        "--bucket-size", type=int, default=None,
         help="trials sharing one (latent_dim, embed_dim) shape draw in "
-        "vmapped mode; 1 restores the reference's fully independent "
-        "per-trial shape sampling (at the cost of singleton populations)",
+        "vmapped mode (default 4); 1 restores the reference's fully "
+        "independent per-trial shape sampling (at the cost of singleton "
+        "populations). Mutually exclusive with --pad-shapes, which batches "
+        "independent shapes without bucketed sampling",
     )
     parser.add_argument(
         "--prune-rungs", type=int, default=1,
@@ -480,6 +482,13 @@ def main(argv=None, cfg: Optional[Config] = None):
         "missing (same bootstrap as the training CLIs)",
     )
     args = parser.parse_args(argv)
+    if args.pad_shapes and args.mode == "optuna":
+        parser.error("--pad-shapes applies to the vmapped mode only "
+                     "(optuna mode is sequential — nothing to batch)")
+    if args.pad_shapes and args.bucket_size is not None:
+        parser.error("--bucket-size and --pad-shapes are mutually "
+                     "exclusive: pad-shapes samples shapes fully "
+                     "independently and batches by embed_dim")
 
     cfg = cfg or Config.from_env()
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
@@ -497,7 +506,9 @@ def main(argv=None, cfg: Optional[Config] = None):
         # --pad-shapes batches across DIFFERENT latent widths, so shape
         # bucketing in the sampler is unnecessary: bucket_size=1 restores
         # the reference's fully independent per-trial shape draws
-        bucket_size = 1 if args.pad_shapes else args.bucket_size
+        bucket_size = 1 if args.pad_shapes else (
+            4 if args.bucket_size is None else args.bucket_size
+        )
         trials = sample_trials(args.trials, args.seed, bucket_size)
         print(f"Running {args.trials} trials (vmapped populations"
               + (", padded latents)..." if args.pad_shapes else ")..."))

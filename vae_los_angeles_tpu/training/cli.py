@@ -488,6 +488,9 @@ def run_training(
     # honest throughput: drop_last discards the remainder, so count the
     # samples actually trained, and label that wall includes compilation
     trained_per_epoch = (len(tr_idx) // cfg.batch_size) * cfg.batch_size
+    # with --replicates the wall covers the whole population, so the
+    # population's samples are what it trained
+    trained_per_epoch *= args.replicates
     samples_per_sec = (
         n_ran * trained_per_epoch / wall if wall > 0 else float("inf")
     )
