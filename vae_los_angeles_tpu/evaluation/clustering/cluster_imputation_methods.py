@@ -23,8 +23,15 @@ from vae_los_angeles_tpu.evaluation.clustering.common import (
     plot_clusters_2d,
     prepare_features,
 )
-from vae_los_angeles_tpu.models.conditioned_knn import ConditionedKNeighborsRegressor
 from vae_los_angeles_tpu.training import checkpoint
+
+
+def _conditioned_knn_cls():
+    """Site-conditioned kNN backend (sklearn loop by default,
+    KNN_BACKEND=tpu for the masked-distance MXU kernel, ops/knn.py)."""
+    from vae_los_angeles_tpu.ops.knn import resolve_conditioned_knn
+
+    return resolve_conditioned_knn()
 
 
 def _train_arrays(train_df):
@@ -63,8 +70,9 @@ def apply_mean_imputation(train_df, rna_only_df, dna_only_df):
 
 def apply_knn_imputation(train_df, rna_only_df, dna_only_df, n_neighbors=5):
     """Cross-modal kNN imputation (reference :297-337)."""
-    from sklearn.neighbors import KNeighborsRegressor
+    from vae_los_angeles_tpu.ops.knn import resolve_knn_regressor
 
+    KNeighborsRegressor = resolve_knn_regressor()  # KNN_BACKEND=tpu -> MXU
     print(f"\nAPPLYING KNN IMPUTATION (k={n_neighbors})")
     train_rna, train_dna = _train_arrays(train_df)
 
@@ -117,7 +125,7 @@ def apply_conditioned_knn_imputation(train_df, rna_only_df, dna_only_df,
                 np.array(valid["tpm_unstranded"].tolist()).astype(np.float32)
             )
             rna_val_cond = np.hstack((rna_val, sites[:, np.newaxis]))
-            knn = ConditionedKNeighborsRegressor(n_neighbors=n_neighbors)
+            knn = _conditioned_knn_cls()(n_neighbors=n_neighbors)
             knn.fit(train_rna_cond, train_dna)
             valid["imputed_beta_value"] = list(knn.predict(rna_val_cond))
             rna_only_imputed = valid
@@ -131,7 +139,7 @@ def apply_conditioned_knn_imputation(train_df, rna_only_df, dna_only_df,
             sites = _encode_sites(valid)
             dna_val = np.array(valid["beta_value"].tolist()).astype(np.float32)
             dna_val_cond = np.hstack((dna_val, sites[:, np.newaxis]))
-            knn = ConditionedKNeighborsRegressor(n_neighbors=n_neighbors)
+            knn = _conditioned_knn_cls()(n_neighbors=n_neighbors)
             knn.fit(train_dna_cond, train_rna)
             valid["imputed_tpm_unstranded"] = list(knn.predict(dna_val_cond))
             dna_only_imputed = valid

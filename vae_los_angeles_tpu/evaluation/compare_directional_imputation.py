@@ -42,8 +42,9 @@ def get_mean_imputation_predictions(val_tpm, val_beta):
 
 def get_knn_predictions(train_tpm, train_beta, val_tpm, val_beta, n_neighbors=5):
     """Cross-modal kNN baselines (reference :235-254; host-side sklearn)."""
-    from sklearn.neighbors import KNeighborsRegressor
+    from vae_los_angeles_tpu.ops.knn import resolve_knn_regressor
 
+    KNeighborsRegressor = resolve_knn_regressor()  # KNN_BACKEND=tpu -> MXU
     knn_rna = KNeighborsRegressor(n_neighbors=n_neighbors, n_jobs=-1)
     knn_rna.fit(train_beta, train_tpm)
     rna_knn_pred = knn_rna.predict(val_beta)

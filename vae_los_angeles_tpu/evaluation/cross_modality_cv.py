@@ -127,11 +127,12 @@ def run_cross_validation(
         start_time = time.time()
 
         if model_type in ("mean", "knn"):
-            from sklearn.neighbors import KNeighborsRegressor
+            from vae_los_angeles_tpu.ops.knn import resolve_knn_regressor
 
+            knn_cls = resolve_knn_regressor()  # KNN_BACKEND=tpu -> MXU kNN
             for train_index, val_index in fold_indices:
                 if model_type == "knn":
-                    model = KNeighborsRegressor(n_neighbors=param, n_jobs=-1)
+                    model = knn_cls(n_neighbors=param, n_jobs=-1)
                 else:
                     model = MeanRegressor()
                 model.fit(X[train_index], y[train_index])

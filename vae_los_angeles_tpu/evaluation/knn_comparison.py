@@ -24,7 +24,6 @@ from vae_los_angeles_tpu.config import Config
 from vae_los_angeles_tpu.data.dataset import MultiModalDataset, load_label_encoder
 from vae_los_angeles_tpu.data.splits import train_val_indices
 from vae_los_angeles_tpu.evaluation.loading import load_dna2rna, load_rna2dna
-from vae_los_angeles_tpu.models.conditioned_knn import ConditionedKNeighborsRegressor
 
 KNN_GRID = {
     "n_neighbors": [5, 10, 20, 50],
@@ -36,12 +35,25 @@ KNN_GRID = {
 def optimize_knn(X_train, y_train, X_val, y_val, name="KNN", model_class=None):
     """Manual grid search on the val split (reference :56-94)."""
     from sklearn.metrics import mean_squared_error
-    from sklearn.neighbors import KNeighborsRegressor
 
-    model_class = model_class or KNeighborsRegressor
+    from vae_los_angeles_tpu.ops.knn import (
+        ConditionedKNNRegressorTPU,
+        KNNRegressorTPU,
+        resolve_knn_regressor,
+    )
+
+    model_class = model_class or resolve_knn_regressor()
     print(f"\nOptimizing {name}...")
     best_mse, best_model, best_params = float("inf"), None, {}
-    keys, values = zip(*KNN_GRID.items())
+    grid = dict(KNN_GRID)
+    if (model_class in (KNNRegressorTPU, ConditionedKNNRegressorTPU)
+            and "manhattan" in grid.get("metric", ())):
+        # the MXU distance identity is euclidean-only; the grid's manhattan
+        # points are dropped with a notice rather than erroring mid-search
+        print("  KNN_BACKEND=tpu: euclidean metric only (manhattan grid "
+              "points skipped)")
+        grid["metric"] = [m for m in grid["metric"] if m != "manhattan"]
+    keys, values = zip(*grid.items())
     for combo in itertools.product(*values):
         p = dict(zip(keys, combo))
         # clamp k to the training size like the reference's conditioned model
@@ -173,11 +185,13 @@ def _run_direction(direction, X_train, y_train, X_val, y_val, site_train,
             plots_dir,
         )
 
+    from vae_los_angeles_tpu.ops.knn import resolve_conditioned_knn
+
     X_train_cond = np.column_stack([X_train, site_train])
     X_val_cond = np.column_stack([X_val, site_val])
     knn_cond = optimize_knn(
         X_train_cond, y_train, X_val_cond, y_val,
-        name="KNN (Conditioned)", model_class=ConditionedKNeighborsRegressor,
+        name="KNN (Conditioned)", model_class=resolve_conditioned_knn(),
     )
     preds = knn_cond.predict(X_val_cond)
     results["KNN (Cond)"] = np.mean((preds - y_val) ** 2, axis=1)
