@@ -3,9 +3,11 @@ reduction, 2D scatter plotting, silhouette+NH scoring.
 
 Factored out of the two reference scripts, which duplicate this logic
 (``cluster_reconstructed.py:100-253`` and
-``cluster_imputation_methods.py:96-255``). PCA/t-SNE/silhouette stay
-host-side sklearn — they are reporting, not the accelerated product
-(SURVEY hard-part #7).
+``cluster_imputation_methods.py:96-255``). PCA/t-SNE stay host-side
+sklearn — they are reporting, not the accelerated product (SURVEY
+hard-part #7); silhouette/NH default to sklearn too but ``KNN_BACKEND=tpu``
+routes their O(n²·dim) distance passes through the MXU
+(ops/cluster_metrics.py).
 """
 
 from __future__ import annotations
@@ -127,10 +129,14 @@ def plot_clusters_2d(features_2d, labels, title, filename, label_encoder=None,
 
 def cluster_scores(features, labels, pca_features, tsne_features):
     """Silhouette + Neighborhood-Hit on original/PCA/t-SNE spaces
-    (reference cluster_reconstructed.py:296-318)."""
-    from sklearn.metrics import silhouette_score
+    (reference cluster_reconstructed.py:296-318). ``KNN_BACKEND=tpu``
+    computes both over the chunked MXU distance kernel — the orig-space
+    pass is O(n²·dim) at full feature width."""
     from sklearn.preprocessing import StandardScaler
 
+    from vae_los_angeles_tpu.ops.cluster_metrics import resolve_silhouette
+
+    silhouette_score = resolve_silhouette()
     if len(np.unique(labels)) <= 1:
         return None
     scaled = StandardScaler().fit_transform(features)

@@ -8,12 +8,24 @@ import numpy as np
 
 def calculate_neighborhood_hit(features, labels, k: int = 5) -> float:
     """Neighborhood Hit: mean fraction of each point's k nearest neighbors
-    (self excluded) sharing its label."""
+    (self excluded) sharing its label.
+
+    ``KNN_BACKEND=tpu`` routes the O(n²·dim) neighbor search through the
+    chunked MXU distance kernel (ops/cluster_metrics.py); the default stays
+    host sklearn, reference-exact."""
+    import os
+
     features = np.asarray(features)
     labels = np.asarray(labels)
     if len(features) < k + 1:
         return 0.0
     try:
+        if os.getenv("KNN_BACKEND", "sklearn").lower() == "tpu":
+            from vae_los_angeles_tpu.ops.cluster_metrics import (
+                neighborhood_hit_tpu,
+            )
+
+            return neighborhood_hit_tpu(features, labels, k=k)
         from sklearn.neighbors import NearestNeighbors
 
         nbrs = NearestNeighbors(n_neighbors=k + 1, algorithm="auto").fit(features)

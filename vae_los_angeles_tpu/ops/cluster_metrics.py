@@ -1,0 +1,168 @@
+"""TPU clustering-quality metrics: silhouette + neighborhood hit.
+
+The reference scores clusterings with host sklearn on the FULL-WIDTH scaled
+feature matrix (`/root/reference/src/clustering_evaluation/
+cluster_reconstructed.py:296-318` calls `silhouette_score(scaled, labels)`,
+`metrics_utils.py:4-41` runs `NearestNeighbors` over the same matrix) — an
+O(n²·dim) host pairwise-distance pass that at methylome width (dim ≈ 450k,
+cohorts of thousands) is the slowest step of the clustering scripts. Both
+metrics are distance-matrix reductions, so on TPU they ride the MXU via the
+same ‖q−x‖² matmul identity as `ops/knn.py`, chunked over query rows so the
+n×n matrix never materializes:
+
+- silhouette: per-chunk distance block × label-onehot matmul accumulates
+  per-cluster distance sums; a(i)/b(i)/s(i) are then O(n·L) host arithmetic.
+- neighborhood hit: per-chunk `lax.top_k` over self-masked distances,
+  neighbor-label agreement reduced on device.
+
+Self-distances are masked explicitly (the matmul identity leaves ~eps·‖x‖²
+of cancellation residue at d(i,i) that would otherwise pollute intra-cluster
+sums). Euclidean metric only — exactly what the reference uses.
+
+Opt-in via the same ``KNN_BACKEND=tpu`` switch as the kNN baselines
+(`resolve_silhouette` / `metrics_utils.calculate_neighborhood_hit`); the
+default stays host sklearn, reference-exact. Parity-tested against live
+sklearn oracles in tests/test_cluster_metrics_tpu.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_los_angeles_tpu.ops.knn import _device_put_cached
+
+
+def _chunk_starts(n: int, chunk: int):
+    return range(0, n, chunk)
+
+
+def _features_on_device(features) -> jax.Array:
+    """Device copy of the feature matrix, cached on the caller's array —
+    ``cluster_scores`` runs silhouette AND NH over the same scaled matrix,
+    so the (potentially GB-scale) transfer happens once, not twice."""
+    if isinstance(features, jax.Array):
+        return features.astype(jnp.float32)
+    if isinstance(features, np.ndarray):
+        return _device_put_cached(
+            features, lambda: np.asarray(features, np.float32)
+        )
+    return jnp.asarray(np.asarray(features, np.float32))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _silhouette_chunk(x, x_sq, block, row_offset, onehot):
+    """Per-cluster distance sums for one query chunk: (m, L).
+
+    ``block`` is rows [row_offset, row_offset+m) of ``x`` (zero-padded past
+    n); the self column is forced to exactly 0 before the label reduction.
+    """
+    q_sq = jnp.sum(block * block, axis=1, keepdims=True)
+    cross = jnp.dot(block, x.T, preferred_element_type=jnp.float32)
+    d = jnp.sqrt(jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0))
+    cols = jnp.arange(x.shape[0])[None, :]
+    rows = (row_offset + jnp.arange(block.shape[0]))[:, None]
+    d = jnp.where(cols == rows, 0.0, d)
+    return jnp.dot(d, onehot, preferred_element_type=jnp.float32)
+
+
+def silhouette_score_tpu(features, labels, chunk_size: int = 1024) -> float:
+    """Mean silhouette coefficient, sklearn-parity (euclidean).
+
+    s(i) = (b−a)/max(a,b) with a = mean intra-cluster distance (self
+    excluded), b = min over other clusters of the mean distance; singleton
+    clusters score 0 (sklearn convention).
+    """
+    labels = np.asarray(labels)
+    n = len(features)
+    uniq, lab_idx = np.unique(labels, return_inverse=True)
+    n_labels = len(uniq)
+    if not 1 < n_labels < n:
+        raise ValueError(
+            f"Number of labels is {n_labels}; valid values are 2..{n - 1}"
+        )
+    counts = np.bincount(lab_idx, minlength=n_labels).astype(np.float64)
+
+    x = _features_on_device(features)
+    x_sq = jnp.sum(x * x, axis=1)
+    onehot = jnp.asarray(np.eye(n_labels, dtype=np.float32)[lab_idx])
+    chunk = min(chunk_size, n)
+    sums = np.empty((n, n_labels), np.float64)
+    for start in _chunk_starts(n, chunk):
+        block = x[start:start + chunk]
+        n_valid = int(block.shape[0])
+        if n_valid < chunk:
+            block = jnp.pad(block, ((0, chunk - n_valid), (0, 0)))
+        out = _silhouette_chunk(x, x_sq, block, start, onehot)
+        sums[start:start + n_valid] = np.asarray(jax.device_get(out))[:n_valid]
+
+    own = counts[lab_idx]
+    a = sums[np.arange(n), lab_idx] / np.maximum(own - 1.0, 1.0)
+    means = sums / counts[None, :]
+    means[np.arange(n), lab_idx] = np.inf  # exclude own cluster from b
+    b = means.min(axis=1)
+    s = (b - a) / np.maximum(np.maximum(a, b), np.finfo(np.float64).tiny)
+    s = np.where(own == 1, 0.0, s)  # sklearn: singleton clusters score 0
+    return float(s.mean())
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _nh_chunk(x, x_sq, lab, block, block_lab, row_offset, k: int):
+    """Fraction of each chunk row's k nearest neighbors (self excluded)
+    sharing its label: (m,)."""
+    q_sq = jnp.sum(block * block, axis=1, keepdims=True)
+    cross = jnp.dot(block, x.T, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
+    cols = jnp.arange(x.shape[0])[None, :]
+    rows = (row_offset + jnp.arange(block.shape[0]))[:, None]
+    d2 = jnp.where(cols == rows, jnp.inf, d2)  # exclude self
+    _, idx = jax.lax.top_k(-d2, k)
+    hits = jnp.take(lab, idx) == block_lab[:, None]
+    return jnp.mean(hits.astype(jnp.float32), axis=1)
+
+
+def neighborhood_hit_tpu(features, labels, k: int = 5,
+                         chunk_size: int = 1024) -> float:
+    """Neighborhood Hit on the MXU (reference
+    ``src/clustering_evaluation/metrics_utils.py:4-41`` semantics: k nearest
+    neighbors excluding self, mean label-agreement fraction)."""
+    labels = np.asarray(labels)
+    n = len(features)
+    if n < k + 1:
+        return 0.0
+    _, lab_idx = np.unique(labels, return_inverse=True)
+
+    x = _features_on_device(features)
+    x_sq = jnp.sum(x * x, axis=1)
+    lab = jnp.asarray(lab_idx.astype(np.int32))
+    chunk = min(chunk_size, n)
+    fracs = np.empty(n, np.float64)
+    for start in _chunk_starts(n, chunk):
+        block = x[start:start + chunk]
+        block_lab = lab[start:start + chunk]
+        n_valid = int(block.shape[0])
+        if n_valid < chunk:
+            block = jnp.pad(block, ((0, chunk - n_valid), (0, 0)))
+            block_lab = jnp.pad(block_lab, (0, chunk - n_valid))
+        out = _nh_chunk(x, x_sq, lab, block, block_lab, start, k)
+        fracs[start:start + n_valid] = np.asarray(
+            jax.device_get(out)
+        )[:n_valid]
+    return float(fracs.mean())
+
+
+def resolve_silhouette():
+    """Silhouette backend: sklearn by default (reference-exact),
+    ``KNN_BACKEND=tpu`` for the chunked MXU distance pass."""
+    backend = os.getenv("KNN_BACKEND", "sklearn").lower()
+    if backend == "tpu":
+        return silhouette_score_tpu
+    if backend == "sklearn":
+        from sklearn.metrics import silhouette_score
+
+        return silhouette_score
+    raise ValueError(f"KNN_BACKEND={backend!r}; valid: sklearn (default), tpu")
