@@ -61,28 +61,49 @@ def prepare_features(df, columns):
     return np.concatenate(features, axis=1)
 
 
+def _tpu_backend() -> bool:
+    return os.getenv("KNN_BACKEND", "sklearn").lower() == "tpu"
+
+
 def perform_dimensionality_reduction(features, method="both", n_components=2,
                                      random_state=42):
     """StandardScaler → PCA(2) and/or t-SNE(2) with PCA-50 preprocessing for
-    >50-dim inputs (reference cluster_reconstructed.py:140-187)."""
-    from sklearn.decomposition import PCA
-    from sklearn.manifold import TSNE
-    from sklearn.preprocessing import StandardScaler
+    >50-dim inputs (reference cluster_reconstructed.py:140-187).
 
-    features_scaled = StandardScaler().fit_transform(features)
+    ``KNN_BACKEND=tpu``: scaling + PCA run on device via the Gram-matrix
+    formulation (ops/pca.py) — the full-width matrix transfers once (shared
+    with the metric kernels' cache) and only 2D/50-dim scores come back;
+    t-SNE itself stays host sklearn (SURVEY hard-part #7)."""
+    from sklearn.manifold import TSNE
+
+    if _tpu_backend():
+        import jax
+
+        from vae_los_angeles_tpu.ops.cluster_metrics import _features_on_device
+        from vae_los_angeles_tpu.ops.pca import PCATPU, standardize_tpu
+
+        features_scaled = standardize_tpu(_features_on_device(features))
+        pca_cls = PCATPU
+        to_host = lambda a: np.asarray(jax.device_get(a))
+    else:
+        from sklearn.decomposition import PCA as pca_cls
+        from sklearn.preprocessing import StandardScaler
+
+        features_scaled = StandardScaler().fit_transform(features)
+        to_host = np.asarray
     results = {}
     if method in ("pca", "both"):
-        pca = PCA(n_components=n_components, random_state=random_state)
+        pca = pca_cls(n_components=n_components, random_state=random_state)
         results["pca"] = pca.fit_transform(features_scaled)
         print(f"  PCA explained variance: {pca.explained_variance_ratio_.sum():.4f}")
     if method in ("tsne", "both"):
         if features_scaled.shape[1] > 50:
             n_pre = min(50, *features_scaled.shape)
-            features_for_tsne = PCA(
+            features_for_tsne = pca_cls(
                 n_components=n_pre, random_state=random_state
             ).fit_transform(features_scaled)
         else:
-            features_for_tsne = features_scaled
+            features_for_tsne = to_host(features_scaled)
         tsne = TSNE(
             n_components=n_components,
             random_state=random_state,
@@ -132,14 +153,22 @@ def cluster_scores(features, labels, pca_features, tsne_features):
     (reference cluster_reconstructed.py:296-318). ``KNN_BACKEND=tpu``
     computes both over the chunked MXU distance kernel — the orig-space
     pass is O(n²·dim) at full feature width."""
-    from sklearn.preprocessing import StandardScaler
-
     from vae_los_angeles_tpu.ops.cluster_metrics import resolve_silhouette
 
     silhouette_score = resolve_silhouette()
     if len(np.unique(labels)) <= 1:
         return None
-    scaled = StandardScaler().fit_transform(features)
+    if _tpu_backend():
+        # scale on device over the same cached put as the reduction step;
+        # the full-width matrix never round-trips to host
+        from vae_los_angeles_tpu.ops.cluster_metrics import _features_on_device
+        from vae_los_angeles_tpu.ops.pca import standardize_tpu
+
+        scaled = standardize_tpu(_features_on_device(features))
+    else:
+        from sklearn.preprocessing import StandardScaler
+
+        scaled = StandardScaler().fit_transform(features)
     return {
         "orig_silhouette": float(silhouette_score(scaled, labels)),
         "orig_nh": calculate_neighborhood_hit(scaled, labels),

@@ -15,17 +15,19 @@ def calculate_neighborhood_hit(features, labels, k: int = 5) -> float:
     host sklearn, reference-exact."""
     import os
 
-    features = np.asarray(features)
     labels = np.asarray(labels)
     if len(features) < k + 1:
         return 0.0
     try:
         if os.getenv("KNN_BACKEND", "sklearn").lower() == "tpu":
+            # features may already be a device array (cluster_scores scales
+            # on device) — the TPU path consumes it without a host round-trip
             from vae_los_angeles_tpu.ops.cluster_metrics import (
                 neighborhood_hit_tpu,
             )
 
             return neighborhood_hit_tpu(features, labels, k=k)
+        features = np.asarray(features)
         from sklearn.neighbors import NearestNeighbors
 
         nbrs = NearestNeighbors(n_neighbors=k + 1, algorithm="auto").fit(features)
