@@ -34,7 +34,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vae_los_angeles_tpu.ops.knn import _device_put_cached
+from vae_los_angeles_tpu.ops.knn import (
+    _device_put_cached,
+    _eval_mesh,
+    _padded_rows,
+    _row_sharded_put,
+)
 
 
 def _chunk_starts(n: int, chunk: int):
@@ -70,12 +75,16 @@ def _silhouette_chunk(x, x_sq, block, row_offset, onehot):
     return jnp.dot(d, onehot, preferred_element_type=jnp.float32)
 
 
-def silhouette_score_tpu(features, labels, chunk_size: int = 1024) -> float:
+def silhouette_score_tpu(features, labels, chunk_size: int = 1024,
+                         shard=None) -> float:
     """Mean silhouette coefficient, sklearn-parity (euclidean).
 
     s(i) = (b−a)/max(a,b) with a = mean intra-cluster distance (self
     excluded), b = min over other clusters of the mean distance; singleton
-    clusters score 0 (sklearn convention).
+    clusters score 0 (sklearn convention). On multi-chip hosts the feature
+    rows auto-shard over the chips and each chunk's per-cluster sums arrive
+    as one psum (parallel/sharded_eval.py); ``shard=False`` forces
+    single-chip.
     """
     labels = np.asarray(labels)
     n = len(features)
@@ -87,17 +96,34 @@ def silhouette_score_tpu(features, labels, chunk_size: int = 1024) -> float:
         )
     counts = np.bincount(lab_idx, minlength=n_labels).astype(np.float64)
 
-    x = _features_on_device(features)
-    x_sq = jnp.sum(x * x, axis=1)
-    onehot = jnp.asarray(np.eye(n_labels, dtype=np.float32)[lab_idx])
+    mesh = _eval_mesh(shard)
+    if mesh is not None:
+        from vae_los_angeles_tpu.parallel.sharded_eval import (
+            build_silhouette_chunk,
+        )
+
+        n_pad = _padded_rows(n, mesh)
+        x = _row_sharded_put(features, mesh, n_pad)
+        onehot_host = np.zeros((n_pad, n_labels), np.float32)
+        onehot_host[np.arange(n), lab_idx] = 1.0  # padded rows: zero onehot
+        oh = _row_sharded_put(onehot_host, mesh, n_pad)
+        fn = build_silhouette_chunk(mesh)
+        run = lambda block, start: fn(x, oh, block, np.int32(start))
+    else:
+        x = _features_on_device(features)
+        x_sq = jnp.sum(x * x, axis=1)
+        onehot = jnp.asarray(np.eye(n_labels, dtype=np.float32)[lab_idx])
+        run = lambda block, start: _silhouette_chunk(
+            x, x_sq, block, start, onehot)
     chunk = min(chunk_size, n)
     sums = np.empty((n, n_labels), np.float64)
     for start in _chunk_starts(n, chunk):
-        block = x[start:start + chunk]
+        # clamp to the true n: sharded x carries padded rows past it
+        block = x[start:min(start + chunk, n)]
         n_valid = int(block.shape[0])
         if n_valid < chunk:
             block = jnp.pad(block, ((0, chunk - n_valid), (0, 0)))
-        out = _silhouette_chunk(x, x_sq, block, start, onehot)
+        out = run(block, start)
         sums[start:start + n_valid] = np.asarray(jax.device_get(out))[:n_valid]
 
     own = counts[lab_idx]
@@ -126,29 +152,48 @@ def _nh_chunk(x, x_sq, lab, block, block_lab, row_offset, k: int):
 
 
 def neighborhood_hit_tpu(features, labels, k: int = 5,
-                         chunk_size: int = 1024) -> float:
+                         chunk_size: int = 1024, shard=None) -> float:
     """Neighborhood Hit on the MXU (reference
     ``src/clustering_evaluation/metrics_utils.py:4-41`` semantics: k nearest
-    neighbors excluding self, mean label-agreement fraction)."""
+    neighbors excluding self, mean label-agreement fraction). Multi-chip
+    hosts auto-shard the feature rows; neighbor labels ride the merged
+    top-k all_gather (parallel/sharded_eval.py)."""
     labels = np.asarray(labels)
     n = len(features)
     if n < k + 1:
         return 0.0
     _, lab_idx = np.unique(labels, return_inverse=True)
+    lab_host = lab_idx.astype(np.int32)
 
-    x = _features_on_device(features)
-    x_sq = jnp.sum(x * x, axis=1)
-    lab = jnp.asarray(lab_idx.astype(np.int32))
+    mesh = _eval_mesh(shard)
+    if mesh is not None:
+        from vae_los_angeles_tpu.parallel.sharded_eval import build_nh_chunk
+
+        n_pad = _padded_rows(n, mesh)
+        x = _row_sharded_put(features, mesh, n_pad)
+        lab_sh = _row_sharded_put(lab_host, mesh, n_pad, dtype=np.int32)
+        lab = jnp.asarray(lab_host)
+        fn = build_nh_chunk(mesh, k)
+        n_arr = np.int32(n)
+        run = lambda block, block_lab, start: fn(
+            x, lab_sh, n_arr, block, block_lab, np.int32(start))
+    else:
+        x = _features_on_device(features)
+        x_sq = jnp.sum(x * x, axis=1)
+        lab = jnp.asarray(lab_host)
+        run = lambda block, block_lab, start: _nh_chunk(
+            x, x_sq, lab, block, block_lab, start, k)
     chunk = min(chunk_size, n)
     fracs = np.empty(n, np.float64)
     for start in _chunk_starts(n, chunk):
-        block = x[start:start + chunk]
-        block_lab = lab[start:start + chunk]
+        stop = min(start + chunk, n)  # sharded x has padded rows past n
+        block = x[start:stop]
+        block_lab = lab[start:stop]
         n_valid = int(block.shape[0])
         if n_valid < chunk:
             block = jnp.pad(block, ((0, chunk - n_valid), (0, 0)))
             block_lab = jnp.pad(block_lab, (0, chunk - n_valid))
-        out = _nh_chunk(x, x_sq, lab, block, block_lab, start, k)
+        out = run(block, block_lab, start)
         fracs[start:start + n_valid] = np.asarray(
             jax.device_get(out)
         )[:n_valid]

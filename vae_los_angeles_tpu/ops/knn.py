@@ -43,27 +43,77 @@ import numpy as np
 _PUT_CACHE: dict = {}
 
 
-def _fingerprint(arr: np.ndarray):
+def _fingerprint(arr: np.ndarray, sharding=None):
     flat = arr.reshape(-1)
     probe = flat[:: max(1, flat.size // 16)][:16]
-    return (arr.shape, arr.dtype.str, probe.tobytes())
+    return (arr.shape, arr.dtype.str, probe.tobytes(), sharding)
 
 
-def _device_put_cached(arr: np.ndarray, make=None) -> jax.Array:
+def _device_put_cached(arr: np.ndarray, make=None, sharding=None) -> jax.Array:
     """Device copy of ``make() if make else arr``, keyed on the CALLER's
     ``arr`` object (so dtype-conversion/reshape temps — which die immediately
-    and recycle ids — never key the cache)."""
+    and recycle ids — never key the cache). ``sharding`` (a NamedSharding for
+    multi-chip row sharding) participates in the hit check and the put."""
     key = id(arr)
     hit = _PUT_CACHE.get(key)
-    if hit is not None and hit[0]() is arr and hit[1] == _fingerprint(arr):
+    if hit is not None and hit[0]() is arr and hit[1] == _fingerprint(
+            arr, sharding):
         return hit[2]
-    dev = jnp.asarray(make() if make is not None else arr)
+    host = make() if make is not None else arr
+    dev = jnp.asarray(host) if sharding is None else jax.device_put(
+        host, sharding)
     try:
         ref = weakref.ref(arr, lambda _, k=key: _PUT_CACHE.pop(k, None))
     except TypeError:
         return dev
-    _PUT_CACHE[key] = (ref, _fingerprint(arr), dev)
+    _PUT_CACHE[key] = (ref, _fingerprint(arr, sharding), dev)
     return dev
+
+
+def _eval_mesh(shard=None):
+    """The 1-axis ("data",) mesh the evaluation kernels shard over, or None.
+
+    ``shard=None`` auto-detects (>1 visible device → shard, the same policy
+    as the serving wrappers); ``False`` forces single-chip; ``True``
+    requires a mesh."""
+    if shard is False:
+        return None
+    from vae_los_angeles_tpu.parallel.vmap_meta import population_mesh
+
+    mesh = population_mesh()
+    if shard is True and mesh is None:
+        raise ValueError("shard=True requires more than one visible device")
+    return mesh
+
+
+def _row_sharded_put(arr, mesh, n_pad: int, dtype=np.float32,
+                     pad_value=0.0):
+    """Row-shard a host/device matrix (or vector) over ``mesh``, padded to
+    ``n_pad`` rows; host numpy inputs reuse the put cache."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = PartitionSpec("data", *([None] * (arr.ndim - 1)))
+    sharding = NamedSharding(mesh, spec)
+    pad = ((0, n_pad - len(arr)),) + ((0, 0),) * (arr.ndim - 1)
+    if isinstance(arr, jax.Array):
+        return jax.device_put(
+            jnp.pad(arr.astype(dtype), pad, constant_values=pad_value),
+            sharding,
+        )
+    if isinstance(arr, np.ndarray):
+        return _device_put_cached(
+            arr,
+            lambda: np.pad(np.asarray(arr, dtype), pad,
+                           constant_values=pad_value),
+            sharding=sharding,
+        )
+    host = np.pad(np.asarray(arr, dtype), pad, constant_values=pad_value)
+    return jax.device_put(host, sharding)
+
+
+def _padded_rows(n: int, mesh) -> int:
+    d = mesh.devices.size
+    return -(-n // d) * d
 
 
 def _exact_topk_d2(x_train, queries, idx, k: int):
@@ -118,10 +168,18 @@ class KNNRegressorTPU:
     must be the sklearn default 'minkowski'/'euclidean' family with p=2).
     ``chunk_size`` bounds the query rows per dispatch so the (chunk × n)
     distance block stays comfortably in HBM at any cohort size.
+
+    ``shard`` controls multi-chip mode: None (default) auto-shards the
+    training matrix ROW-wise over all visible chips when more than one is
+    present (so cohorts larger than one chip's HBM fit, and the distance
+    matmul rides every MXU) via the exact merged-top-k kernels in
+    `parallel/sharded_eval.py`; False forces single-chip; True requires a
+    mesh.
     """
 
     def __init__(self, n_neighbors: int = 5, weights: str = "uniform",
-                 n_jobs=None, metric="minkowski", chunk_size: int = 4096):
+                 n_jobs=None, metric="minkowski", chunk_size: int = 4096,
+                 shard=None):
         if weights not in ("uniform", "distance"):
             raise ValueError(f"unsupported weights {weights!r}")
         if metric not in ("minkowski", "euclidean"):
@@ -133,10 +191,32 @@ class KNNRegressorTPU:
         self.n_jobs = n_jobs
         self.metric = metric
         self.chunk_size = chunk_size
+        self.shard = shard
         self._x = self._y = None
+        self._mesh = None
+        self._n = 0
         self._squeeze = False
 
     def fit(self, X, y):
+        self._mesh = _eval_mesh(self.shard)
+        self._n = len(X)
+        if self._mesh is not None:
+            n_pad = _padded_rows(self._n, self._mesh)
+            self._x = _row_sharded_put(X, self._mesh, n_pad)
+            if isinstance(y, jax.Array):
+                self._squeeze = y.ndim == 1
+                self._y = _row_sharded_put(
+                    y.reshape(y.shape[0], -1), self._mesh, n_pad
+                )
+            else:
+                host = y if isinstance(y, np.ndarray) else np.asarray(
+                    y, np.float32)
+                self._squeeze = host.ndim == 1
+                self._y = _row_sharded_put(
+                    host.reshape(len(host), -1) if self._squeeze else host,
+                    self._mesh, n_pad,
+                )
+            return self
         if isinstance(X, jax.Array):
             self._x = X.astype(jnp.float32)
         elif isinstance(X, np.ndarray):
@@ -178,7 +258,17 @@ class KNNRegressorTPU:
             X = np.asarray(X, np.float32)
         elif X.dtype != jnp.float32:
             X = X.astype(jnp.float32)
-        k = min(self.n_neighbors, int(self._x.shape[0]))
+        if self._mesh is not None:
+            from vae_los_angeles_tpu.parallel.sharded_eval import (
+                build_knn_chunk,
+            )
+
+            k = min(self.n_neighbors, self._n)
+            fn = build_knn_chunk(self._mesh, k, self.weights)
+            n_arr = np.int32(self._n)
+        else:
+            k = min(self.n_neighbors, int(self._x.shape[0]))
+            fn = None
         chunk = min(self.chunk_size, max(len(X), 1))
         outs = []
         for start in range(0, len(X), chunk):
@@ -187,10 +277,12 @@ class KNNRegressorTPU:
             if n_valid < chunk:  # pad to the compiled chunk shape
                 pad = ((0, chunk - n_valid), (0, 0))
                 block = (jnp.pad if on_device else np.pad)(block, pad)
-            pred = _knn_chunk(
-                self._x, self._y,
-                block if on_device else jnp.asarray(block), k, self.weights,
-            )
+            if not on_device:
+                block = jnp.asarray(block)
+            if fn is not None:
+                pred = fn(self._x, self._y, n_arr, block)
+            else:
+                pred = _knn_chunk(self._x, self._y, block, k, self.weights)
             outs.append(np.asarray(jax.device_get(pred))[:n_valid])
         out = np.concatenate(outs) if outs else np.zeros(
             (0, self._y.shape[1]), np.float32
@@ -205,6 +297,7 @@ class KNNRegressorTPU:
             "n_jobs": self.n_jobs,
             "metric": self.metric,
             "chunk_size": self.chunk_size,
+            "shard": self.shard,
         }
 
     def set_params(self, **params):
@@ -260,7 +353,7 @@ class ConditionedKNNRegressorTPU:
     """
 
     def __init__(self, n_neighbors=5, weights="uniform", metric="euclidean",
-                 chunk_size: int = 4096):
+                 chunk_size: int = 4096, shard=None):
         if weights not in ("uniform", "distance"):
             raise ValueError(f"unsupported weights {weights!r}")
         if metric not in ("minkowski", "euclidean"):
@@ -271,7 +364,10 @@ class ConditionedKNNRegressorTPU:
         self.weights = weights
         self.metric = metric
         self.chunk_size = chunk_size
+        self.shard = shard
         self._x = self._y = self._site = None
+        self._mesh = None
+        self._n = 0
         self.n_features_in_ = None
         self.n_outputs_ = None
 
@@ -284,6 +380,17 @@ class ConditionedKNNRegressorTPU:
         if y.ndim == 1:
             y = y.reshape(-1, 1)
         self.n_outputs_ = y.shape[1]
+        self._mesh = _eval_mesh(self.shard)
+        self._n = len(feats)
+        if self._mesh is not None:
+            n_pad = _padded_rows(self._n, self._mesh)
+            self._x = _row_sharded_put(
+                np.ascontiguousarray(feats), self._mesh, n_pad)
+            self._y = _row_sharded_put(y, self._mesh, n_pad)
+            # pad with site -1 (never a real id): padded rows match nothing
+            self._site = _row_sharded_put(
+                sites, self._mesh, n_pad, dtype=np.int32, pad_value=-1)
+            return self
         self._x = jnp.asarray(np.ascontiguousarray(feats))
         self._y = jnp.asarray(y)
         self._site = jnp.asarray(sites)
@@ -295,7 +402,17 @@ class ConditionedKNNRegressorTPU:
         X = np.asarray(X, np.float32)
         feats = np.ascontiguousarray(X[:, :-1])
         sites = X[:, -1].astype(np.int32)
-        k = min(self.n_neighbors, int(self._x.shape[0]))
+        if self._mesh is not None:
+            from vae_los_angeles_tpu.parallel.sharded_eval import (
+                build_cond_knn_chunk,
+            )
+
+            k = min(self.n_neighbors, self._n)
+            fn = build_cond_knn_chunk(self._mesh, k, self.weights)
+            n_arr = np.int32(self._n)
+        else:
+            k = min(self.n_neighbors, int(self._x.shape[0]))
+            fn = None
         chunk = min(self.chunk_size, max(len(X), 1))
         outs = []
         for start in range(0, len(X), chunk):
@@ -306,10 +423,14 @@ class ConditionedKNNRegressorTPU:
                 fb = np.pad(fb, ((0, chunk - n_valid), (0, 0)))
                 # pad with site -1 (never a real site id): all-inf rows
                 sb = np.pad(sb, (0, chunk - n_valid), constant_values=-1)
-            pred = _cond_knn_chunk(
-                self._x, self._y, self._site, jnp.asarray(fb),
-                jnp.asarray(sb), k, self.weights,
-            )
+            if fn is not None:
+                pred = fn(self._x, self._y, self._site, n_arr,
+                          jnp.asarray(fb), jnp.asarray(sb))
+            else:
+                pred = _cond_knn_chunk(
+                    self._x, self._y, self._site, jnp.asarray(fb),
+                    jnp.asarray(sb), k, self.weights,
+                )
             outs.append(np.asarray(jax.device_get(pred))[:n_valid])
         out = np.concatenate(outs) if outs else np.zeros(
             (0, self.n_outputs_), np.float32

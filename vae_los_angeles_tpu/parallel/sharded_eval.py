@@ -1,0 +1,214 @@
+"""Multi-chip SPMD kernels for the MXU evaluation backends.
+
+`ops/knn.py` / `ops/cluster_metrics.py` compute brute-force neighbor
+statistics against a training/feature matrix that, at full cohort ×
+methylome width, can exceed one chip's HBM. These builders shard that
+matrix ROW-wise over the 1-axis `("data",)` mesh (`vmap_meta.
+population_mesh`) and reduce with exactly two collective shapes, both
+ICI-friendly and O(queries·k) / O(queries·labels) — never O(rows):
+
+- kNN / neighborhood-hit: each chip top-ks its local distance block, the
+  (m, devices·k) candidate strip is `all_gather`ed and re-top-ked — an
+  EXACT merge (same neighbor set as the global top-k, up to distance
+  ties). Neighbor payloads (y rows for regression) never travel: each
+  chip contributes its winners' weighted rows to one `psum`.
+- silhouette: per-cluster distance sums are a distance-block × local
+  label-onehot matmul, `psum`med to the full (m, labels) sums.
+
+Row padding to a multiple of the mesh size is masked to +inf distance
+(zero onehot for silhouette), so results are independent of the pad.
+These kernels are what `KNN_BACKEND=tpu` dispatches to automatically when
+more than one device is visible (same auto-sharding policy as the serving
+wrappers, `evaluation/loading.py:36-50`); single-chip tests cover them on
+the virtual 8-device CPU mesh (tests/test_sharded_eval.py).
+
+Reference semantics being distributed: sklearn brute-force kNN
+(`/root/reference/vae_cross_modality_cv.py:320`), per-site conditioned kNN
+(`/root/reference/src/models/conditioned_knn.py:30-93`), silhouette/NH
+scoring (`/root/reference/src/clustering_evaluation/
+cluster_reconstructed.py:296-318`, `metrics_utils.py:4-41`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+
+def _local_geometry(x_local, n):
+    """(offset, column-validity) for this chip's row shard; rows past the
+    true ``n`` are padding and must never win a distance comparison."""
+    n_local = x_local.shape[0]
+    offset = jax.lax.axis_index("data") * n_local
+    valid = (offset + jnp.arange(n_local)) < n
+    return offset, valid
+
+
+def _local_d2(x_local, queries):
+    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+    x_sq = jnp.sum(x_local * x_local, axis=1)
+    cross = jnp.dot(queries, x_local.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
+
+
+def _merge_topk(neg_local, payload_local, k: int):
+    """All-gather each chip's (m, k_local) candidates and re-top-k to the
+    global k. Exact: the true k nearest appear in some chip's local top-k."""
+    negs = jax.lax.all_gather(neg_local, "data", axis=1, tiled=True)
+    pays = jax.lax.all_gather(payload_local, "data", axis=1, tiled=True)
+    neg2, pos = jax.lax.top_k(negs, k)
+    return neg2, jnp.take_along_axis(pays, pos, axis=1)
+
+
+def _exact_refined_weights(x_local, queries, lp, mine, finite, k: int):
+    """sklearn 'distance' weights from exactly-recomputed winner distances.
+
+    Each chip recomputes ‖q−xⱼ‖² for the winners it owns (the matmul
+    identity's cancellation would break the zero-distance rule); one psum
+    assembles the full (m, k) matrix."""
+    cols = []
+    for j in range(k):
+        xi = jnp.take(x_local, lp[:, j], axis=0)
+        diff = queries - xi
+        dj = jnp.sum(diff * diff, axis=1)
+        cols.append(jnp.where(mine[:, j], dj, 0.0))
+    d = jnp.sqrt(jax.lax.psum(jnp.stack(cols, axis=1), "data"))
+    zero = finite & (d <= 0.0)
+    any_zero = jnp.any(zero, axis=1, keepdims=True)
+    return jnp.where(
+        any_zero,
+        zero.astype(jnp.float32),
+        jnp.where(finite, 1.0 / jnp.where(zero | ~finite, 1.0, d), 0.0),
+    )
+
+
+def _psum_prediction(y_local, lp, mine, w, k: int):
+    """Σⱼ wⱼ·yⱼ with each chip contributing only the winner rows it owns."""
+    parts = None
+    for j in range(k):
+        yj = jnp.take(y_local, lp[:, j], axis=0)
+        contrib = jnp.where(mine[:, j, None], w[:, j, None] * yj, 0.0)
+        parts = contrib if parts is None else parts + contrib
+    return jax.lax.psum(parts, "data")
+
+
+def _knn_impl(x_local, y_local, n, queries, keep_extra, k: int,
+              weights: str):
+    n_local = x_local.shape[0]
+    k_local = min(k, n_local)
+    offset, valid = _local_geometry(x_local, n)
+    d2 = _local_d2(x_local, queries)
+    keep = valid[None, :] if keep_extra is None else (
+        valid[None, :] & keep_extra)
+    d2 = jnp.where(keep, d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k_local)
+    neg2, win = _merge_topk(neg, idx + offset, k)
+    finite = jnp.isfinite(-neg2)
+    local_pos = win - offset
+    mine = (local_pos >= 0) & (local_pos < n_local) & finite
+    lp = jnp.clip(local_pos, 0, n_local - 1)
+    if weights == "uniform":
+        w = finite.astype(jnp.float32)
+    else:
+        w = _exact_refined_weights(x_local, queries, lp, mine, finite, k)
+    w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
+    return _psum_prediction(y_local, lp, mine, w, k)
+
+
+@functools.lru_cache(maxsize=None)
+def build_knn_chunk(mesh, k: int, weights: str):
+    """Jitted sharded kNN predictor for one fixed-size query chunk.
+
+    Args are device arrays: ``x``/``y`` row-sharded over the mesh (padded
+    to a multiple of its size), ``n`` the true row count, ``queries``
+    replicated. Matches the single-chip `_knn_chunk` (ops/knn.py)
+    up to float summation order."""
+
+    def impl(x_local, y_local, n, queries):
+        return _knn_impl(x_local, y_local, n, queries, None, k, weights)
+
+    row = P("data", None)
+    rep = P(None, None)
+    sharded = jax.shard_map(
+        impl, mesh=mesh, in_specs=(row, row, P(), rep),
+        out_specs=rep, check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=None)
+def build_cond_knn_chunk(mesh, k: int, weights: str):
+    """Sharded site-conditioned kNN: cross-site pairs masked to +inf before
+    the local top-k (single-chip `_cond_knn_chunk` semantics — unseen-site
+    queries psum to the reference's zero rows)."""
+
+    def impl(x_local, y_local, x_site_local, n, queries, q_site):
+        keep = q_site[:, None] == x_site_local[None, :]
+        return _knn_impl(x_local, y_local, n, queries, keep, k, weights)
+
+    row = P("data", None)
+    rep = P(None, None)
+    sharded = jax.shard_map(
+        impl, mesh=mesh,
+        in_specs=(row, row, P("data"), P(), rep, P(None)),
+        out_specs=rep, check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=None)
+def build_silhouette_chunk(mesh):
+    """Jitted sharded per-cluster distance sums for one query chunk:
+    psum of (distance block × local label-onehot). Padding rows carry a
+    zero onehot; the self column is zeroed via global row/col ids."""
+
+    def impl(x_local, onehot_local, queries, row_offset):
+        n_local = x_local.shape[0]
+        offset = jax.lax.axis_index("data") * n_local
+        d = jnp.sqrt(_local_d2(x_local, queries))
+        cols = (offset + jnp.arange(n_local))[None, :]
+        rows = (row_offset + jnp.arange(queries.shape[0]))[:, None]
+        d = jnp.where(cols == rows, 0.0, d)
+        part = jnp.dot(d, onehot_local, preferred_element_type=jnp.float32)
+        return jax.lax.psum(part, "data")
+
+    row = P("data", None)
+    rep = P(None, None)
+    sharded = jax.shard_map(
+        impl, mesh=mesh, in_specs=(row, row, rep, P()),
+        out_specs=rep, check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=None)
+def build_nh_chunk(mesh, k: int):
+    """Jitted sharded neighborhood-hit fractions for one query chunk:
+    local top-k over self-masked valid distances, neighbor LABELS ride the
+    all_gather (scalars, not payload rows), global re-top-k, label
+    agreement."""
+
+    def impl(x_local, lab_local, n, queries, q_lab, row_offset):
+        n_local = x_local.shape[0]
+        k_local = min(k, n_local)
+        offset, valid = _local_geometry(x_local, n)
+        d2 = _local_d2(x_local, queries)
+        cols = (offset + jnp.arange(n_local))[None, :]
+        rows = (row_offset + jnp.arange(queries.shape[0]))[:, None]
+        keep = valid[None, :] & (cols != rows)
+        d2 = jnp.where(keep, d2, jnp.inf)
+        neg, idx = jax.lax.top_k(-d2, k_local)
+        _, win_lab = _merge_topk(neg, jnp.take(lab_local, idx), k)
+        hits = win_lab == q_lab[:, None]
+        return jnp.mean(hits.astype(jnp.float32), axis=1)
+
+    row = P("data", None)
+    sharded = jax.shard_map(
+        impl, mesh=mesh,
+        in_specs=(row, P("data"), P(), P(None, None), P(None), P()),
+        out_specs=P(None), check_vma=False,
+    )
+    return jax.jit(sharded)
