@@ -3,11 +3,11 @@ reduction, 2D scatter plotting, silhouette+NH scoring.
 
 Factored out of the two reference scripts, which duplicate this logic
 (``cluster_reconstructed.py:100-253`` and
-``cluster_imputation_methods.py:96-255``). PCA/t-SNE stay host-side
-sklearn — they are reporting, not the accelerated product (SURVEY
-hard-part #7); silhouette/NH default to sklearn too but ``KNN_BACKEND=tpu``
-routes their O(n²·dim) distance passes through the MXU
-(ops/cluster_metrics.py).
+``cluster_imputation_methods.py:96-255``). Everything defaults to
+host-side sklearn (reference-exact); ``KNN_BACKEND=tpu`` routes the
+silhouette/NH O(n²·dim) distance passes (ops/cluster_metrics.py), the
+scaler→PCA reduction (ops/pca.py) AND the t-SNE embedding (ops/tsne.py,
+SURVEY hard-part #7) through the MXU.
 """
 
 from __future__ import annotations
@@ -72,9 +72,11 @@ def perform_dimensionality_reduction(features, method="both", n_components=2,
 
     ``KNN_BACKEND=tpu``: scaling + PCA run on device via the Gram-matrix
     formulation (ops/pca.py) — the full-width matrix transfers once (shared
-    with the metric kernels' cache) and only 2D/50-dim scores come back;
-    t-SNE itself stays host sklearn (SURVEY hard-part #7)."""
-    from sklearn.manifold import TSNE
+    with the metric kernels' cache) and only 2D/50-dim scores come back —
+    and t-SNE runs as the exact-method device program (ops/tsne.py)."""
+    from vae_los_angeles_tpu.ops.tsne import resolve_tsne
+
+    TSNE = resolve_tsne()
 
     if _tpu_backend():
         import jax

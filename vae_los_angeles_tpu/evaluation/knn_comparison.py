@@ -7,9 +7,11 @@ on the shared validation split (reference :56-94), the same grid for the
 site-`ConditionedKNeighborsRegressor` (site index appended as the last
 feature column, :272-284), and the loaded directional VAE — compared on
 per-sample MSE with matplotlib+plotly boxplots and t-SNE scatter plots of
-the predictions colored by site (:138-232). kNN/t-SNE remain host-side
-sklearn (they are baselines, SURVEY hard-part #7); the per-sample MSE and
-VAE predictions run on device.
+the predictions colored by site (:138-232). kNN and t-SNE default to
+host-side sklearn (reference-exact baselines); ``KNN_BACKEND=tpu`` routes
+the kNN grids through the MXU distance kernels (ops/knn.py) and the t-SNE
+through the exact-method device program (ops/tsne.py, SURVEY hard-part #7).
+The per-sample MSE and VAE predictions always run on device.
 """
 
 from __future__ import annotations
@@ -120,8 +122,10 @@ def compute_and_plot_tsne(data, site_labels, title, filename_prefix,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     import pandas as pd
-    from sklearn.manifold import TSNE
 
+    from vae_los_angeles_tpu.ops.tsne import resolve_tsne
+
+    TSNE = resolve_tsne()
     print(f"Computing t-SNE for {title}...")
     tsne = TSNE(n_components=2, random_state=42, perplexity=min(30, len(data) - 1))
     tsne_results = tsne.fit_transform(np.asarray(data))
