@@ -84,7 +84,8 @@ def test_embedding_quality_vs_sklearn():
     perplexity=min(30, n-1))."""
     x, labels = _blobs(n=220, dim=30, seed=1)
     perp = min(30, len(x) - 1)
-    ours = TSNETPU(n_components=2, random_state=42, perplexity=perp)
+    ours = TSNETPU(n_components=2, random_state=42, perplexity=perp,
+                   shard=False)
     y_tpu = ours.fit_transform(x)
     y_skl = TSNE(
         n_components=2, random_state=42, perplexity=perp
@@ -106,7 +107,8 @@ def test_kl_divergence_comparable_to_sklearn_exact():
     implements) the final KL is equal or better within slack."""
     x, _ = _blobs(n=120, dim=10, seed=9)
     perp = 15.0
-    ours = TSNETPU(n_components=2, random_state=42, perplexity=perp)
+    ours = TSNETPU(n_components=2, random_state=42, perplexity=perp,
+                   shard=False)
     ours.fit_transform(x)
     skl = TSNE(
         n_components=2, random_state=42, perplexity=perp, method="exact"
@@ -117,15 +119,17 @@ def test_kl_divergence_comparable_to_sklearn_exact():
 
 def test_deterministic():
     x, _ = _blobs(n=80, dim=8, seed=5)
-    a = TSNETPU(random_state=42, perplexity=10.0).fit_transform(x)
-    b = TSNETPU(random_state=42, perplexity=10.0).fit_transform(x)
+    a = TSNETPU(random_state=42, perplexity=10.0, shard=False).fit_transform(x)
+    b = TSNETPU(random_state=42, perplexity=10.0, shard=False).fit_transform(x)
     np.testing.assert_array_equal(a, b)
 
 
 def test_random_init_seeded():
     x, _ = _blobs(n=70, dim=8, seed=6)
-    a = TSNETPU(init="random", random_state=0, perplexity=10.0).fit_transform(x)
-    b = TSNETPU(init="random", random_state=0, perplexity=10.0).fit_transform(x)
+    a = TSNETPU(init="random", random_state=0, perplexity=10.0,
+                shard=False).fit_transform(x)
+    b = TSNETPU(init="random", random_state=0, perplexity=10.0,
+                shard=False).fit_transform(x)
     np.testing.assert_array_equal(a, b)
     assert a.shape == (70, 2)
 
@@ -134,7 +138,8 @@ def test_small_cohort_and_script_perplexity_clamp():
     """The scripts pass perplexity=min(30, n-1); a tiny cohort must work."""
     x, _ = _blobs(n=12, dim=6, seed=2)
     y = TSNETPU(
-        n_components=2, random_state=42, perplexity=min(30, len(x) - 1)
+        n_components=2, random_state=42, perplexity=min(30, len(x) - 1),
+        shard=False,
     ).fit_transform(x)
     assert y.shape == (12, 2)
     assert np.all(np.isfinite(y))

@@ -69,33 +69,36 @@ def _sq_distances(x: jax.Array) -> jax.Array:
     return d2 * (1.0 - jnp.eye(x.shape[0], dtype=x.dtype))
 
 
-@jax.jit
-def _conditional_probabilities(d2: jax.Array, perplexity: jax.Array) -> jax.Array:
-    """Row-conditional affinities P_{j|i} at the requested perplexity.
+def _perplexity_search(d2, include, perplexity):
+    """Per-row precision search over a (rows × cols) distance block.
 
     Vectorized port of sklearn's per-point search
     (`sklearn/manifold/_utils.pyx::_binary_search_perplexity`): per row,
     100 halving/doubling steps on the precision β_i = 1/(2σ_i²) targeting
     entropy log(perplexity) in nats, rows frozen once within 1e-5. Same
     guards as sklearn: Σexp floored at machine-eps, no max-subtraction
-    before the exp (underflow behaves identically), diagonal excluded.
+    before the exp (underflow behaves identically). ``include`` is the 0/1
+    mask of columns that participate in each row's distribution (the
+    off-diagonal mask single-chip; validity ∧ off-diagonal for a sharded
+    row block, where it also zeroes pad rows). Returns ``(beta, sum_p)``;
+    the caller reconstitutes P rows as ``exp(-d2·β)·include / Σp``. Pure
+    jnp on the block — safe inside `shard_map`
+    (parallel/sharded_eval.build_tsne runs it on each chip's rows).
     """
-    n = d2.shape[0]
+    n_rows = d2.shape[0]
     desired_entropy = jnp.log(perplexity)
-    offdiag = 1.0 - jnp.eye(n, dtype=d2.dtype)
 
     def row_quantities(beta):
-        # beta: (n,). P_unnorm[i, j] = exp(-d2_ij * beta_i), diag 0.
-        p = jnp.exp(-d2 * beta[:, None]) * offdiag
+        p = jnp.exp(-d2 * beta[:, None]) * include
         sum_p = jnp.maximum(jnp.sum(p, axis=1), MACHINE_EPSILON)
         # H_i = log(Σp) + β_i · Σ(d2·p)/Σp   (nats) — sklearn's form
         sum_dp = jnp.sum(d2 * p, axis=1)
         entropy = jnp.log(sum_p) + beta * sum_dp / sum_p
-        return p, sum_p, entropy
+        return sum_p, entropy
 
     def body(_, state):
         beta, beta_min, beta_max, done = state
-        _, _, entropy = row_quantities(beta)
+        _, entropy = row_quantities(beta)
         diff = entropy - desired_entropy
         new_done = done | (jnp.abs(diff) <= _PERPLEXITY_TOL)
         too_high = diff > 0.0  # entropy too high → raise beta (narrow kernel)
@@ -110,14 +113,24 @@ def _conditional_probabilities(d2: jax.Array, perplexity: jax.Array) -> jax.Arra
         beta_max = jnp.where(new_done, beta_max, new_beta_max)
         return beta, beta_min, beta_max, new_done
 
-    beta0 = jnp.ones((n,), d2.dtype)
-    neg_inf = jnp.full((n,), -jnp.inf, d2.dtype)
-    pos_inf = jnp.full((n,), jnp.inf, d2.dtype)
-    done0 = jnp.zeros((n,), bool)
+    beta0 = jnp.ones((n_rows,), d2.dtype)
+    neg_inf = jnp.full((n_rows,), -jnp.inf, d2.dtype)
+    pos_inf = jnp.full((n_rows,), jnp.inf, d2.dtype)
+    done0 = jnp.zeros((n_rows,), bool)
     beta, _, _, _ = jax.lax.fori_loop(
         0, _PERPLEXITY_STEPS, body, (beta0, neg_inf, pos_inf, done0)
     )
-    p, sum_p, _ = row_quantities(beta)
+    sum_p, _ = row_quantities(beta)
+    return beta, sum_p
+
+
+@jax.jit
+def _conditional_probabilities(d2: jax.Array, perplexity: jax.Array) -> jax.Array:
+    """Row-conditional affinities P_{j|i} at the requested perplexity
+    (single-chip square form, diagonal excluded)."""
+    offdiag = 1.0 - jnp.eye(d2.shape[0], dtype=d2.dtype)
+    beta, sum_p = _perplexity_search(d2, offdiag, perplexity)
+    p = jnp.exp(-d2 * beta[:, None]) * offdiag
     return p / sum_p[:, None]
 
 
@@ -131,6 +144,24 @@ def _joint_probabilities(d2: jax.Array, perplexity: jax.Array) -> jax.Array:
     p = p / jnp.maximum(jnp.sum(p), MACHINE_EPSILON)
     offdiag = 1.0 - jnp.eye(d2.shape[0], dtype=d2.dtype)
     return jnp.maximum(p, MACHINE_EPSILON) * offdiag
+
+
+def _apply_update(grad, update, gains, lr, i):
+    """sklearn `_gradient_descent`'s per-iteration state rule: adaptive
+    per-parameter gains (+0.2 / ×0.8, floor 0.01), momentum 0.5 during the
+    250 exaggerated iterations then 0.8, and the update/gains reset at the
+    phase boundary (sklearn runs the two phases as separate
+    `_gradient_descent` calls, each starting from update=0 / gains=1).
+    Shared verbatim by the single-chip scan and the sharded program —
+    both paths step identically given the same gradient."""
+    fresh = i == _EXPLORATION_ITERS
+    update = jnp.where(fresh, 0.0, update)
+    gains = jnp.where(fresh, 1.0, gains)
+    inc = update * grad < 0.0
+    gains = jnp.maximum(jnp.where(inc, gains + 0.2, gains * 0.8), 0.01)
+    momentum = jnp.where(i < _EXPLORATION_ITERS, 0.5, 0.8)
+    update = momentum * update - lr * (gains * grad)
+    return update, gains
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "dof"))
@@ -157,23 +188,13 @@ def _optimize(p, y0, lr, early_exaggeration, max_iter: int, dof: float):
 
     def step(carry, i):
         y, update, gains = carry
-        # sklearn runs the two phases as separate _gradient_descent calls,
-        # each of which starts from update=0 / gains=1 — mirror the reset
-        # at the phase boundary.
-        fresh = i == _EXPLORATION_ITERS
-        update = jnp.where(fresh, 0.0, update)
-        gains = jnp.where(fresh, 1.0, gains)
         q, w = qw(y)
         p_eff = jnp.where(i < _EXPLORATION_ITERS, p * early_exaggeration, p)
         s = (p_eff - q) * w
         grad = c * (y * jnp.sum(s, axis=1, keepdims=True)
                     - jnp.dot(s, y, preferred_element_type=jnp.float32))
-        inc = update * grad < 0.0
-        gains = jnp.maximum(jnp.where(inc, gains + 0.2, gains * 0.8), 0.01)
-        momentum = jnp.where(i < _EXPLORATION_ITERS, 0.5, 0.8)
-        update = momentum * update - lr * (gains * grad)
-        y = y + update
-        return (y, update, gains), None
+        update, gains = _apply_update(grad, update, gains, lr, i)
+        return (y + update, update, gains), None
 
     zeros = jnp.zeros_like(y0)
     (y, _, _), _ = jax.lax.scan(
@@ -193,13 +214,17 @@ class TSNETPU:
     scripts use it (`cluster_reconstructed.py:178`,
     `run_comparison.py:185`): exact-method t-SNE, one device program per
     (n, max_iter) shape. `method`/`n_jobs`/`angle` accepted and ignored
-    (there is no quadtree on the MXU — exact IS the fast path here)."""
+    (there is no quadtree on the MXU — exact IS the fast path here).
+    On multi-chip hosts the n² state auto-shards by row block
+    (`parallel/sharded_eval.build_tsne`; ``shard=False`` forces
+    single-chip, the same policy knob as the kNN kernels)."""
 
     def __init__(self, n_components: int = 2, *, perplexity: float = 30.0,
                  early_exaggeration: float = 12.0, learning_rate="auto",
                  max_iter: int = 1000, init: str = "pca", random_state=None,
                  metric: str = "euclidean", method: str = "exact",
-                 angle: float = 0.5, n_jobs=None, verbose: int = 0):
+                 angle: float = 0.5, n_jobs=None, verbose: int = 0,
+                 shard=None):
         if metric != "euclidean":
             raise ValueError(
                 f"TSNETPU supports metric='euclidean' only, got {metric!r} "
@@ -212,6 +237,7 @@ class TSNETPU:
         self.init = init
         self.random_state = random_state
         self.verbose = verbose
+        self.shard = shard  # None=auto (>1 device), False/True force
         self.kl_divergence_ = None
         self.embedding_ = None
 
@@ -249,11 +275,33 @@ class TSNETPU:
         else:
             lr = float(self.learning_rate)
         y0 = self._initial_embedding(x, n)
-        p = _joint_probabilities(_sq_distances(x), jnp.float32(self.perplexity))
         dof = float(max(self.n_components - 1, 1))
-        emb, kl = _optimize(
-            p, y0, jnp.float32(lr), jnp.float32(self.early_exaggeration),
-            max_iter=self.max_iter, dof=dof)
+        from vae_los_angeles_tpu.ops.knn import _eval_mesh
+
+        mesh = _eval_mesh(self.shard)
+        if mesh is not None:
+            # multi-chip: the n² affinity/descent state shards by row block
+            # (parallel/sharded_eval.build_tsne); Y stays replicated
+            from vae_los_angeles_tpu.ops.knn import (
+                _padded_rows,
+                _row_sharded_put,
+            )
+            from vae_los_angeles_tpu.parallel.sharded_eval import build_tsne
+
+            n_pad = _padded_rows(n, mesh)
+            x_sh = _row_sharded_put(x, mesh, n_pad)
+            y0 = jnp.pad(y0, ((0, n_pad - n), (0, 0)))
+            fn = build_tsne(mesh, self.max_iter, dof)
+            emb, kl = fn(x_sh, np.int32(n), y0, jnp.float32(self.perplexity),
+                         jnp.float32(lr),
+                         jnp.float32(self.early_exaggeration))
+            emb = emb[:n]
+        else:
+            p = _joint_probabilities(_sq_distances(x),
+                                     jnp.float32(self.perplexity))
+            emb, kl = _optimize(
+                p, y0, jnp.float32(lr), jnp.float32(self.early_exaggeration),
+                max_iter=self.max_iter, dof=dof)
         self.kl_divergence_ = float(jax.device_get(kl))
         self.embedding_ = np.asarray(jax.device_get(emb))
         if self.verbose:

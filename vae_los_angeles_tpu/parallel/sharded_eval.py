@@ -14,6 +14,13 @@ ICI-friendly and O(queries·k) / O(queries·labels) — never O(rows):
   chip contributes its winners' weighted rows to one `psum`.
 - silhouette: per-cluster distance sums are a distance-block × local
   label-onehot matmul, `psum`med to the full (m, labels) sums.
+- exact t-SNE: the O(n²) affinity and descent state shard by row block.
+  The transpose block of the conditional-P matrix is computed LOCALLY
+  (the distance block is symmetric, so P_{i|j} for local rows i needs only
+  the all-gathered per-row precisions β and normalizers — two n-vectors),
+  and each descent iteration costs one scalar `psum` (ΣW) plus one (n, 2)
+  `all_gather` of the gradient row blocks — the n×n matrices never cross
+  ICI.
 
 Row padding to a multiple of the mesh size is masked to +inf distance
 (zero onehot for silhouette), so results are independent of the pad.
@@ -210,5 +217,114 @@ def build_nh_chunk(mesh, k: int):
         impl, mesh=mesh,
         in_specs=(row, P("data"), P(), P(None, None), P(None), P()),
         out_specs=P(None), check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=None)
+def build_tsne(mesh, max_iter: int, dof: float):
+    """Row-sharded exact t-SNE: the sharded counterpart of
+    `ops/tsne._joint_probabilities` + `_optimize` (same sklearn-faithful
+    schedules via the shared `_perplexity_search` / `_apply_update`
+    helpers). The n² affinity matrix P, the per-iteration Student-t
+    weights/Q, and the gradient contraction all live as (n/devices × n)
+    row blocks; the embedding Y (n×2) and descent state are replicated and
+    step identically on every chip because the gathered gradient is
+    identical. Per-cohort setup collectives: one (n, d) `all_gather` of
+    the input rows, two n-vector gathers (β, Σp) and one scalar `psum` (Z).
+    Per iteration: one scalar `psum` (ΣW) + one (n, 2) gradient gather.
+
+    Pad rows (to a multiple of the mesh size) carry a zero include-mask:
+    their P/Q/W entries are exactly 0, their gradient rows are 0, so the
+    valid embedding is independent of padding. Not bit-identical to the
+    single-chip program (block-wise float summation order), but the
+    affinity stage matches to fp32 roundoff and short descents track it
+    (tests/test_sharded_tsne.py).
+    """
+    devices = mesh.devices.size
+    coef = 2.0 * (dof + 1.0) / dof
+
+    def impl(x_local, n, y0, perplexity, lr, early_exaggeration):
+        from vae_los_angeles_tpu.ops.tsne import (
+            MACHINE_EPSILON,
+            _EXPLORATION_ITERS,
+            _apply_update,
+            _perplexity_search,
+        )
+
+        n_loc = x_local.shape[0]
+        n_pad = n_loc * devices
+        offset = jax.lax.axis_index("data") * n_loc
+        rows_gid = offset + jnp.arange(n_loc)
+        cols_gid = jnp.arange(n_pad)
+        include = (
+            (rows_gid < n)[:, None]
+            & (cols_gid < n)[None, :]
+            & (rows_gid[:, None] != cols_gid[None, :])
+        ).astype(jnp.float32)
+
+        def block_d2(rows, full):
+            r_sq = jnp.sum(rows * rows, axis=1)
+            c_sq = jnp.sum(full * full, axis=1)
+            cross = jnp.dot(rows, full.T,
+                            preferred_element_type=jnp.float32)
+            return jnp.maximum(r_sq[:, None] - 2.0 * cross + c_sq[None, :],
+                               0.0)
+
+        x_full = jax.lax.all_gather(x_local, "data", axis=0, tiled=True)
+        d2 = block_d2(x_local, x_full)
+        beta, sum_p = _perplexity_search(d2, include, perplexity)
+        cond = jnp.exp(-d2 * beta[:, None]) * include / sum_p[:, None]
+        # transpose block from the SAME local distances: d2_ji == d2_ij
+        beta_all = jax.lax.all_gather(beta, "data", tiled=True)
+        sum_all = jax.lax.all_gather(sum_p, "data", tiled=True)
+        cond_t = jnp.exp(-d2 * beta_all[None, :]) * include / sum_all[None, :]
+        joint = cond + cond_t
+        z = jax.lax.psum(jnp.sum(joint), "data")
+        p_local = jnp.maximum(joint / jnp.maximum(z, MACHINE_EPSILON),
+                              MACHINE_EPSILON) * include
+
+        def qw(y):
+            y_loc = jax.lax.dynamic_slice_in_dim(y, offset, n_loc)
+            d2y = block_d2(y_loc, y)
+            w = (1.0 + d2y / dof) ** (-(dof + 1.0) / 2.0) * include
+            sum_w = jax.lax.psum(jnp.sum(w), "data")
+            q = jnp.maximum(w / jnp.maximum(sum_w, MACHINE_EPSILON),
+                            MACHINE_EPSILON) * include
+            return q, w, y_loc
+
+        def step(carry, i):
+            y, update, gains = carry
+            q, w, y_loc = qw(y)
+            p_eff = jnp.where(i < _EXPLORATION_ITERS,
+                              p_local * early_exaggeration, p_local)
+            s = (p_eff - q) * w
+            grad_loc = coef * (
+                y_loc * jnp.sum(s, axis=1, keepdims=True)
+                - jnp.dot(s, y, preferred_element_type=jnp.float32)
+            )
+            grad = jax.lax.all_gather(grad_loc, "data", axis=0, tiled=True)
+            update, gains = _apply_update(grad, update, gains, lr, i)
+            return (y + update, update, gains), None
+
+        zeros = jnp.zeros_like(y0)
+        (y, _, _), _ = jax.lax.scan(
+            step, (y0, zeros, jnp.ones_like(y0)), jnp.arange(max_iter)
+        )
+        q, _, _ = qw(y)
+        kl = jax.lax.psum(
+            jnp.sum(p_local * jnp.log(
+                jnp.maximum(p_local, MACHINE_EPSILON)
+                / jnp.maximum(q, MACHINE_EPSILON))),
+            "data",
+        )
+        return y, kl
+
+    row = P("data", None)
+    rep = P(None, None)
+    sharded = jax.shard_map(
+        impl, mesh=mesh,
+        in_specs=(row, P(), rep, P(), P(), P()),
+        out_specs=(rep, P()), check_vma=False,
     )
     return jax.jit(sharded)
