@@ -81,10 +81,9 @@ def perform_dimensionality_reduction(features, method="both", n_components=2,
     if _tpu_backend():
         import jax
 
-        from vae_los_angeles_tpu.ops.cluster_metrics import _features_on_device
-        from vae_los_angeles_tpu.ops.pca import PCATPU, standardize_tpu
+        from vae_los_angeles_tpu.ops.pca import PCATPU, device_scaled_features
 
-        features_scaled = standardize_tpu(_features_on_device(features))
+        features_scaled = device_scaled_features(features)
         pca_cls = PCATPU
         to_host = lambda a: np.asarray(jax.device_get(a))
     else:
@@ -162,11 +161,11 @@ def cluster_scores(features, labels, pca_features, tsne_features):
         return None
     if _tpu_backend():
         # scale on device over the same cached put as the reduction step;
-        # the full-width matrix never round-trips to host
-        from vae_los_angeles_tpu.ops.cluster_metrics import _features_on_device
-        from vae_los_angeles_tpu.ops.pca import standardize_tpu
+        # the full-width matrix never round-trips to host (feature-sharded
+        # over the chips on multi-chip hosts)
+        from vae_los_angeles_tpu.ops.pca import device_scaled_features
 
-        scaled = standardize_tpu(_features_on_device(features))
+        scaled = device_scaled_features(features)
     else:
         from sklearn.preprocessing import StandardScaler
 

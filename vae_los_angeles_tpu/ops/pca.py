@@ -33,7 +33,51 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vae_los_angeles_tpu.ops.knn import _device_put_cached
+from vae_los_angeles_tpu.ops.knn import _device_put_cached, _eval_mesh
+
+
+def _col_sharded_features(features, mesh) -> jax.Array:
+    """FEATURE-axis-sharded device copy, columns padded to a multiple of
+    the mesh size with zeros.
+
+    The feature dimension is this domain's "long-context" axis (SURVEY §5:
+    no sequence axis exists; width is what grows, to 450k at whole-methylome
+    scale), and it is the natural shard for the reduction step: per-feature
+    scaling sees all rows of its local columns (zero collectives), and the
+    n×n Gram contraction sums over features, so GSPMD turns the col-sharded
+    matmul into local partial Grams + one all-reduce. Zero pad columns are
+    exactly inert: scale-1 zero features contribute nothing to the Gram or
+    its trace. Host numpy inputs reuse the put cache (keyed on sharding)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    nd = mesh.devices.size
+    d = features.shape[1]
+    d_pad = -(-d // nd) * nd
+    sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
+    pad = ((0, 0), (0, d_pad - d))
+    if isinstance(features, jax.Array):
+        return jax.device_put(
+            jnp.pad(features.astype(jnp.float32), pad), sharding)
+    host = features if isinstance(features, np.ndarray) else np.asarray(
+        features, np.float32)
+    return _device_put_cached(
+        host,
+        lambda: np.pad(np.asarray(host, np.float32), pad),
+        sharding=sharding,
+    )
+
+
+def device_scaled_features(features, shard=None) -> jax.Array:
+    """StandardScaler semantics on device; on multi-chip hosts the feature
+    axis auto-shards over the chips so cohort×methylome-width matrices that
+    exceed one chip's HBM stay scalable (``shard=False`` forces
+    single-chip, the same policy knob as the other evaluation kernels)."""
+    from vae_los_angeles_tpu.ops.cluster_metrics import _features_on_device
+
+    mesh = _eval_mesh(shard)
+    if mesh is not None:
+        return standardize_tpu(_col_sharded_features(features, mesh))
+    return standardize_tpu(_features_on_device(features))
 
 
 @jax.jit
