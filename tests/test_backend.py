@@ -1,0 +1,88 @@
+"""EVAL_BACKEND / KNN_BACKEND resolution (`ops/backend.py`).
+
+`EVAL_BACKEND` is the canonical spelling; `KNN_BACKEND` is the permanent
+legacy alias (the switch predates the non-kNN evaluation kernels). Both
+spellings must route every resolver, EVAL_BACKEND must win when both are
+set, and typos must raise rather than silently fall back to sklearn.
+"""
+
+import pytest
+
+from vae_los_angeles_tpu.ops.backend import eval_backend, tpu_eval_backend
+
+
+def _clear(monkeypatch):
+    monkeypatch.delenv("EVAL_BACKEND", raising=False)
+    monkeypatch.delenv("KNN_BACKEND", raising=False)
+
+
+def test_default_is_sklearn(monkeypatch):
+    _clear(monkeypatch)
+    assert eval_backend() == "sklearn"
+    assert not tpu_eval_backend()
+
+
+@pytest.mark.parametrize("var", ["EVAL_BACKEND", "KNN_BACKEND"])
+def test_both_spellings_route(monkeypatch, var):
+    _clear(monkeypatch)
+    monkeypatch.setenv(var, "tpu")
+    assert eval_backend() == "tpu"
+    monkeypatch.setenv(var, "sklearn")
+    assert eval_backend() == "sklearn"
+    monkeypatch.setenv(var, "TPU")  # case-insensitive like the old switch
+    assert eval_backend() == "tpu"
+
+
+def test_eval_backend_wins_over_alias(monkeypatch):
+    _clear(monkeypatch)
+    monkeypatch.setenv("EVAL_BACKEND", "sklearn")
+    monkeypatch.setenv("KNN_BACKEND", "tpu")
+    assert eval_backend() == "sklearn"
+    monkeypatch.setenv("EVAL_BACKEND", "tpu")
+    monkeypatch.setenv("KNN_BACKEND", "sklearn")
+    assert eval_backend() == "tpu"
+
+
+def test_empty_means_default(monkeypatch):
+    _clear(monkeypatch)
+    monkeypatch.setenv("EVAL_BACKEND", "")
+    assert eval_backend() == "sklearn"
+
+
+@pytest.mark.parametrize("var", ["EVAL_BACKEND", "KNN_BACKEND"])
+def test_typo_raises(monkeypatch, var):
+    _clear(monkeypatch)
+    monkeypatch.setenv(var, "bogus")
+    with pytest.raises(ValueError, match=var):
+        eval_backend()
+
+
+def test_every_resolver_honors_canonical_spelling(monkeypatch):
+    """The canonical env var must reach all five TPU-routable resolvers."""
+    _clear(monkeypatch)
+    from vae_los_angeles_tpu.ops.cluster_metrics import (
+        resolve_silhouette,
+        silhouette_score_tpu,
+    )
+    from vae_los_angeles_tpu.ops.knn import (
+        ConditionedKNNRegressorTPU,
+        KNNRegressorTPU,
+        resolve_conditioned_knn,
+        resolve_knn_regressor,
+    )
+    from vae_los_angeles_tpu.ops.tsne import TSNETPU, resolve_tsne
+
+    monkeypatch.setenv("EVAL_BACKEND", "tpu")
+    assert resolve_knn_regressor() is KNNRegressorTPU
+    assert resolve_conditioned_knn() is ConditionedKNNRegressorTPU
+    assert resolve_silhouette() is silhouette_score_tpu
+    assert resolve_tsne() is TSNETPU
+
+    monkeypatch.setenv("EVAL_BACKEND", "sklearn")
+    from sklearn.manifold import TSNE
+    from sklearn.metrics import silhouette_score
+    from sklearn.neighbors import KNeighborsRegressor
+
+    assert resolve_knn_regressor() is KNeighborsRegressor
+    assert resolve_silhouette() is silhouette_score
+    assert resolve_tsne() is TSNE

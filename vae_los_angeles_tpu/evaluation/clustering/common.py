@@ -62,7 +62,9 @@ def prepare_features(df, columns):
 
 
 def _tpu_backend() -> bool:
-    return os.getenv("KNN_BACKEND", "sklearn").lower() == "tpu"
+    from vae_los_angeles_tpu.ops.backend import tpu_eval_backend
+
+    return tpu_eval_backend()
 
 
 def perform_dimensionality_reduction(features, method="both", n_components=2,

@@ -10,16 +10,17 @@ def calculate_neighborhood_hit(features, labels, k: int = 5) -> float:
     """Neighborhood Hit: mean fraction of each point's k nearest neighbors
     (self excluded) sharing its label.
 
-    ``KNN_BACKEND=tpu`` routes the O(n²·dim) neighbor search through the
-    chunked MXU distance kernel (ops/cluster_metrics.py); the default stays
-    host sklearn, reference-exact."""
-    import os
+    ``EVAL_BACKEND=tpu`` (alias ``KNN_BACKEND``) routes the O(n²·dim)
+    neighbor search through the chunked MXU distance kernel
+    (ops/cluster_metrics.py); the default stays host sklearn,
+    reference-exact."""
+    from vae_los_angeles_tpu.ops.backend import tpu_eval_backend
 
     labels = np.asarray(labels)
     if len(features) < k + 1:
         return 0.0
     try:
-        if os.getenv("KNN_BACKEND", "sklearn").lower() == "tpu":
+        if tpu_eval_backend():
             # features may already be a device array (cluster_scores scales
             # on device) — the TPU path consumes it without a host round-trip
             from vae_los_angeles_tpu.ops.cluster_metrics import (

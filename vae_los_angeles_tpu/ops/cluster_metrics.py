@@ -19,7 +19,8 @@ Self-distances are masked explicitly (the matmul identity leaves ~eps·‖x‖²
 of cancellation residue at d(i,i) that would otherwise pollute intra-cluster
 sums). Euclidean metric only — exactly what the reference uses.
 
-Opt-in via the same ``KNN_BACKEND=tpu`` switch as the kNN baselines
+Opt-in via the same ``EVAL_BACKEND=tpu`` (alias ``KNN_BACKEND``) switch
+as the kNN baselines
 (`resolve_silhouette` / `metrics_utils.calculate_neighborhood_hit`); the
 default stays host sklearn, reference-exact. Parity-tested against live
 sklearn oracles in tests/test_cluster_metrics_tpu.py.
@@ -28,7 +29,6 @@ sklearn oracles in tests/test_cluster_metrics_tpu.py.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -202,12 +202,12 @@ def neighborhood_hit_tpu(features, labels, k: int = 5,
 
 def resolve_silhouette():
     """Silhouette backend: sklearn by default (reference-exact),
-    ``KNN_BACKEND=tpu`` for the chunked MXU distance pass."""
-    backend = os.getenv("KNN_BACKEND", "sklearn").lower()
-    if backend == "tpu":
-        return silhouette_score_tpu
-    if backend == "sklearn":
-        from sklearn.metrics import silhouette_score
+    ``EVAL_BACKEND=tpu`` (alias ``KNN_BACKEND``) for the chunked MXU
+    distance pass."""
+    from vae_los_angeles_tpu.ops.backend import eval_backend
 
-        return silhouette_score
-    raise ValueError(f"KNN_BACKEND={backend!r}; valid: sklearn (default), tpu")
+    if eval_backend() == "tpu":
+        return silhouette_score_tpu
+    from sklearn.metrics import silhouette_score
+
+    return silhouette_score

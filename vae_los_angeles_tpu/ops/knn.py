@@ -26,7 +26,6 @@ implementation (`resolve_knn_regressor`).
 from __future__ import annotations
 
 import functools
-import os
 import weakref
 
 import jax
@@ -453,30 +452,29 @@ class ConditionedKNNRegressorTPU:
 
 def resolve_conditioned_knn():
     """Backend selector for the site-conditioned baseline: sklearn-loop
-    reference implementation by default, ``KNN_BACKEND=tpu`` for the
-    masked-distance MXU kernel."""
-    backend = os.getenv("KNN_BACKEND", "sklearn").lower()
-    if backend == "tpu":
-        return ConditionedKNNRegressorTPU
-    if backend == "sklearn":
-        from vae_los_angeles_tpu.models.conditioned_knn import (
-            ConditionedKNeighborsRegressor,
-        )
+    reference implementation by default, ``EVAL_BACKEND=tpu`` (alias
+    ``KNN_BACKEND``) for the masked-distance MXU kernel."""
+    from vae_los_angeles_tpu.ops.backend import eval_backend
 
-        return ConditionedKNeighborsRegressor
-    raise ValueError(f"KNN_BACKEND={backend!r}; valid: sklearn (default), tpu")
+    if eval_backend() == "tpu":
+        return ConditionedKNNRegressorTPU
+    from vae_los_angeles_tpu.models.conditioned_knn import (
+        ConditionedKNeighborsRegressor,
+    )
+
+    return ConditionedKNeighborsRegressor
 
 
 def resolve_knn_regressor():
     """The kNN class the evaluation scripts should instantiate.
 
-    sklearn by default (reference-exact); ``KNN_BACKEND=tpu`` opts into the
-    MXU implementation (measured numbers in benchmarks/RESULTS.md)."""
-    backend = os.getenv("KNN_BACKEND", "sklearn").lower()
-    if backend == "tpu":
-        return KNNRegressorTPU
-    if backend == "sklearn":
-        from sklearn.neighbors import KNeighborsRegressor
+    sklearn by default (reference-exact); ``EVAL_BACKEND=tpu`` (alias
+    ``KNN_BACKEND``) opts into the MXU implementation (measured numbers in
+    benchmarks/RESULTS.md)."""
+    from vae_los_angeles_tpu.ops.backend import eval_backend
 
-        return KNeighborsRegressor
-    raise ValueError(f"KNN_BACKEND={backend!r}; valid: sklearn (default), tpu")
+    if eval_backend() == "tpu":
+        return KNNRegressorTPU
+    from sklearn.neighbors import KNeighborsRegressor
+
+    return KNeighborsRegressor

@@ -36,14 +36,14 @@ binary search, and the full embedding quality-tests via trustworthiness /
 embedding-space silhouette against a live sklearn run
 (tests/test_tsne_tpu.py).
 
-Opt-in via the evaluation-backend switch ``KNN_BACKEND=tpu``
-(`resolve_tsne`); default stays host sklearn, reference-exact.
+Opt-in via the evaluation-backend switch ``EVAL_BACKEND=tpu`` (alias
+``KNN_BACKEND``; `resolve_tsne`); default stays host sklearn,
+reference-exact.
 """
 
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -311,13 +311,12 @@ class TSNETPU:
 
 def resolve_tsne():
     """sklearn `TSNE` by default; the device implementation under
-    ``KNN_BACKEND=tpu`` — the same single switch as the kNN baselines and
-    clustering metrics."""
-    backend = os.getenv("KNN_BACKEND", "sklearn").lower()
-    if backend in ("", "sklearn"):
-        from sklearn.manifold import TSNE
+    ``EVAL_BACKEND=tpu`` (alias ``KNN_BACKEND``) — the same single switch
+    as the kNN baselines and clustering metrics."""
+    from vae_los_angeles_tpu.ops.backend import eval_backend
 
-        return TSNE
-    if backend == "tpu":
+    if eval_backend() == "tpu":
         return TSNETPU
-    raise ValueError(f"KNN_BACKEND={backend!r}; valid: sklearn (default), tpu")
+    from sklearn.manifold import TSNE
+
+    return TSNE
