@@ -117,3 +117,86 @@ def test_resolve_silhouette(monkeypatch):
     monkeypatch.setenv("KNN_BACKEND", "bogus")
     with pytest.raises(ValueError):
         resolve_silhouette()
+
+
+# ---------------------------------------------------------------------------
+# Wide-width drift envelope (VERDICT r3 #5): the compensated (blocked-Kahan)
+# accumulation pins silhouette drift vs the fp64 oracle at dim ≥ 100k.
+# ---------------------------------------------------------------------------
+
+WIDE_DIM = 100_352  # ≥ 100k and a multiple of nothing special — exercises
+                    # the feature-block padding path (100_352 = 12×8192 + 2048)
+
+
+def _wide_blobs(n=96, dim=WIDE_DIM, n_labels=4, seed=11):
+    """Separated Gaussian blobs at methylome-like width, standardized the
+    way the clustering scripts feed the metrics (zero mean, unit var)."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, n_labels, n)
+    centers = rng.normal(size=(n_labels, dim)).astype(np.float32) * 0.5
+    x = centers[labels] + rng.normal(size=(n, dim)).astype(np.float32)
+    x = (x - x.mean(axis=0)) / np.maximum(x.std(axis=0), 1e-8)
+    return x.astype(np.float32), labels
+
+
+def test_silhouette_wide_drift_envelope():
+    """dim ≥ 100k: compensated path within 5e-4 of the fp64 sklearn oracle
+    (the documented contract), and no further from it than the plain fp32
+    path. Auto-selection (compensated=None) picks the compensated kernel at
+    this width."""
+    x, labels = _wide_blobs()
+    want = float(silhouette_score(x.astype(np.float64), labels))
+    plain = silhouette_score_tpu(x, labels, shard=False, compensated=False)
+    comp = silhouette_score_tpu(x, labels, shard=False, compensated=True)
+    auto = silhouette_score_tpu(x, labels, shard=False)
+    assert abs(comp - want) <= 5e-4
+    assert abs(comp - want) <= abs(plain - want) + 1e-6
+    assert auto == pytest.approx(comp, abs=1e-7)  # auto == compensated here
+
+
+def test_silhouette_compensation_beats_plain_under_cancellation():
+    """Mechanism check: on un-centered wide data (a common offset inflates
+    ‖x‖² so the q²−2qx+x² identity cancels hard) the blocked-Kahan path must
+    be measurably MORE accurate than the plain identity, not merely equal.
+    Measured on this fixture: plain ≈ 3.7e-5 drift, compensated ≈ 3.6e-6."""
+    rng = np.random.default_rng(11)
+    n, dim, n_labels = 96, WIDE_DIM, 4
+    labels = rng.integers(0, n_labels, n)
+    centers = rng.normal(size=(n_labels, dim)).astype(np.float32) * 0.5
+    x = (centers[labels] + rng.normal(size=(n, dim)).astype(np.float32)
+         + 100.0).astype(np.float32)
+    want = float(silhouette_score(x.astype(np.float64), labels))
+    plain = abs(silhouette_score_tpu(x, labels, shard=False,
+                                     compensated=False) - want)
+    comp = abs(silhouette_score_tpu(x, labels, shard=False,
+                                    compensated=True) - want)
+    assert comp <= 5e-4
+    assert comp <= plain / 3.0  # compensation is a real accuracy win here
+
+
+def test_silhouette_wide_drift_envelope_sharded():
+    """The same contract holds for the row-sharded multi-chip kernel."""
+    x, labels = _wide_blobs(seed=12)
+    want = float(silhouette_score(x.astype(np.float64), labels))
+    comp = silhouette_score_tpu(x, labels, shard=True, compensated=True)
+    assert abs(comp - want) <= 5e-4
+
+
+def test_nh_wide_exact_on_separated_clusters():
+    """NH is a discrete score: on separated clusters the compensated path
+    must agree exactly with the fp64 oracle at wide width."""
+    x, labels = _wide_blobs(seed=13)
+    want = _nh_oracle(x.astype(np.float64), labels)
+    got = neighborhood_hit_tpu(x, labels, shard=False, compensated=True)
+    got_sharded = neighborhood_hit_tpu(x, labels, shard=True, compensated=True)
+    assert got == pytest.approx(want, abs=1e-9)
+    assert got_sharded == pytest.approx(want, abs=1e-9)
+
+
+def test_blocked_kahan_matches_plain_at_narrow_width():
+    """Below one feature block the compensated kernel degenerates to the
+    plain identity — scores agree to fp32 wiggle on CV-width data."""
+    x, labels = _blobs(300, 40, 5, seed=17)
+    plain = silhouette_score_tpu(x, labels, shard=False, compensated=False)
+    comp = silhouette_score_tpu(x, labels, shard=False, compensated=True)
+    assert comp == pytest.approx(plain, abs=2e-6)

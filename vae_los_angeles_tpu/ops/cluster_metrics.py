@@ -19,6 +19,17 @@ Self-distances are masked explicitly (the matmul identity leaves ~eps·‖x‖²
 of cancellation residue at d(i,i) that would otherwise pollute intra-cluster
 sums). Euclidean metric only — exactly what the reference uses.
 
+Wide-width accuracy contract: at methylome width the plain kernel drifts
+vs sklearn's fp64 scores (observed 0.5519 vs 0.5511 at dim=450k,
+benchmarks/RESULTS.md) — measured on the chip to be almost entirely the
+TPU's default 1-pass-bf16 matmul rounding, not fp32 accumulation. Dim ≥
+COMPENSATED_MIN_DIM auto-selects the compensated path (`_d2_blocked`):
+`Precision.HIGHEST` distance/label matmuls plus per-8k-block partial
+distances (bounded cancellation) Kahan-summed across blocks. Tested
+envelope at dim ≥ 100k vs the fp64 oracle: |silhouette drift| ≤ 5e-4 and
+NH exact on separated clusters (tests/test_cluster_metrics_tpu.py); pass
+``compensated=True/False`` to force either path.
+
 Opt-in via the same ``EVAL_BACKEND=tpu`` (alias ``KNN_BACKEND``) switch
 as the kNN baselines
 (`resolve_silhouette` / `metrics_utils.calculate_neighborhood_hit`); the
@@ -46,6 +57,67 @@ def _chunk_starts(n: int, chunk: int):
     return range(0, n, chunk)
 
 
+# Widths at/above this auto-enable the compensated distance accumulation
+# (methylome-scale matrices; the CV-width cohorts stay on the plain kernel,
+# whose drift vs the fp64 oracle is already below score precision).
+COMPENSATED_MIN_DIM = 16384
+_FEATURE_BLOCK = 8192
+
+
+def _d2_blocked(queries, x, block: int = _FEATURE_BLOCK):
+    """Pairwise squared distances with true-fp32 matmuls and
+    feature-dim-blocked, Kahan-compensated accumulation — the wide-width
+    (dim ≳ 100k) accuracy option.
+
+    The plain kernel's error at methylome width has three sources, in
+    measured order of importance on the chip: (1) TPU matmuls default to
+    ONE bf16 MXU pass (~8 mantissa bits) — measured on the real chip as the
+    entirety of the 7.8e-4 silhouette drift at dim=450k (blocking alone
+    moved the score by 1.5e-7); (2) the q²−2qx+x² identity cancels against
+    full-width norms; (3) the ‖·‖² sums accumulate over ~450k fp32 terms.
+    This path fixes (1) with `Precision.HIGHEST` (6-pass bf16 ≈ true fp32)
+    on the cross matmul, and (2)+(3) by computing each 8k-wide slice's
+    partial distance independently (cancellation residue bounded by BLOCK
+    norms, ~55× smaller), clamping it at 0, and Kahan-summing the
+    non-negative block partials so cross-block accumulation error stays
+    O(eps) instead of O(n_blocks·eps). Tested envelope vs the sklearn fp64
+    oracle at dim ≥ 100k: |silhouette drift| ≤ 5e-4
+    (tests/test_cluster_metrics_tpu.py; real-chip numbers in RESULTS.md).
+    """
+    m, d = queries.shape
+    n = x.shape[0]
+    nblk = -(-d // block)
+    pad = nblk * block - d
+    if pad:
+        queries = jnp.pad(queries, ((0, 0), (0, pad)))
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    qb = queries.reshape(m, nblk, block).transpose(1, 0, 2)
+    xb = x.reshape(n, nblk, block).transpose(1, 0, 2)
+
+    def body(carry, blk):
+        total, comp = carry
+        qc, xc = blk
+        q_sq = jnp.sum(qc * qc, axis=1, keepdims=True)
+        x_sq = jnp.sum(xc * xc, axis=1)
+        cross = jnp.dot(qc, xc.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        part = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
+        y = part - comp
+        t = total + y
+        comp = (t - total) - y
+        return (t, comp), None
+
+    zeros = jnp.zeros((m, n), jnp.float32)
+    (total, _), _ = jax.lax.scan(body, (zeros, zeros), (qb, xb))
+    return total
+
+
+def _resolve_compensated(compensated, dim: int) -> bool:
+    if compensated is None:
+        return dim >= COMPENSATED_MIN_DIM
+    return bool(compensated)
+
+
 def _features_on_device(features) -> jax.Array:
     """Device copy of the feature matrix, cached on the caller's array —
     ``cluster_scores`` runs silhouette AND NH over the same scaled matrix,
@@ -59,24 +131,32 @@ def _features_on_device(features) -> jax.Array:
     return jnp.asarray(np.asarray(features, np.float32))
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _silhouette_chunk(x, x_sq, block, row_offset, onehot):
+@functools.partial(jax.jit, static_argnames=("compensated",))
+def _silhouette_chunk(x, x_sq, block, row_offset, onehot, compensated=False):
     """Per-cluster distance sums for one query chunk: (m, L).
 
     ``block`` is rows [row_offset, row_offset+m) of ``x`` (zero-padded past
     n); the self column is forced to exactly 0 before the label reduction.
     """
-    q_sq = jnp.sum(block * block, axis=1, keepdims=True)
-    cross = jnp.dot(block, x.T, preferred_element_type=jnp.float32)
-    d = jnp.sqrt(jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0))
+    if compensated:
+        d2 = _d2_blocked(block, x)
+    else:
+        q_sq = jnp.sum(block * block, axis=1, keepdims=True)
+        cross = jnp.dot(block, x.T, preferred_element_type=jnp.float32)
+        d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
+    d = jnp.sqrt(d2)
     cols = jnp.arange(x.shape[0])[None, :]
     rows = (row_offset + jnp.arange(block.shape[0]))[:, None]
     d = jnp.where(cols == rows, 0.0, d)
-    return jnp.dot(d, onehot, preferred_element_type=jnp.float32)
+    # the label reduction is a matmul too — bf16 MXU rounding of ~2000-scale
+    # distances would re-introduce the drift the blocked path just removed
+    prec = jax.lax.Precision.HIGHEST if compensated else None
+    return jnp.dot(d, onehot, preferred_element_type=jnp.float32,
+                   precision=prec)
 
 
 def silhouette_score_tpu(features, labels, chunk_size: int = 1024,
-                         shard=None) -> float:
+                         shard=None, compensated=None) -> float:
     """Mean silhouette coefficient, sklearn-parity (euclidean).
 
     s(i) = (b−a)/max(a,b) with a = mean intra-cluster distance (self
@@ -84,10 +164,14 @@ def silhouette_score_tpu(features, labels, chunk_size: int = 1024,
     clusters score 0 (sklearn convention). On multi-chip hosts the feature
     rows auto-shard over the chips and each chunk's per-cluster sums arrive
     as one psum (parallel/sharded_eval.py); ``shard=False`` forces
-    single-chip.
+    single-chip. ``compensated`` selects the blocked-Kahan distance
+    accumulation (`_d2_blocked`): None (default) auto-enables it at
+    dim ≥ COMPENSATED_MIN_DIM, bounding wide-width drift vs the fp64
+    oracle at ≤ 5e-4 (tested); True/False force it.
     """
     labels = np.asarray(labels)
     n = len(features)
+    comp = _resolve_compensated(compensated, int(features.shape[1]))
     uniq, lab_idx = np.unique(labels, return_inverse=True)
     n_labels = len(uniq)
     if not 1 < n_labels < n:
@@ -107,14 +191,14 @@ def silhouette_score_tpu(features, labels, chunk_size: int = 1024,
         onehot_host = np.zeros((n_pad, n_labels), np.float32)
         onehot_host[np.arange(n), lab_idx] = 1.0  # padded rows: zero onehot
         oh = _row_sharded_put(onehot_host, mesh, n_pad)
-        fn = build_silhouette_chunk(mesh)
+        fn = build_silhouette_chunk(mesh, comp)
         run = lambda block, start: fn(x, oh, block, np.int32(start))
     else:
         x = _features_on_device(features)
         x_sq = jnp.sum(x * x, axis=1)
         onehot = jnp.asarray(np.eye(n_labels, dtype=np.float32)[lab_idx])
         run = lambda block, start: _silhouette_chunk(
-            x, x_sq, block, start, onehot)
+            x, x_sq, block, start, onehot, compensated=comp)
     chunk = min(chunk_size, n)
     sums = np.empty((n, n_labels), np.float64)
     for start in _chunk_starts(n, chunk):
@@ -136,13 +220,17 @@ def silhouette_score_tpu(features, labels, chunk_size: int = 1024,
     return float(s.mean())
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _nh_chunk(x, x_sq, lab, block, block_lab, row_offset, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "compensated"))
+def _nh_chunk(x, x_sq, lab, block, block_lab, row_offset, k: int,
+              compensated=False):
     """Fraction of each chunk row's k nearest neighbors (self excluded)
     sharing its label: (m,)."""
-    q_sq = jnp.sum(block * block, axis=1, keepdims=True)
-    cross = jnp.dot(block, x.T, preferred_element_type=jnp.float32)
-    d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
+    if compensated:
+        d2 = _d2_blocked(block, x)
+    else:
+        q_sq = jnp.sum(block * block, axis=1, keepdims=True)
+        cross = jnp.dot(block, x.T, preferred_element_type=jnp.float32)
+        d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
     cols = jnp.arange(x.shape[0])[None, :]
     rows = (row_offset + jnp.arange(block.shape[0]))[:, None]
     d2 = jnp.where(cols == rows, jnp.inf, d2)  # exclude self
@@ -152,16 +240,19 @@ def _nh_chunk(x, x_sq, lab, block, block_lab, row_offset, k: int):
 
 
 def neighborhood_hit_tpu(features, labels, k: int = 5,
-                         chunk_size: int = 1024, shard=None) -> float:
+                         chunk_size: int = 1024, shard=None,
+                         compensated=None) -> float:
     """Neighborhood Hit on the MXU (reference
     ``src/clustering_evaluation/metrics_utils.py:4-41`` semantics: k nearest
     neighbors excluding self, mean label-agreement fraction). Multi-chip
     hosts auto-shard the feature rows; neighbor labels ride the merged
-    top-k all_gather (parallel/sharded_eval.py)."""
+    top-k all_gather (parallel/sharded_eval.py). ``compensated`` as in
+    `silhouette_score_tpu` (auto at dim ≥ COMPENSATED_MIN_DIM)."""
     labels = np.asarray(labels)
     n = len(features)
     if n < k + 1:
         return 0.0
+    comp = _resolve_compensated(compensated, int(features.shape[1]))
     _, lab_idx = np.unique(labels, return_inverse=True)
     lab_host = lab_idx.astype(np.int32)
 
@@ -173,7 +264,7 @@ def neighborhood_hit_tpu(features, labels, k: int = 5,
         x = _row_sharded_put(features, mesh, n_pad)
         lab_sh = _row_sharded_put(lab_host, mesh, n_pad, dtype=np.int32)
         lab = jnp.asarray(lab_host)
-        fn = build_nh_chunk(mesh, k)
+        fn = build_nh_chunk(mesh, k, comp)
         n_arr = np.int32(n)
         run = lambda block, block_lab, start: fn(
             x, lab_sh, n_arr, block, block_lab, np.int32(start))
@@ -182,7 +273,7 @@ def neighborhood_hit_tpu(features, labels, k: int = 5,
         x_sq = jnp.sum(x * x, axis=1)
         lab = jnp.asarray(lab_host)
         run = lambda block, block_lab, start: _nh_chunk(
-            x, x_sq, lab, block, block_lab, start, k)
+            x, x_sq, lab, block, block_lab, start, k, compensated=comp)
     chunk = min(chunk_size, n)
     fracs = np.empty(n, np.float64)
     for start in _chunk_starts(n, chunk):

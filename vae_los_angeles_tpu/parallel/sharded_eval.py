@@ -54,7 +54,14 @@ def _local_geometry(x_local, n):
     return offset, valid
 
 
-def _local_d2(x_local, queries):
+def _local_d2(x_local, queries, compensated: bool = False):
+    if compensated:
+        # blocked-Kahan accumulation for methylome-width features: the
+        # feature dim is replicated (rows are what's sharded), so the
+        # single-chip helper applies verbatim to each chip's row block
+        from vae_los_angeles_tpu.ops.cluster_metrics import _d2_blocked
+
+        return _d2_blocked(queries, x_local)
     q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
     x_sq = jnp.sum(x_local * x_local, axis=1)
     cross = jnp.dot(queries, x_local.T, preferred_element_type=jnp.float32)
@@ -167,19 +174,25 @@ def build_cond_knn_chunk(mesh, k: int, weights: str):
 
 
 @functools.lru_cache(maxsize=None)
-def build_silhouette_chunk(mesh):
+def build_silhouette_chunk(mesh, compensated: bool = False):
     """Jitted sharded per-cluster distance sums for one query chunk:
     psum of (distance block × local label-onehot). Padding rows carry a
-    zero onehot; the self column is zeroed via global row/col ids."""
+    zero onehot; the self column is zeroed via global row/col ids.
+    ``compensated`` selects the blocked-Kahan wide-width distance path
+    (ops/cluster_metrics._d2_blocked)."""
 
     def impl(x_local, onehot_local, queries, row_offset):
         n_local = x_local.shape[0]
         offset = jax.lax.axis_index("data") * n_local
-        d = jnp.sqrt(_local_d2(x_local, queries))
+        d = jnp.sqrt(_local_d2(x_local, queries, compensated))
         cols = (offset + jnp.arange(n_local))[None, :]
         rows = (row_offset + jnp.arange(queries.shape[0]))[:, None]
         d = jnp.where(cols == rows, 0.0, d)
-        part = jnp.dot(d, onehot_local, preferred_element_type=jnp.float32)
+        # see ops/cluster_metrics._silhouette_chunk: the label reduction
+        # must not fall back to 1-pass bf16 on the compensated path
+        prec = jax.lax.Precision.HIGHEST if compensated else None
+        part = jnp.dot(d, onehot_local, preferred_element_type=jnp.float32,
+                       precision=prec)
         return jax.lax.psum(part, "data")
 
     row = P("data", None)
@@ -192,17 +205,17 @@ def build_silhouette_chunk(mesh):
 
 
 @functools.lru_cache(maxsize=None)
-def build_nh_chunk(mesh, k: int):
+def build_nh_chunk(mesh, k: int, compensated: bool = False):
     """Jitted sharded neighborhood-hit fractions for one query chunk:
     local top-k over self-masked valid distances, neighbor LABELS ride the
     all_gather (scalars, not payload rows), global re-top-k, label
-    agreement."""
+    agreement. ``compensated`` as in `build_silhouette_chunk`."""
 
     def impl(x_local, lab_local, n, queries, q_lab, row_offset):
         n_local = x_local.shape[0]
         k_local = min(k, n_local)
         offset, valid = _local_geometry(x_local, n)
-        d2 = _local_d2(x_local, queries)
+        d2 = _local_d2(x_local, queries, compensated)
         cols = (offset + jnp.arange(n_local))[None, :]
         rows = (row_offset + jnp.arange(queries.shape[0]))[:, None]
         keep = valid[None, :] & (cols != rows)
