@@ -9,8 +9,12 @@ StratifiedKFold deep-MLP classifier with per-fold balanced class weights and
 early stopping on val accuracy; aggregate sklearn classification_reports
 across folds; emit grouped-bar comparison and per-tissue-F1 plots.
 
-The MLP classifier is the fused-scan JAX trainer in `mlp_classifier`
-(one device dispatch per fold instead of the reference's per-batch loop).
+The MLP classifier is the fused-scan JAX trainer in `mlp_classifier`. By
+default each scenario's StratifiedKFold population trains as ONE vmapped
+program (`fit_classifier_folds` — uneven folds padded + masked), so the
+reference's 8×5 = 40 sequential MLP fits become 8 dispatches sharing 3
+compiled executables (one per distinct feature width); ``DOWNSTREAM_VMAP=0``
+restores the sequential per-fold loop (one dispatch per fold).
 """
 
 from __future__ import annotations
@@ -24,8 +28,11 @@ import numpy as np
 from vae_los_angeles_tpu.config import Config
 from vae_los_angeles_tpu.evaluation import evaluate as evaluate_mod
 from vae_los_angeles_tpu.evaluation.mlp_classifier import (
+    _pad_rows,
     fit_classifier,
+    fit_classifier_folds,
     predict_classes,
+    predict_classes_folds,
 )
 
 
@@ -61,14 +68,33 @@ def train_and_evaluate_fold(X_train, X_val, y_train, y_val, n_classes,
     )
 
 
+def _vmap_folds_default() -> bool:
+    """The vmapped fold population is the default; ``DOWNSTREAM_VMAP=0``
+    falls back to the reference-shaped sequential fold loop."""
+    return os.getenv("DOWNSTREAM_VMAP", "1") != "0"
+
+
 def run_classification_scenario(features, labels, n_classes,
-                                scenario_name, le_new, n_folds=5, seed=42):
+                                scenario_name, le_new, n_folds=5, seed=42,
+                                vmap_folds=None):
     """StratifiedKFold scenario evaluation (reference :164-237). Class
     weights are balanced PER FOLD from that fold's training labels
-    (reference :182), so no global weights are taken."""
+    (reference :182), so no global weights are taken.
+
+    By default the whole fold population trains as ONE vmapped program
+    (`fit_classifier_folds`) — the reference's sequential 5-fold MLP loop
+    (and its per-fold-shape recompiles) collapses to a single dispatch, and
+    scenarios of equal feature width reuse the compiled executable.
+    ``vmap_folds=False`` (or ``DOWNSTREAM_VMAP=0``) keeps the sequential
+    path; both produce per-fold sklearn classification_reports aggregated
+    identically (equivalence-tested in tests/test_downstream_vmap.py)."""
+    from sklearn.metrics import classification_report
     from sklearn.model_selection import StratifiedKFold
     from sklearn.preprocessing import StandardScaler
     from sklearn.utils.class_weight import compute_class_weight
+
+    if vmap_folds is None:
+        vmap_folds = _vmap_folds_default()
 
     print("\n" + "=" * 50)
     print(f"Scenario: {scenario_name}")
@@ -77,22 +103,49 @@ def run_classification_scenario(features, labels, n_classes,
     features_normalized = StandardScaler().fit_transform(features)
     skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
 
-    fold_reports = []
-    for fold_idx, (train_idx, val_idx) in enumerate(
-        skf.split(features_normalized, labels)
-    ):
-        print(f"\nFold {fold_idx + 1}/{n_folds}")
+    splits = list(skf.split(features_normalized, labels))
+    fold_cws = []
+    for train_idx, _ in splits:
         y_train = labels[train_idx]
         fold_cw = compute_class_weight(
             "balanced", classes=np.unique(y_train), y=y_train
         )
         cw_full = np.ones(n_classes, np.float32)
         cw_full[np.unique(y_train)] = fold_cw
-        report = train_and_evaluate_fold(
-            features_normalized[train_idx], features_normalized[val_idx],
-            y_train, labels[val_idx], n_classes, cw_full, le_new, seed=fold_idx,
+        fold_cws.append(cw_full)
+
+    fold_reports = []
+    if vmap_folds:
+        print(f"Training all {n_folds} folds as one vmapped population")
+        folds = [
+            (features_normalized[tr], labels[tr],
+             features_normalized[va], labels[va], cw)
+            for (tr, va), cw in zip(splits, fold_cws)
+        ]
+        fit = fit_classifier_folds(
+            folds, n_classes, arch="deep", num_epochs=100, batch_size=32,
+            lr=1e-3, weight_decay=1e-4, early_stop=True,
         )
-        fold_reports.append(report)
+        n_val_max = max(len(va) for _, va in splits)
+        x_va = np.stack(
+            [_pad_rows(features_normalized[va], n_val_max) for _, va in splits]
+        )
+        preds = predict_classes_folds(fit.params, x_va, arch="deep")
+        for i, (_, va) in enumerate(splits):
+            fold_reports.append(classification_report(
+                labels[va], preds[i, :len(va)], target_names=le_new.classes_,
+                labels=np.arange(len(le_new.classes_)), output_dict=True,
+                zero_division=0,
+            ))
+    else:
+        for fold_idx, (train_idx, val_idx) in enumerate(splits):
+            print(f"\nFold {fold_idx + 1}/{n_folds}")
+            report = train_and_evaluate_fold(
+                features_normalized[train_idx], features_normalized[val_idx],
+                labels[train_idx], labels[val_idx], n_classes,
+                fold_cws[fold_idx], le_new, seed=fold_idx,
+            )
+            fold_reports.append(report)
 
     aggregated = {}
     accuracies = [r["accuracy"] for r in fold_reports]

@@ -11,7 +11,11 @@ Two architectures from the reference:
 
 The whole training run is one fused `lax.scan` like the VAE engine; the loss
 is torch-semantics weighted cross-entropy with 'mean' reduction
-(Σ w[yᵢ]·nllᵢ / Σ w[yᵢ]).
+(Σ w[yᵢ]·nllᵢ / Σ w[yᵢ]). A scenario's whole StratifiedKFold population
+trains as ONE vmapped program via `fit_classifier_folds` (uneven fold sizes
+padded to the max and masked — same recipe as `parallel/vmap_meta.fit_folds`
+on the CV side), replacing the reference's sequential 40-fit meta-loop
+(downstream_task.py:164-237).
 """
 
 from __future__ import annotations
@@ -88,31 +92,50 @@ class ClassifierFit(NamedTuple):
     val_accs: jnp.ndarray
 
 
-@functools.lru_cache(maxsize=None)
-def _build_classifier_fit(arch: str, num_epochs: int, batch_size: int,
-                          n_train: int, n_val: int, early_stop: bool):
-    n_batches = -(-n_train // batch_size)  # torch loaders keep partial batches
-    # fixed-shape batches are padded cyclically; `mask` zeroes the padded
-    # rows out of the loss so each sample contributes exactly once per epoch
-    # (torch's short-final-batch semantics) and any n_train works
+def _make_fold_fit(arch: str, num_epochs: int, batch_size: int,
+                   n_train_max: int, n_val_max: int, early_stop: bool):
+    """The single-fold fit core, written against PADDED maxima with dynamic
+    true sizes so the same program serves the sequential path
+    (n_train == n_train_max, masks all-ones) and the vmapped fold
+    population (uneven StratifiedKFold folds padded to the max — the
+    reference's 40-sequential-MLP meta-loop, downstream_task.py:164-237,
+    collapses to one program per feature width).
+
+    Padded-row discipline: train rows past ``n_train`` are NEVER gathered
+    (the masked-argsort permutation only emits valid row ids), trailing
+    batches a fold doesn't need are computed-and-discarded (optimizer state
+    gated per batch, so Adam steps/moments advance exactly ceil(n/bs) times
+    per epoch like the sequential loop), and val metrics mask rows past
+    ``n_val`` with `where` (not multiply) so garbage padding can't NaN
+    through 0·inf.
+    """
+    n_batches = -(-n_train_max // batch_size)  # torch keeps partial batches
     n_slots = n_batches * batch_size
-    pos_mask = (jnp.arange(n_slots) < n_train).astype(jnp.float32).reshape(
-        n_batches, batch_size
-    )
 
     def loss_fn(params, key, x, y, class_weights, mask):
         logits = mlp_apply(params, x, arch=arch, train=True, key=key)
         log_probs = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(log_probs, y[:, None], axis=-1)[:, 0]
         w = jnp.take(class_weights, y) * mask
-        return jnp.sum(w * nll) / jnp.sum(w)
+        # max() guards the fully-masked (inactive, discarded) batches of
+        # short folds; active batches always have Σw ≫ 1e-12 so the loss
+        # value is untouched
+        return jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)
 
     grad_fn = jax.value_and_grad(loss_fn)
 
-    def _fit(params0, x_train, y_train, x_val, y_val, class_weights, key,
-             lr, weight_decay):
+    def _fit(params0, x_train, y_train, n_train, x_val, y_val, n_val,
+             class_weights, key, lr, weight_decay):
         opt0 = optim.adamw_init(params0)
         plateau0 = optim.plateau_init(lr)
+        # one contribution per valid sample per epoch (cyclic padding of the
+        # final short batch, torch drop_last=False semantics)
+        pos_mask = (jnp.arange(n_slots) < n_train).astype(jnp.float32).reshape(
+            n_batches, batch_size
+        )
+        # batch b exists for this fold iff b < ceil(n_train / batch_size)
+        batch_active = (jnp.arange(n_batches) * batch_size) < n_train
+        val_mask = jnp.arange(n_val_max) < n_val
         carry0 = {
             "params": params0,
             "opt": opt0,
@@ -126,32 +149,52 @@ def _build_classifier_fit(arch: str, num_epochs: int, batch_size: int,
         def run_epoch(carry, epoch):
             ekey = jax.random.fold_in(key, epoch)
             pkey, dkey = jax.random.split(ekey)
-            perm = jax.random.permutation(pkey, n_train)
-            idx = jnp.resize(perm, n_slots).reshape(n_batches, batch_size)
+            # uniform permutation of the VALID rows via masked argsort
+            # (jax.random.permutation needs a static length; this form is
+            # vmappable over folds with different n_train)
+            u = jax.random.uniform(pkey, (n_train_max,))
+            u = jnp.where(jnp.arange(n_train_max) < n_train, u, jnp.inf)
+            perm = jnp.argsort(u)
+            idx = perm[jnp.mod(jnp.arange(n_slots), n_train)].reshape(
+                n_batches, batch_size
+            )
             lr_now = carry["plateau"]["lr"]
 
             def batch_step(bstate, scan_in):
-                b_i, bidx, bmask = scan_in
+                b_i, bidx, bmask, active = scan_in
                 params, opt = bstate
                 bkey = jax.random.fold_in(dkey, b_i)
                 loss, grads = grad_fn(
                     params, bkey, x_train[bidx], y_train[bidx], class_weights,
                     bmask,
                 )
-                params, opt = optim.adam_update(
+                new_params, new_opt = optim.adam_update(
                     params, grads, opt, lr_now, weight_decay
+                )
+                # inactive trailing batches must not advance Adam state
+                # (zero grads still decay moments / apply weight decay)
+                params = jax.tree.map(
+                    lambda n, o: jnp.where(active, n, o), new_params, params
+                )
+                opt = jax.tree.map(
+                    lambda n, o: jnp.where(active, n, o), new_opt, opt
                 )
                 return (params, opt), loss
 
             (params, opt), losses = jax.lax.scan(
                 batch_step, (carry["params"], carry["opt"]),
-                (jnp.arange(n_batches), idx, pos_mask),
+                (jnp.arange(n_batches), idx, pos_mask, batch_active),
             )
             logits = mlp_apply(params, x_val, arch=arch, train=False)
-            val_loss = weighted_ce_mean(logits, y_val, class_weights)
-            val_acc = jnp.mean(
-                (jnp.argmax(logits, axis=-1) == y_val).astype(jnp.float32)
-            ) * 100.0
+            log_probs = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(log_probs, y_val[:, None], axis=-1)[:, 0]
+            nll = jnp.where(val_mask, nll, 0.0)
+            w = jnp.where(val_mask, jnp.take(class_weights, y_val), 0.0)
+            val_loss = jnp.sum(w * nll) / jnp.maximum(jnp.sum(w), 1e-12)
+            correct = jnp.where(
+                val_mask, jnp.argmax(logits, axis=-1) == y_val, False
+            )
+            val_acc = 100.0 * jnp.sum(correct.astype(jnp.float32)) / n_val
             plateau = optim.plateau_step(
                 carry["plateau"], val_loss, jnp.float32(0.5), jnp.int32(5)
             )
@@ -186,7 +229,29 @@ def _build_classifier_fit(arch: str, num_epochs: int, batch_size: int,
             params=final, best_val_acc=carry["best_acc"], val_accs=val_accs
         )
 
-    return jax.jit(_fit)
+    return _fit
+
+
+@functools.lru_cache(maxsize=None)
+def _build_classifier_fit(arch: str, num_epochs: int, batch_size: int,
+                          n_train: int, n_val: int, early_stop: bool):
+    return jax.jit(_make_fold_fit(
+        arch, num_epochs, batch_size, n_train, n_val, early_stop
+    ))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_classifier_fit_folds(arch: str, num_epochs: int, batch_size: int,
+                                n_train_max: int, n_val_max: int,
+                                early_stop: bool):
+    """The whole fold population as ONE program: `vmap` of the fold core
+    over the leading fold axis. jit's shape cache shares the executable
+    across scenarios of equal feature width (the 8 downstream scenarios
+    collapse to 3 compiles: RNA, DNA and concat widths)."""
+    fit = _make_fold_fit(
+        arch, num_epochs, batch_size, n_train_max, n_val_max, early_stop
+    )
+    return jax.jit(jax.vmap(fit, in_axes=(0,) * 9 + (None, None)))
 
 
 def fit_classifier(
@@ -204,12 +269,78 @@ def fit_classifier(
         int(len(x_val)), bool(early_stop),
     )
     return fit_fn(
-        params0, x_train, y_train, x_val, y_val,
+        params0, x_train, y_train, jnp.int32(len(x_train)),
+        x_val, y_val, jnp.int32(len(x_val)),
         jnp.asarray(class_weights, jnp.float32), key,
         jnp.float32(lr), jnp.float32(weight_decay),
     )
 
 
+def _pad_rows(a, n_max: int):
+    a = np.asarray(a)
+    if len(a) == n_max:
+        return a
+    pad = [(0, n_max - len(a))] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad)
+
+
+def fit_classifier_folds(
+    folds, n_classes, *, arch: str = "deep", num_epochs: int = 100,
+    batch_size: int = 32, lr: float = 1e-3, weight_decay: float = 1e-4,
+    early_stop: bool = True, seeds=None,
+):
+    """Train ALL folds of a scenario as ONE vmapped program.
+
+    ``folds`` is a sequence of ``(x_train, y_train, x_val, y_val,
+    class_weights)`` tuples (uneven StratifiedKFold sizes welcome — rows are
+    padded to the population max and masked; see `_make_fold_fit` for the
+    padding discipline). Replaces the reference's sequential per-fold loop
+    (downstream_task.py:164-237): one dispatch trains the 5-fold population,
+    and jit shape-caching shares the compiled program across scenarios of
+    equal feature width. Returns a `ClassifierFit` whose leaves carry a
+    leading fold axis.
+
+    Per-fold PRNG: fold i uses ``PRNGKey(seeds[i])`` (default ``seeds =
+    range(len(folds))``, matching the sequential path's ``seed=fold_idx``).
+    """
+    n_folds = len(folds)
+    seeds = list(range(n_folds)) if seeds is None else list(seeds)
+    n_train_max = max(len(f[0]) for f in folds)
+    n_val_max = max(len(f[2]) for f in folds)
+    input_dim = int(np.asarray(folds[0][0]).shape[1])
+
+    x_tr = jnp.asarray(
+        np.stack([_pad_rows(f[0], n_train_max) for f in folds]), jnp.float32)
+    y_tr = jnp.asarray(
+        np.stack([_pad_rows(f[1], n_train_max) for f in folds]), jnp.int32)
+    n_tr = jnp.asarray([len(f[0]) for f in folds], jnp.int32)
+    x_va = jnp.asarray(
+        np.stack([_pad_rows(f[2], n_val_max) for f in folds]), jnp.float32)
+    y_va = jnp.asarray(
+        np.stack([_pad_rows(f[3], n_val_max) for f in folds]), jnp.int32)
+    n_va = jnp.asarray([len(f[2]) for f in folds], jnp.int32)
+    cw = jnp.asarray(np.stack([f[4] for f in folds]), jnp.float32)
+    keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
+
+    params0 = jax.vmap(lambda k: mlp_init(k, input_dim, n_classes, arch))(keys)
+    fit_fn = _build_classifier_fit_folds(
+        arch, int(num_epochs), int(batch_size), int(n_train_max),
+        int(n_val_max), bool(early_stop),
+    )
+    return fit_fn(params0, x_tr, y_tr, n_tr, x_va, y_va, n_va, cw, keys,
+                  jnp.float32(lr), jnp.float32(weight_decay))
+
+
 def predict_classes(params, x, arch: str = "deep"):
     logits = mlp_apply(params, jnp.asarray(x, jnp.float32), arch=arch, train=False)
+    return np.asarray(jnp.argmax(logits, axis=-1))
+
+
+def predict_classes_folds(params, x_vals, arch: str = "deep"):
+    """Vmapped per-fold prediction. ``params`` carries a leading fold axis
+    (from `fit_classifier_folds`); ``x_vals`` is the padded (F, n_val_max,
+    D) stack — callers slice row i to its true fold length."""
+    logits = jax.vmap(
+        lambda p, x: mlp_apply(p, x, arch=arch, train=False)
+    )(params, jnp.asarray(x_vals, jnp.float32))
     return np.asarray(jnp.argmax(logits, axis=-1))
