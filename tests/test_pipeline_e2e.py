@@ -196,8 +196,17 @@ def test_cross_modality_cv(workspace):
 def test_cross_modality_cv_unified_families(workspace):
     """--unified-families: VAE+AE of a direction train as ONE program; the
     report still carries all four families per direction, and the VAE rows
-    are bit-identical to the separate-program run (same fold keys)."""
-    from vae_los_angeles_tpu.evaluation.cross_modality_cv import main as cv_main
+    are bit-identical to the separate-program run (same fold keys).
+    CV_UNIFIED_FAMILIES=auto resolves to unified on the CPU backend, so the
+    separate run must be forced with --no-unified-families."""
+    from vae_los_angeles_tpu.evaluation.cross_modality_cv import (
+        main as cv_main,
+        resolve_unified_families,
+    )
+
+    # auto policy: compile cost is local on CPU → unified is the default
+    assert resolve_unified_families(None) is True
+    assert resolve_unified_families(False) is False
 
     argv = ["--folds", "2", "--epochs", "2", "--neighbors", "3",
             "--data_path", "data/processed_data.pkl"]
@@ -206,7 +215,7 @@ def test_cross_modality_cv_unified_families(workspace):
     for direction in ("DNA -> RNA", "RNA -> DNA"):
         for model in ("mean", "knn", "vae", "ae"):
             assert (direction, model) in kinds
-    separate = cv_main(argv)
+    separate = cv_main(argv + ["--no-unified-families"])
     for r_u in unified:
         if r_u["model"] != "vae":
             continue

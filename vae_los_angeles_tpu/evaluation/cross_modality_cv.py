@@ -58,17 +58,47 @@ def parse_args(argv=None):
     p.add_argument("--data_path", type=str, default="data/processed_data.pkl")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
-        "--unified-families", action="store_true",
-        default=bool(int(os.getenv("CV_UNIFIED_FAMILIES", "0"))),
+        "--unified-families", action="store_true", default=None,
         help="train each direction's VAE and AE fold populations as ONE "
         "compiled program (2 XLA programs instead of 4 — the harness is "
         "compile-dominated). The VAE half is bit-identical to the separate "
         "program; the AE half is the same math as the standalone AE task "
         "(see training/tasks.py _unified_init) with a different param "
         "naming/key layout, so its per-fold numbers are statistically "
-        "equivalent, not bit-equal, to --no-unified runs",
+        "equivalent, not bit-equal, to --no-unified runs. Default: "
+        "CV_UNIFIED_FAMILIES env (1/0/auto; auto = ON where compile cost "
+        "is local, i.e. the CPU backend, OFF on relay-compiled TPU)",
     )
-    return p.parse_args(argv)
+    p.add_argument(
+        "--no-unified-families", dest="unified_families",
+        action="store_false", help="force the 4-program separate-family CV",
+    )
+    args = p.parse_args(argv)
+    args.unified_families = resolve_unified_families(args.unified_families)
+    return args
+
+
+def resolve_unified_families(explicit=None) -> bool:
+    """CV_UNIFIED_FAMILIES policy: '1'/'0' force, 'auto' (default) keys on
+    where compilation happens. On the CPU backend (tests, CI, local dev)
+    compiles are the user's own and family unification is a measured
+    1.71× program-cost cut → ON; on the axon relay the end-to-end win is
+    swamped by relay compile variance (RESULTS.md round-3 measurement) →
+    OFF unless asked. An explicit CLI flag always wins."""
+    if explicit is not None:
+        return bool(explicit)
+    env = os.getenv("CV_UNIFIED_FAMILIES", "auto").strip().lower()
+    if env in ("1", "true", "on"):
+        return True
+    if env in ("0", "false", "off"):
+        return False
+    if env != "auto":
+        raise ValueError(
+            f"CV_UNIFIED_FAMILIES={env!r}; valid: 1, 0, auto (default)"
+        )
+    import jax
+
+    return jax.default_backend() == "cpu"
 
 
 def load_data(data_path, subset=1.0):
