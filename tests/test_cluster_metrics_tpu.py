@@ -200,3 +200,53 @@ def test_blocked_kahan_matches_plain_at_narrow_width():
     plain = silhouette_score_tpu(x, labels, shard=False, compensated=False)
     comp = silhouette_score_tpu(x, labels, shard=False, compensated=True)
     assert comp == pytest.approx(plain, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fused silhouette+NH kernel (round 4, VERDICT #3): one distance pass and one
+# compiled program per scored space instead of two.
+# ---------------------------------------------------------------------------
+
+
+def test_fused_scores_match_standalone():
+    from vae_los_angeles_tpu.ops.cluster_metrics import cluster_scores_tpu
+
+    x, labels = _blobs(300, 40, 5, seed=21)
+    sil, nh = cluster_scores_tpu(x, labels, shard=False)
+    assert sil == pytest.approx(
+        silhouette_score_tpu(x, labels, shard=False), abs=1e-7)
+    assert nh == pytest.approx(
+        neighborhood_hit_tpu(x, labels, shard=False), abs=1e-9)
+    # and both against the sklearn oracles
+    assert sil == pytest.approx(silhouette_score(x, labels), abs=2e-5)
+    assert nh == pytest.approx(_nh_oracle(x, labels), abs=1e-9)
+
+
+def test_fused_scores_sharded_match():
+    from vae_los_angeles_tpu.ops.cluster_metrics import cluster_scores_tpu
+
+    x, labels = _blobs(530, 24, 7, seed=22)  # not divisible by the 8-mesh
+    sil, nh = cluster_scores_tpu(x, labels, shard=True, chunk_size=128)
+    assert sil == pytest.approx(silhouette_score(x, labels), abs=2e-5)
+    assert nh == pytest.approx(_nh_oracle(x, labels), abs=1e-9)
+
+
+def test_fused_scores_chunked_and_compensated():
+    from vae_los_angeles_tpu.ops.cluster_metrics import cluster_scores_tpu
+
+    x, labels = _blobs(257, 33, 5, seed=23)
+    sil, nh = cluster_scores_tpu(
+        x, labels, shard=False, chunk_size=100, compensated=True)
+    assert sil == pytest.approx(silhouette_score(x, labels), abs=2e-5)
+    assert nh == pytest.approx(_nh_oracle(x, labels), abs=1e-9)
+
+
+def test_fused_scores_tiny_cohort_nh_guard():
+    """Below k+1 samples NH degrades to 0.0 (standalone-guard parity) while
+    silhouette still computes."""
+    from vae_los_angeles_tpu.ops.cluster_metrics import cluster_scores_tpu
+
+    x, labels = _blobs(5, 4, 2, seed=24)
+    sil, nh = cluster_scores_tpu(x, labels, k=5, shard=False)
+    assert nh == 0.0
+    assert sil == pytest.approx(silhouette_score(x, labels), abs=2e-5)

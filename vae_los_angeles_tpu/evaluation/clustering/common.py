@@ -153,25 +153,36 @@ def plot_clusters_2d(features_2d, labels, title, filename, label_encoder=None,
 
 def cluster_scores(features, labels, pca_features, tsne_features):
     """Silhouette + Neighborhood-Hit on original/PCA/t-SNE spaces
-    (reference cluster_reconstructed.py:296-318). ``KNN_BACKEND=tpu``
-    computes both over the chunked MXU distance kernel — the orig-space
-    pass is O(n²·dim) at full feature width."""
-    from vae_los_angeles_tpu.ops.cluster_metrics import resolve_silhouette
-
-    silhouette_score = resolve_silhouette()
+    (reference cluster_reconstructed.py:296-318). ``EVAL_BACKEND=tpu``
+    computes each space's PAIR of scores in one fused chunked MXU pass
+    (`ops/cluster_metrics.cluster_scores_tpu`) — the orig-space distance
+    block is O(n²·dim) at full feature width and is swept once, not twice,
+    and the cold run compiles 3 metric programs instead of 6."""
     if len(np.unique(labels)) <= 1:
         return None
     if _tpu_backend():
         # scale on device over the same cached put as the reduction step;
         # the full-width matrix never round-trips to host (feature-sharded
         # over the chips on multi-chip hosts)
+        from vae_los_angeles_tpu.ops.cluster_metrics import cluster_scores_tpu
         from vae_los_angeles_tpu.ops.pca import device_scaled_features
 
         scaled = device_scaled_features(features)
-    else:
-        from sklearn.preprocessing import StandardScaler
+        orig_sil, orig_nh = cluster_scores_tpu(scaled, labels)
+        pca_sil, pca_nh = cluster_scores_tpu(pca_features, labels)
+        tsne_sil, tsne_nh = cluster_scores_tpu(tsne_features, labels)
+        return {
+            "orig_silhouette": orig_sil,
+            "orig_nh": orig_nh,
+            "pca_silhouette": pca_sil,
+            "pca_nh": pca_nh,
+            "tsne_silhouette": tsne_sil,
+            "tsne_nh": tsne_nh,
+        }
+    from sklearn.metrics import silhouette_score
+    from sklearn.preprocessing import StandardScaler
 
-        scaled = StandardScaler().fit_transform(features)
+    scaled = StandardScaler().fit_transform(features)
     return {
         "orig_silhouette": float(silhouette_score(scaled, labels)),
         "orig_nh": calculate_neighborhood_hit(scaled, labels),

@@ -131,6 +131,16 @@ def _features_on_device(features) -> jax.Array:
     return jnp.asarray(np.asarray(features, np.float32))
 
 
+def _chunk_d2(x, x_sq, block, compensated: bool):
+    """One query chunk's squared-distance block (m, n): plain matmul
+    identity or the compensated wide-width path."""
+    if compensated:
+        return _d2_blocked(block, x)
+    q_sq = jnp.sum(block * block, axis=1, keepdims=True)
+    cross = jnp.dot(block, x.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("compensated",))
 def _silhouette_chunk(x, x_sq, block, row_offset, onehot, compensated=False):
     """Per-cluster distance sums for one query chunk: (m, L).
@@ -138,12 +148,7 @@ def _silhouette_chunk(x, x_sq, block, row_offset, onehot, compensated=False):
     ``block`` is rows [row_offset, row_offset+m) of ``x`` (zero-padded past
     n); the self column is forced to exactly 0 before the label reduction.
     """
-    if compensated:
-        d2 = _d2_blocked(block, x)
-    else:
-        q_sq = jnp.sum(block * block, axis=1, keepdims=True)
-        cross = jnp.dot(block, x.T, preferred_element_type=jnp.float32)
-        d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
+    d2 = _chunk_d2(x, x_sq, block, compensated)
     d = jnp.sqrt(d2)
     cols = jnp.arange(x.shape[0])[None, :]
     rows = (row_offset + jnp.arange(block.shape[0]))[:, None]
@@ -210,6 +215,12 @@ def silhouette_score_tpu(features, labels, chunk_size: int = 1024,
         out = run(block, start)
         sums[start:start + n_valid] = np.asarray(jax.device_get(out))[:n_valid]
 
+    return _silhouette_from_sums(sums, lab_idx, counts)
+
+
+def _silhouette_from_sums(sums, lab_idx, counts) -> float:
+    """Per-cluster distance sums (n, L) → mean silhouette (host O(n·L))."""
+    n = len(lab_idx)
     own = counts[lab_idx]
     a = sums[np.arange(n), lab_idx] / np.maximum(own - 1.0, 1.0)
     means = sums / counts[None, :]
@@ -225,18 +236,35 @@ def _nh_chunk(x, x_sq, lab, block, block_lab, row_offset, k: int,
               compensated=False):
     """Fraction of each chunk row's k nearest neighbors (self excluded)
     sharing its label: (m,)."""
-    if compensated:
-        d2 = _d2_blocked(block, x)
-    else:
-        q_sq = jnp.sum(block * block, axis=1, keepdims=True)
-        cross = jnp.dot(block, x.T, preferred_element_type=jnp.float32)
-        d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
+    d2 = _chunk_d2(x, x_sq, block, compensated)
     cols = jnp.arange(x.shape[0])[None, :]
     rows = (row_offset + jnp.arange(block.shape[0]))[:, None]
     d2 = jnp.where(cols == rows, jnp.inf, d2)  # exclude self
     _, idx = jax.lax.top_k(-d2, k)
     hits = jnp.take(lab, idx) == block_lab[:, None]
     return jnp.mean(hits.astype(jnp.float32), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "compensated"))
+def _scores_chunk(x, x_sq, lab, onehot, block, block_lab, row_offset,
+                  k: int, compensated=False):
+    """Fused silhouette + NH chunk: ONE distance block feeds both the
+    per-cluster sums matmul and the top-k neighbor agreement, so scoring a
+    clustering compiles and runs one program instead of two (the
+    `cluster_scores` path always wants both metrics over the same matrix —
+    reference cluster_reconstructed.py:296-318)."""
+    d2 = _chunk_d2(x, x_sq, block, compensated)
+    cols = jnp.arange(x.shape[0])[None, :]
+    rows = (row_offset + jnp.arange(block.shape[0]))[:, None]
+    self_mask = cols == rows
+    d = jnp.where(self_mask, 0.0, jnp.sqrt(d2))
+    prec = jax.lax.Precision.HIGHEST if compensated else None
+    sums = jnp.dot(d, onehot, preferred_element_type=jnp.float32,
+                   precision=prec)
+    d2 = jnp.where(self_mask, jnp.inf, d2)
+    _, idx = jax.lax.top_k(-d2, k)
+    hits = jnp.take(lab, idx) == block_lab[:, None]
+    return sums, jnp.mean(hits.astype(jnp.float32), axis=1)
 
 
 def neighborhood_hit_tpu(features, labels, k: int = 5,
@@ -289,6 +317,84 @@ def neighborhood_hit_tpu(features, labels, k: int = 5,
             jax.device_get(out)
         )[:n_valid]
     return float(fracs.mean())
+
+
+def cluster_scores_tpu(features, labels, k: int = 5, chunk_size: int = 1024,
+                       shard=None, compensated=None):
+    """Silhouette AND neighborhood hit in one fused pass: ``(sil, nh)``.
+
+    The clustering scripts always score both metrics over the same matrix
+    (reference cluster_reconstructed.py:296-318); computing them separately
+    compiles two programs and sweeps the O(n²·dim) distance block twice.
+    This fused kernel (`_scores_chunk` / `build_scores_chunk`) shares one
+    distance block per chunk — per scored space that's ONE compile and one
+    data pass instead of two, so a cold `EVAL_BACKEND=tpu` clustering run
+    pays half the metric-kernel compile stack. Semantics identical to
+    `silhouette_score_tpu` + `neighborhood_hit_tpu` (equivalence-tested);
+    silhouette's 2..n-1 label requirement applies, NH returns 0.0 below
+    k+1 samples (matching the standalone guard).
+    """
+    labels = np.asarray(labels)
+    n = len(features)
+    uniq, lab_idx = np.unique(labels, return_inverse=True)
+    n_labels = len(uniq)
+    if not 1 < n_labels < n:
+        raise ValueError(
+            f"Number of labels is {n_labels}; valid values are 2..{n - 1}"
+        )
+    if n < k + 1:
+        return (
+            silhouette_score_tpu(features, labels, chunk_size, shard,
+                                 compensated),
+            0.0,
+        )
+    comp = _resolve_compensated(compensated, int(features.shape[1]))
+    counts = np.bincount(lab_idx, minlength=n_labels).astype(np.float64)
+    lab_host = lab_idx.astype(np.int32)
+
+    mesh = _eval_mesh(shard)
+    if mesh is not None:
+        from vae_los_angeles_tpu.parallel.sharded_eval import (
+            build_scores_chunk,
+        )
+
+        n_pad = _padded_rows(n, mesh)
+        x = _row_sharded_put(features, mesh, n_pad)
+        onehot_host = np.zeros((n_pad, n_labels), np.float32)
+        onehot_host[np.arange(n), lab_idx] = 1.0  # padded rows: zero onehot
+        oh = _row_sharded_put(onehot_host, mesh, n_pad)
+        lab_sh = _row_sharded_put(lab_host, mesh, n_pad, dtype=np.int32)
+        lab = jnp.asarray(lab_host)
+        fn = build_scores_chunk(mesh, k, comp)
+        n_arr = np.int32(n)
+        run = lambda block, block_lab, start: fn(
+            x, oh, lab_sh, n_arr, block, block_lab, np.int32(start))
+    else:
+        x = _features_on_device(features)
+        x_sq = jnp.sum(x * x, axis=1)
+        onehot = jnp.asarray(np.eye(n_labels, dtype=np.float32)[lab_idx])
+        lab = jnp.asarray(lab_host)
+        run = lambda block, block_lab, start: _scores_chunk(
+            x, x_sq, lab, onehot, block, block_lab, start, k,
+            compensated=comp)
+
+    chunk = min(chunk_size, n)
+    sums = np.empty((n, n_labels), np.float64)
+    fracs = np.empty(n, np.float64)
+    for start in _chunk_starts(n, chunk):
+        stop = min(start + chunk, n)  # sharded x has padded rows past n
+        block = x[start:stop]
+        block_lab = lab[start:stop]
+        n_valid = int(block.shape[0])
+        if n_valid < chunk:
+            block = jnp.pad(block, ((0, chunk - n_valid), (0, 0)))
+            block_lab = jnp.pad(block_lab, (0, chunk - n_valid))
+        s_out, f_out = run(block, block_lab, start)
+        sums[start:start + n_valid] = np.asarray(
+            jax.device_get(s_out))[:n_valid]
+        fracs[start:start + n_valid] = np.asarray(
+            jax.device_get(f_out))[:n_valid]
+    return _silhouette_from_sums(sums, lab_idx, counts), float(fracs.mean())
 
 
 def resolve_silhouette():

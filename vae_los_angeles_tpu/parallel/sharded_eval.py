@@ -205,6 +205,43 @@ def build_silhouette_chunk(mesh, compensated: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
+def build_scores_chunk(mesh, k: int, compensated: bool = False):
+    """Fused sharded silhouette + NH chunk (the multi-chip counterpart of
+    `ops/cluster_metrics._scores_chunk`): ONE local distance block feeds
+    the psum'd per-cluster sums AND the merged-top-k label agreement —
+    per scored space, one compile and one O(n²·dim) pass instead of two."""
+
+    def impl(x_local, onehot_local, lab_local, n, queries, q_lab, row_offset):
+        n_local = x_local.shape[0]
+        k_local = min(k, n_local)
+        offset, valid = _local_geometry(x_local, n)
+        d2 = _local_d2(x_local, queries, compensated)
+        cols = (offset + jnp.arange(n_local))[None, :]
+        rows = (row_offset + jnp.arange(queries.shape[0]))[:, None]
+        self_mask = cols == rows
+        d = jnp.where(self_mask, 0.0, jnp.sqrt(d2))
+        prec = jax.lax.Precision.HIGHEST if compensated else None
+        part = jnp.dot(d, onehot_local, preferred_element_type=jnp.float32,
+                       precision=prec)
+        sums = jax.lax.psum(part, "data")
+        keep = valid[None, :] & ~self_mask
+        d2n = jnp.where(keep, d2, jnp.inf)
+        neg, idx = jax.lax.top_k(-d2n, k_local)
+        _, win_lab = _merge_topk(neg, jnp.take(lab_local, idx), k)
+        hits = win_lab == q_lab[:, None]
+        return sums, jnp.mean(hits.astype(jnp.float32), axis=1)
+
+    row = P("data", None)
+    rep = P(None, None)
+    sharded = jax.shard_map(
+        impl, mesh=mesh,
+        in_specs=(row, row, P("data"), P(), rep, P(None), P()),
+        out_specs=(rep, P(None)), check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=None)
 def build_nh_chunk(mesh, k: int, compensated: bool = False):
     """Jitted sharded neighborhood-hit fractions for one query chunk:
     local top-k over self-masked valid distances, neighbor LABELS ride the
