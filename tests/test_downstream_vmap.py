@@ -146,3 +146,35 @@ def test_env_toggle(monkeypatch):
     assert _vmap_folds_default() is False
     monkeypatch.setenv("DOWNSTREAM_VMAP", "1")
     assert _vmap_folds_default() is True
+
+
+def test_directional_scenarios_vmapped_match_sequential():
+    """downstream_directional: width-grouped vmapped scenario populations
+    reproduce the sequential per-scenario fits (same split, same seed-42
+    key per scenario)."""
+    from sklearn.preprocessing import LabelEncoder
+
+    from vae_los_angeles_tpu.evaluation.downstream_directional import (
+        run_classification_scenario,
+        run_scenarios_vmapped,
+    )
+
+    x, y = _fixture(n=120, dim=24, seed=5)
+    le = LabelEncoder().fit(np.array(["A", "B", "C", "D"])[y])
+    labels = le.transform(np.array(["A", "B", "C", "D"])[y]).astype(np.int64)
+    cw = np.ones(N_CLASSES, np.float32)
+    scenarios = {
+        "narrow": x[:, :10],             # width 10 (group of 1)
+        "wide-a": x,                     # width 24 (group of 2)
+        "wide-b": x[:, ::-1].copy(),
+    }
+    vm = run_scenarios_vmapped(scenarios, labels, N_CLASSES, cw, le)
+    assert list(vm.keys()) == list(scenarios.keys())  # caller's order kept
+    for name, data in scenarios.items():
+        seq = run_classification_scenario(
+            data, labels, N_CLASSES, cw, name, le
+        )
+        assert vm[name]["accuracy"] == pytest.approx(
+            seq["accuracy"], abs=1e-6), name
+        assert vm[name]["weighted avg"]["f1-score"] == pytest.approx(
+            seq["weighted avg"]["f1-score"], abs=1e-6), name

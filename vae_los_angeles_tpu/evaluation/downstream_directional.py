@@ -5,7 +5,10 @@ Same task as `downstream.py`, but the estimated modalities come from the two
 directional models — est-DNA from RNA2DNAVAE(rna, site) (reference :115-130),
 est-RNA from DNA2RNAVAE(dna, site) (:133-148) — and the classifier is the
 shallow 128-unit MLP trained for a fixed 20 epochs on a single stratified
-80/20 split (:165-212). Four scenarios (:329-334).
+80/20 split (:165-212). Four scenarios (:329-334); by default scenarios of
+equal feature width train as one vmapped population (2 dispatches instead
+of 4 sequential fits — `run_scenarios_vmapped`; ``DOWNSTREAM_VMAP=0``
+restores the per-scenario loop).
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ import numpy as np
 
 from vae_los_angeles_tpu.config import Config
 from vae_los_angeles_tpu.evaluation.downstream import (
+    _vmap_folds_default,
     plot_comparison,
     plot_per_tissue_comparison,
     prepare_filtered_val_data,
@@ -24,7 +28,9 @@ from vae_los_angeles_tpu.evaluation.downstream import (
 from vae_los_angeles_tpu.evaluation.loading import load_dna2rna, load_rna2dna
 from vae_los_angeles_tpu.evaluation.mlp_classifier import (
     fit_classifier,
+    fit_classifier_folds,
     predict_classes,
+    predict_classes_folds,
 )
 
 
@@ -72,6 +78,58 @@ def run_classification_scenario(features, labels, n_classes, class_weights,
     )
 
 
+def run_scenarios_vmapped(scenarios, labels, n_classes, class_weights,
+                          le_new, seed=42):
+    """Scenarios of equal feature width train as ONE vmapped population
+    (each scenario is a "fold" of `fit_classifier_folds` — the split is
+    identical across scenarios, only the feature matrix differs). The 4
+    reference scenarios (widths 1177/2388/2388/2388,
+    downstream_task_directional.py:329-334) become 2 dispatches. Per-fold
+    key = PRNGKey(seed) for every scenario, exactly the sequential path's
+    seeding, so results match it (bit-identical on CPU, tested)."""
+    from sklearn.metrics import classification_report
+    from sklearn.model_selection import train_test_split
+
+    names = list(scenarios.keys())
+    by_width = {}
+    for name in names:
+        by_width.setdefault(scenarios[name].shape[1], []).append(name)
+
+    metrics_dict = {}
+    for width, group in by_width.items():
+        print("\n" + "=" * 50)
+        print(f"Scenarios (vmapped population, width {width}): "
+              + ", ".join(group))
+        print("=" * 50)
+        folds, tests = [], []
+        for name in group:
+            X_train, X_test, y_train, y_test = train_test_split(
+                scenarios[name], labels, test_size=0.2, random_state=seed,
+                stratify=labels,
+            )
+            folds.append((X_train, y_train, X_test, y_test, class_weights))
+            tests.append((X_test, y_test))
+        fit = fit_classifier_folds(
+            folds, n_classes, arch="shallow", num_epochs=20, batch_size=32,
+            lr=1e-3, weight_decay=0.0, early_stop=False,
+            seeds=[seed] * len(group),
+        )
+        preds = predict_classes_folds(
+            fit.params, np.stack([t[0] for t in tests]), arch="shallow"
+        )
+        for i, name in enumerate(group):
+            y_test = tests[i][1]
+            report = classification_report(
+                y_test, preds[i], target_names=le_new.classes_,
+                labels=np.arange(len(le_new.classes_)), output_dict=True,
+                zero_division=0,
+            )
+            print(f"\n{name}: accuracy {report['accuracy']:.4f}")
+            metrics_dict[name] = report
+    # report in the caller's scenario order
+    return {name: metrics_dict[name] for name in names}
+
+
 def main(cfg: Optional[Config] = None):
     from sklearn.utils.class_weight import compute_class_weight
 
@@ -107,11 +165,16 @@ def main(cfg: Optional[Config] = None):
         "Orig. RNA + Orig. DNA": np.concatenate([rna_data, dna_data], axis=1),
     }
 
-    metrics_dict = {}
-    for name, data in scenarios.items():
-        metrics_dict[name] = run_classification_scenario(
-            data, labels, n_classes, cw_full, name, le_new
+    if _vmap_folds_default():
+        metrics_dict = run_scenarios_vmapped(
+            scenarios, labels, n_classes, cw_full, le_new
         )
+    else:
+        metrics_dict = {}
+        for name, data in scenarios.items():
+            metrics_dict[name] = run_classification_scenario(
+                data, labels, n_classes, cw_full, name, le_new
+            )
 
     run_tag = f"{rna2dna_model.run_id}_{dna2rna_model.run_id}"
     plot_comparison(
