@@ -21,6 +21,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: the suite is compile-dominated on the
+# single-core CI host (measured: worst test 131 s cold → 28 s warm, full
+# suite ~44 min → ~17 min). Safe here because tests are CPU-hermetic — the
+# "never enable the cache" rule (CLAUDE.md) applies to the axon RELAY path
+# only, where local executable serialization defeats remote compilation.
+# Exported via os.environ so test-spawned subprocesses (graft dryruns, CLI
+# smoke tests — all of which self-provision the CPU platform) share it.
+# Opt out with JAX_TEST_CACHE_DIR=0; point elsewhere by setting it.
+_cache_dir = os.environ.get(
+    "JAX_TEST_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_test_cache"),
+)
+if _cache_dir != "0":
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import gc  # noqa: E402
 
 import numpy as np  # noqa: E402
