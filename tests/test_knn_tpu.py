@@ -95,10 +95,12 @@ def test_repeated_query_predicts_reuse_device_copy():
     x, y, q = _data(seed=8)
     model = KNNRegressorTPU(n_neighbors=5).fit(x, y)
     first = model.predict(q)
-    assert id(q) in _PUT_CACHE
-    cached_dev = _PUT_CACHE[id(q)][2]
+    # cache keys are (id(host array), pad salt) since round-4 bucketing
+    q_keys = [k for k in _PUT_CACHE if k[0] == id(q)]
+    assert q_keys
+    cached_dev = _PUT_CACHE[q_keys[0]][2]
     again = KNNRegressorTPU(n_neighbors=3).fit(x, y).predict(q)
-    assert _PUT_CACHE[id(q)][2] is cached_dev  # no re-transfer
+    assert _PUT_CACHE[q_keys[0]][2] is cached_dev  # no re-transfer
     assert first.shape == again.shape
 
 

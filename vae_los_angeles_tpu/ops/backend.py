@@ -47,3 +47,38 @@ def eval_backend() -> str:
 def tpu_eval_backend() -> bool:
     """True when the TPU evaluation kernels are selected."""
     return eval_backend() == "tpu"
+
+
+def eval_bucket_enabled() -> bool:
+    """Row-count bucketing for the evaluation kernels (``EVAL_BUCKET``,
+    default on; ``EVAL_BUCKET=0`` disables).
+
+    Every evaluation program's executable is keyed on the cohort's row
+    count, and on the relay a never-seen program costs minutes of compile
+    (RESULTS.md compile ledger) — so two cohorts of 850 and 1000 samples
+    would each pay the full cold stack. Bucketing pads rows up to a
+    geometric ladder (≤ ~17% waste) with exact masking, so near-sized
+    cohorts share every compiled program."""
+    return os.getenv("EVAL_BUCKET", "1") != "0"
+
+
+# per-octave mantissas: ratio ≤ 1.17 between consecutive buckets
+_BUCKET_MANTISSAS = (16, 18, 21, 24, 28)
+
+
+def bucket_rows(n: int, enabled=None) -> int:
+    """Smallest ladder value ≥ n (identity below 32 rows or when
+    bucketing is disabled). Ladder: {16,18,21,24,28}·2^e — consecutive
+    steps within 17%, so padded waste is bounded and near-sized cohorts
+    land in the same bucket."""
+    if n <= 32:
+        return n
+    if not (eval_bucket_enabled() if enabled is None else enabled):
+        return n
+    octave = 1
+    while True:
+        for m in _BUCKET_MANTISSAS:
+            b = m * octave
+            if b >= n:
+                return b
+        octave *= 2

@@ -49,6 +49,7 @@ from vae_los_angeles_tpu.ops.knn import (
     _device_put_cached,
     _eval_mesh,
     _padded_rows,
+    _row_padded_put,
     _row_sharded_put,
 )
 
@@ -199,12 +200,19 @@ def silhouette_score_tpu(features, labels, chunk_size: int = 1024,
         fn = build_silhouette_chunk(mesh, comp)
         run = lambda block, start: fn(x, oh, block, np.int32(start))
     else:
-        x = _features_on_device(features)
+        from vae_los_angeles_tpu.ops.backend import bucket_rows
+
+        n_pad = bucket_rows(n)  # near-sized cohorts share the executable
+        x = _row_padded_put(features, n_pad)
         x_sq = jnp.sum(x * x, axis=1)
-        onehot = jnp.asarray(np.eye(n_labels, dtype=np.float32)[lab_idx])
+        onehot_host = np.zeros((n_pad, n_labels), np.float32)
+        onehot_host[np.arange(n), lab_idx] = 1.0  # pad rows: zero onehot
+        onehot = jnp.asarray(onehot_host)
         run = lambda block, start: _silhouette_chunk(
             x, x_sq, block, start, onehot, compensated=comp)
-    chunk = min(chunk_size, n)
+    # key the chunk shape on the PADDED length so near-sized cohorts in
+    # one bucket share the executable (pad query rows are sliced off)
+    chunk = min(chunk_size, len(x))
     sums = np.empty((n, n_labels), np.float64)
     for start in _chunk_starts(n, chunk):
         # clamp to the true n: sharded x carries padded rows past it
@@ -232,14 +240,16 @@ def _silhouette_from_sums(sums, lab_idx, counts) -> float:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "compensated"))
-def _nh_chunk(x, x_sq, lab, block, block_lab, row_offset, k: int,
-              compensated=False):
+def _nh_chunk(x, x_sq, lab, block, block_lab, row_offset, n_valid,
+              k: int, compensated=False):
     """Fraction of each chunk row's k nearest neighbors (self excluded)
-    sharing its label: (m,)."""
+    sharing its label: (m,). Rows of ``x`` at/past ``n_valid`` are bucket
+    padding and can never be neighbors."""
     d2 = _chunk_d2(x, x_sq, block, compensated)
     cols = jnp.arange(x.shape[0])[None, :]
     rows = (row_offset + jnp.arange(block.shape[0]))[:, None]
-    d2 = jnp.where(cols == rows, jnp.inf, d2)  # exclude self
+    keep = (cols != rows) & (cols < n_valid)
+    d2 = jnp.where(keep, d2, jnp.inf)
     _, idx = jax.lax.top_k(-d2, k)
     hits = jnp.take(lab, idx) == block_lab[:, None]
     return jnp.mean(hits.astype(jnp.float32), axis=1)
@@ -247,12 +257,14 @@ def _nh_chunk(x, x_sq, lab, block, block_lab, row_offset, k: int,
 
 @functools.partial(jax.jit, static_argnames=("k", "compensated"))
 def _scores_chunk(x, x_sq, lab, onehot, block, block_lab, row_offset,
-                  k: int, compensated=False):
+                  n_valid, k: int, compensated=False):
     """Fused silhouette + NH chunk: ONE distance block feeds both the
     per-cluster sums matmul and the top-k neighbor agreement, so scoring a
     clustering compiles and runs one program instead of two (the
     `cluster_scores` path always wants both metrics over the same matrix —
-    reference cluster_reconstructed.py:296-318)."""
+    reference cluster_reconstructed.py:296-318). Bucket-padding rows of
+    ``x`` (index ≥ ``n_valid``) carry a zero onehot (inert in the sums) and
+    are masked out of the neighbor search."""
     d2 = _chunk_d2(x, x_sq, block, compensated)
     cols = jnp.arange(x.shape[0])[None, :]
     rows = (row_offset + jnp.arange(block.shape[0]))[:, None]
@@ -261,7 +273,7 @@ def _scores_chunk(x, x_sq, lab, onehot, block, block_lab, row_offset,
     prec = jax.lax.Precision.HIGHEST if compensated else None
     sums = jnp.dot(d, onehot, preferred_element_type=jnp.float32,
                    precision=prec)
-    d2 = jnp.where(self_mask, jnp.inf, d2)
+    d2 = jnp.where(self_mask | (cols >= n_valid), jnp.inf, d2)
     _, idx = jax.lax.top_k(-d2, k)
     hits = jnp.take(lab, idx) == block_lab[:, None]
     return sums, jnp.mean(hits.astype(jnp.float32), axis=1)
@@ -297,12 +309,21 @@ def neighborhood_hit_tpu(features, labels, k: int = 5,
         run = lambda block, block_lab, start: fn(
             x, lab_sh, n_arr, block, block_lab, np.int32(start))
     else:
-        x = _features_on_device(features)
+        from vae_los_angeles_tpu.ops.backend import bucket_rows
+
+        n_pad = bucket_rows(n)
+        x = _row_padded_put(features, n_pad)
         x_sq = jnp.sum(x * x, axis=1)
-        lab = jnp.asarray(lab_host)
+        # lab is a kernel arg: pad it too so the executable keys on n_pad
+        # (pad entries are never gathered — cols ≥ n are masked to inf)
+        lab = _row_padded_put(lab_host, n_pad, dtype=np.int32)
+        n_arr = np.int32(n)
         run = lambda block, block_lab, start: _nh_chunk(
-            x, x_sq, lab, block, block_lab, start, k, compensated=comp)
-    chunk = min(chunk_size, n)
+            x, x_sq, lab, block, block_lab, start, n_arr, k,
+            compensated=comp)
+    # key the chunk shape on the PADDED length so near-sized cohorts in
+    # one bucket share the executable (pad query rows are sliced off)
+    chunk = min(chunk_size, len(x))
     fracs = np.empty(n, np.float64)
     for start in _chunk_starts(n, chunk):
         stop = min(start + chunk, n)  # sharded x has padded rows past n
@@ -370,15 +391,24 @@ def cluster_scores_tpu(features, labels, k: int = 5, chunk_size: int = 1024,
         run = lambda block, block_lab, start: fn(
             x, oh, lab_sh, n_arr, block, block_lab, np.int32(start))
     else:
-        x = _features_on_device(features)
+        from vae_los_angeles_tpu.ops.backend import bucket_rows
+
+        n_pad = bucket_rows(n)
+        x = _row_padded_put(features, n_pad)
         x_sq = jnp.sum(x * x, axis=1)
-        onehot = jnp.asarray(np.eye(n_labels, dtype=np.float32)[lab_idx])
-        lab = jnp.asarray(lab_host)
+        onehot_host = np.zeros((n_pad, n_labels), np.float32)
+        onehot_host[np.arange(n), lab_idx] = 1.0  # pad rows: zero onehot
+        onehot = jnp.asarray(onehot_host)
+        # lab is a kernel arg: pad it too so the executable keys on n_pad
+        lab = _row_padded_put(lab_host, n_pad, dtype=np.int32)
+        n_arr = np.int32(n)
         run = lambda block, block_lab, start: _scores_chunk(
-            x, x_sq, lab, onehot, block, block_lab, start, k,
+            x, x_sq, lab, onehot, block, block_lab, start, n_arr, k,
             compensated=comp)
 
-    chunk = min(chunk_size, n)
+    # key the chunk shape on the PADDED length so near-sized cohorts in
+    # one bucket share the executable (pad query rows are sliced off)
+    chunk = min(chunk_size, len(x))
     sums = np.empty((n, n_labels), np.float64)
     fracs = np.empty(n, np.float64)
     for start in _chunk_starts(n, chunk):

@@ -42,21 +42,24 @@ import numpy as np
 _PUT_CACHE: dict = {}
 
 
-def _fingerprint(arr: np.ndarray, sharding=None):
+def _fingerprint(arr: np.ndarray, sharding=None, salt=None):
     flat = arr.reshape(-1)
     probe = flat[:: max(1, flat.size // 16)][:16]
-    return (arr.shape, arr.dtype.str, probe.tobytes(), sharding)
+    return (arr.shape, arr.dtype.str, probe.tobytes(), sharding, salt)
 
 
-def _device_put_cached(arr: np.ndarray, make=None, sharding=None) -> jax.Array:
+def _device_put_cached(arr: np.ndarray, make=None, sharding=None,
+                       salt=None) -> jax.Array:
     """Device copy of ``make() if make else arr``, keyed on the CALLER's
     ``arr`` object (so dtype-conversion/reshape temps — which die immediately
     and recycle ids — never key the cache). ``sharding`` (a NamedSharding for
-    multi-chip row sharding) participates in the hit check and the put."""
-    key = id(arr)
+    multi-chip row sharding) participates in the hit check and the put;
+    ``salt`` disambiguates different derived copies of the same host array
+    (e.g. bucket-padded vs unpadded)."""
+    key = (id(arr), salt)
     hit = _PUT_CACHE.get(key)
     if hit is not None and hit[0]() is arr and hit[1] == _fingerprint(
-            arr, sharding):
+            arr, sharding, salt):
         return hit[2]
     host = make() if make is not None else arr
     dev = jnp.asarray(host) if sharding is None else jax.device_put(
@@ -65,8 +68,30 @@ def _device_put_cached(arr: np.ndarray, make=None, sharding=None) -> jax.Array:
         ref = weakref.ref(arr, lambda _, k=key: _PUT_CACHE.pop(k, None))
     except TypeError:
         return dev
-    _PUT_CACHE[key] = (ref, _fingerprint(arr, sharding), dev)
+    _PUT_CACHE[key] = (ref, _fingerprint(arr, sharding, salt), dev)
     return dev
+
+
+def _row_padded_put(arr, n_pad: int, dtype=np.float32) -> jax.Array:
+    """Single-chip device copy padded with zero rows to ``n_pad`` (the
+    bucketed-executable analogue of `_row_sharded_put`); host numpy inputs
+    reuse the put cache, salted by the pad target."""
+    if n_pad == len(arr):
+        if isinstance(arr, jax.Array):
+            return arr.astype(dtype)
+        if isinstance(arr, np.ndarray):
+            # unsalted: shares the cache entry with unpadded consumers
+            return _device_put_cached(arr, lambda: np.asarray(arr, dtype))
+        return jnp.asarray(np.asarray(arr, dtype))
+    pad = ((0, n_pad - len(arr)),) + ((0, 0),) * (arr.ndim - 1)
+    if isinstance(arr, jax.Array):
+        return jnp.pad(arr.astype(dtype), pad)
+    if isinstance(arr, np.ndarray):
+        return _device_put_cached(
+            arr, lambda: np.pad(np.asarray(arr, dtype), pad),
+            salt=("rowpad", n_pad),
+        )
+    return jnp.asarray(np.pad(np.asarray(arr, dtype), pad))
 
 
 def _eval_mesh(shard=None):
@@ -105,14 +130,21 @@ def _row_sharded_put(arr, mesh, n_pad: int, dtype=np.float32,
             lambda: np.pad(np.asarray(arr, dtype), pad,
                            constant_values=pad_value),
             sharding=sharding,
+            salt=("rowpad", n_pad),  # pad target varies with EVAL_BUCKET
         )
     host = np.pad(np.asarray(arr, dtype), pad, constant_values=pad_value)
     return jax.device_put(host, sharding)
 
 
 def _padded_rows(n: int, mesh) -> int:
+    """Mesh-divisible padded row count, bucketed up the executable-sharing
+    ladder first (ops/backend.bucket_rows; EVAL_BUCKET=0 disables) — every
+    sharded evaluation kernel is pad-row-exact by construction, so
+    near-sized cohorts reuse each other's compiled programs."""
+    from vae_los_angeles_tpu.ops.backend import bucket_rows
+
     d = mesh.devices.size
-    return -(-n // d) * d
+    return -(-bucket_rows(n) // d) * d
 
 
 def _exact_topk_d2(x_train, queries, idx, k: int):

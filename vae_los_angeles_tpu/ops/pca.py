@@ -36,9 +36,10 @@ import numpy as np
 from vae_los_angeles_tpu.ops.knn import _device_put_cached, _eval_mesh
 
 
-def _col_sharded_features(features, mesh) -> jax.Array:
+def _col_sharded_features(features, mesh, n_pad=None) -> jax.Array:
     """FEATURE-axis-sharded device copy, columns padded to a multiple of
-    the mesh size with zeros.
+    the mesh size with zeros (and rows optionally bucket-padded to
+    ``n_pad`` for executable sharing).
 
     The feature dimension is this domain's "long-context" axis (SURVEY §5:
     no sequence axis exists; width is what grows, to 450k at whole-methylome
@@ -51,10 +52,11 @@ def _col_sharded_features(features, mesh) -> jax.Array:
     from jax.sharding import NamedSharding, PartitionSpec
 
     nd = mesh.devices.size
-    d = features.shape[1]
+    n, d = features.shape
+    n_pad = n if n_pad is None else n_pad
     d_pad = -(-d // nd) * nd
     sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
-    pad = ((0, 0), (0, d_pad - d))
+    pad = ((0, n_pad - n), (0, d_pad - d))
     if isinstance(features, jax.Array):
         return jax.device_put(
             jnp.pad(features.astype(jnp.float32), pad), sharding)
@@ -64,6 +66,7 @@ def _col_sharded_features(features, mesh) -> jax.Array:
         host,
         lambda: np.pad(np.asarray(host, np.float32), pad),
         sharding=sharding,
+        salt=("rowpad", n_pad),
     )
 
 
@@ -71,31 +74,55 @@ def device_scaled_features(features, shard=None) -> jax.Array:
     """StandardScaler semantics on device; on multi-chip hosts the feature
     axis auto-shards over the chips so cohort×methylome-width matrices that
     exceed one chip's HBM stay scalable (``shard=False`` forces
-    single-chip, the same policy knob as the other evaluation kernels)."""
-    from vae_los_angeles_tpu.ops.cluster_metrics import _features_on_device
+    single-chip, the same policy knob as the other evaluation kernels).
+    Rows are bucket-padded up the executable-sharing ladder
+    (ops/backend.bucket_rows) with mask-exact statistics, so near-sized
+    cohorts reuse the compiled program; the returned array is sliced back
+    to the true row count."""
+    from vae_los_angeles_tpu.ops.backend import bucket_rows
+    from vae_los_angeles_tpu.ops.knn import _row_padded_put
 
+    n = len(features)
+    n_pad = bucket_rows(n)
     mesh = _eval_mesh(shard)
     if mesh is not None:
-        return standardize_tpu(_col_sharded_features(features, mesh))
-    return standardize_tpu(_features_on_device(features))
+        x = _col_sharded_features(features, mesh, n_pad)
+    else:
+        x = _row_padded_put(features, n_pad)
+    out = standardize_tpu(x, np.int32(n))
+    return out if n_pad == n else out[:n]
 
 
 @jax.jit
-def standardize_tpu(x) -> jax.Array:
+def standardize_tpu(x, n_valid=None) -> jax.Array:
     """sklearn-StandardScaler semantics on device: per-feature zero mean,
-    population std (ddof=0); zero-variance features get scale 1."""
+    population std (ddof=0); zero-variance features get scale 1. Rows
+    at/past ``n_valid`` are bucket padding: excluded from the statistics,
+    zeroed in the output (mask-exact — the valid rows match the unpadded
+    program bit-for-bit up to reduction order)."""
     x = x.astype(jnp.float32)
-    mean = jnp.mean(x, axis=0, keepdims=True)
-    centered = x - mean
-    std = jnp.sqrt(jnp.mean(centered * centered, axis=0, keepdims=True))
+    if n_valid is None:
+        n_valid = x.shape[0]
+    mask = (jnp.arange(x.shape[0]) < n_valid)[:, None].astype(x.dtype)
+    cnt = jnp.asarray(n_valid, jnp.float32)
+    mean = jnp.sum(x * mask, axis=0, keepdims=True) / cnt
+    centered = (x - mean) * mask
+    std = jnp.sqrt(jnp.sum(centered * centered, axis=0, keepdims=True) / cnt)
     return centered / jnp.where(std == 0.0, 1.0, std)
 
 
 @functools.partial(jax.jit, static_argnames=("n_components",))
-def _pca_gram(x, n_components: int):
-    """(scores, explained_variance_ratio) via the n×n Gram eigh."""
+def _pca_gram(x, n_valid, n_components: int):
+    """(scores, explained_variance_ratio) via the n×n Gram eigh. Rows
+    at/past ``n_valid`` are bucket padding: masked out of the centering and
+    exactly zero in the Gram (zero rows/cols add zero eigenvalues, which
+    sort below the real spectrum), so the valid-row scores equal the
+    unpadded program's."""
     x = x.astype(jnp.float32)
-    x_c = x - jnp.mean(x, axis=0, keepdims=True)
+    mask = (jnp.arange(x.shape[0]) < n_valid)[:, None].astype(x.dtype)
+    cnt = jnp.asarray(n_valid, jnp.float32)
+    mean = jnp.sum(x * mask, axis=0, keepdims=True) / cnt
+    x_c = (x - mean) * mask
     gram = jnp.dot(x_c, x_c.T, preferred_element_type=jnp.float32)
     eigval, eigvec = jnp.linalg.eigh(gram)           # ascending
     lam = jnp.maximum(eigval[::-1][:n_components], 0.0)
@@ -114,7 +141,8 @@ def _pca_gram(x, n_components: int):
 class PCATPU:
     """sklearn-`PCA` surface for the fit_transform-only way the clustering
     scripts use it; `random_state` accepted for call-site compatibility
-    (the Gram path is deterministic)."""
+    (the Gram path is deterministic). Rows bucket-pad up the
+    executable-sharing ladder (mask-exact; see `_pca_gram`)."""
 
     def __init__(self, n_components: int = 2, random_state=None):
         self.n_components = n_components
@@ -122,13 +150,19 @@ class PCATPU:
         self.explained_variance_ratio_ = None
 
     def fit_transform(self, X) -> np.ndarray:
+        from vae_los_angeles_tpu.ops.backend import bucket_rows
+        from vae_los_angeles_tpu.ops.knn import _row_padded_put
+
+        n = len(X)
+        n_pad = bucket_rows(n)
         if isinstance(X, jax.Array):
-            dev = X
-        elif isinstance(X, np.ndarray):
-            dev = _device_put_cached(X, lambda: np.asarray(X, np.float32))
+            dev = X if n_pad == n else jnp.pad(X, ((0, n_pad - n), (0, 0)))
         else:
-            dev = jnp.asarray(np.asarray(X, np.float32))
-        k = min(self.n_components, *dev.shape)
-        scores, evr = _pca_gram(dev, k)
+            dev = _row_padded_put(
+                X if isinstance(X, np.ndarray) else np.asarray(X, np.float32),
+                n_pad,
+            )
+        k = min(self.n_components, n, dev.shape[1])
+        scores, evr = _pca_gram(dev, np.int32(n), k)
         self.explained_variance_ratio_ = np.asarray(jax.device_get(evr))
-        return np.asarray(jax.device_get(scores))
+        return np.asarray(jax.device_get(scores))[:n]

@@ -209,6 +209,24 @@ def _optimize(p, y0, lr, early_exaggeration, max_iter: int, dof: float):
     return y, kl
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_components"))
+def _pca_init(x, n_valid, k: int, n_components: int):
+    """sklearn's PCA init for t-SNE on a bucket-padded matrix: masked
+    Gram-PCA scores rescaled so the first component's σ (over the VALID
+    rows) is 1e-4; pad rows exactly zero."""
+    from vae_los_angeles_tpu.ops.pca import _pca_gram
+
+    scores, _ = _pca_gram(x, n_valid, k)
+    scores = jnp.pad(scores, ((0, 0), (0, n_components - scores.shape[1])))
+    mask = (jnp.arange(scores.shape[0]) < n_valid).astype(scores.dtype)
+    cnt = jnp.asarray(n_valid, jnp.float32)
+    mean0 = jnp.sum(scores[:, 0] * mask) / cnt
+    var0 = jnp.sum(mask * (scores[:, 0] - mean0) ** 2) / cnt
+    std0 = jnp.sqrt(var0)
+    y = scores / jnp.maximum(std0, jnp.finfo(jnp.float32).tiny) * 1e-4
+    return y * mask[:, None]
+
+
 class TSNETPU:
     """sklearn-`TSNE` surface for the fit_transform way the evaluation
     scripts use it (`cluster_reconstructed.py:178`,
@@ -241,22 +259,25 @@ class TSNETPU:
         self.kl_divergence_ = None
         self.embedding_ = None
 
-    def _initial_embedding(self, x_dev: jax.Array, n: int) -> jax.Array:
+    def _initial_embedding(self, x_pad: jax.Array, n: int) -> jax.Array:
+        """(n_pad, n_components) initial embedding; rows past ``n`` (bucket
+        padding) are exactly zero so the descent's include-masks stay
+        consistent with the affinity stage."""
+        n_pad = x_pad.shape[0]
         if isinstance(self.init, np.ndarray):
-            return jnp.asarray(self.init, jnp.float32)
+            y = np.zeros((n_pad, self.n_components), np.float32)
+            y[:n] = np.asarray(self.init, np.float32)
+            return jnp.asarray(y)
         if self.init == "pca":
             # sklearn: PCA scores rescaled so the first component has σ=1e-4
-            from vae_los_angeles_tpu.ops.pca import _pca_gram
-
-            scores, _ = _pca_gram(x_dev, min(self.n_components, n))
-            scores = jnp.pad(scores, ((0, 0), (0, self.n_components - scores.shape[1])))
-            std0 = jnp.std(scores[:, 0])
-            return scores / jnp.maximum(std0, jnp.finfo(jnp.float32).tiny) * 1e-4
+            return _pca_init(x_pad, np.int32(n), min(self.n_components, n),
+                             self.n_components)
         if self.init == "random":
             rs = np.random.RandomState(
                 self.random_state if self.random_state is not None else None)
-            return jnp.asarray(
-                1e-4 * rs.standard_normal((n, self.n_components)), jnp.float32)
+            y = np.zeros((n_pad, self.n_components), np.float32)
+            y[:n] = 1e-4 * rs.standard_normal((n, self.n_components))
+            return jnp.asarray(y)
         raise ValueError(f"init must be 'pca', 'random' or an array, got {self.init!r}")
 
     def fit_transform(self, X, y=None) -> np.ndarray:
@@ -274,14 +295,25 @@ class TSNETPU:
             lr = max(n / self.early_exaggeration / 4.0, 50.0)
         else:
             lr = float(self.learning_rate)
-        y0 = self._initial_embedding(x, n)
         dof = float(max(self.n_components - 1, 1))
+        from vae_los_angeles_tpu.ops.backend import bucket_rows
         from vae_los_angeles_tpu.ops.knn import _eval_mesh
 
         mesh = _eval_mesh(self.shard)
+        if mesh is None and self.shard is None and bucket_rows(n) != n:
+            # single chip, auto policy, bucketed: run the mask-exact
+            # row-block program on a trivial 1-device mesh so near-sized
+            # cohorts share the compiled affinity+descent executables (the
+            # padded-row semantics are the sharded program's, tested in
+            # tests/test_sharded_tsne.py). An explicit ``shard=False``
+            # keeps the plain unpadded single-chip program.
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
         if mesh is not None:
-            # multi-chip: the n² affinity/descent state shards by row block
-            # (parallel/sharded_eval.build_tsne); Y stays replicated
+            # multi-chip (or bucketed single-chip): the n² affinity/descent
+            # state shards by row block (parallel/sharded_eval.build_tsne);
+            # Y stays replicated
             from vae_los_angeles_tpu.ops.knn import (
                 _padded_rows,
                 _row_sharded_put,
@@ -290,13 +322,14 @@ class TSNETPU:
 
             n_pad = _padded_rows(n, mesh)
             x_sh = _row_sharded_put(x, mesh, n_pad)
-            y0 = jnp.pad(y0, ((0, n_pad - n), (0, 0)))
+            y0 = self._initial_embedding(x_sh, n)
             fn = build_tsne(mesh, self.max_iter, dof)
             emb, kl = fn(x_sh, np.int32(n), y0, jnp.float32(self.perplexity),
                          jnp.float32(lr),
                          jnp.float32(self.early_exaggeration))
             emb = emb[:n]
         else:
+            y0 = self._initial_embedding(x, n)
             p = _joint_probabilities(_sq_distances(x),
                                      jnp.float32(self.perplexity))
             emb, kl = _optimize(
