@@ -86,3 +86,41 @@ def test_every_resolver_honors_canonical_spelling(monkeypatch):
     assert resolve_knn_regressor() is KNeighborsRegressor
     assert resolve_silhouette() is silhouette_score
     assert resolve_tsne() is TSNE
+
+
+def test_eval_matmul_precision(monkeypatch):
+    """EVAL_PRECISION: HIGHEST by default (on-chip neighbor-RANKING parity
+    — the TPU's 1-pass-bf16 default picks different neighbors than sklearn,
+    measured max |kNN error| 0.74 on the real chip; RESULTS.md round-4
+    precision ledger), 'default' opts out, typos raise."""
+    import jax
+
+    from vae_los_angeles_tpu.ops.backend import eval_matmul_precision
+
+    monkeypatch.delenv("EVAL_PRECISION", raising=False)
+    assert eval_matmul_precision() is jax.lax.Precision.HIGHEST
+    monkeypatch.setenv("EVAL_PRECISION", "highest")
+    assert eval_matmul_precision() is jax.lax.Precision.HIGHEST
+    monkeypatch.setenv("EVAL_PRECISION", "default")
+    assert eval_matmul_precision() is None
+    monkeypatch.setenv("EVAL_PRECISION", "bf16")
+    with pytest.raises(ValueError, match="EVAL_PRECISION"):
+        eval_matmul_precision()
+
+
+def test_eval_precision_default_mode_runs(monkeypatch):
+    """EVAL_PRECISION=default still computes correct results on CPU (where
+    precision is a no-op) — the knob must not break any kernel path."""
+    import numpy as np
+    from sklearn.neighbors import KNeighborsRegressor
+
+    from vae_los_angeles_tpu.ops.knn import KNNRegressorTPU
+
+    monkeypatch.setenv("EVAL_PRECISION", "default")
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(120, 9)).astype(np.float32)
+    y = rng.normal(size=(120, 2)).astype(np.float32)
+    q = rng.normal(size=(25, 9)).astype(np.float32)
+    want = KNeighborsRegressor(4).fit(x, y).predict(q)
+    got = KNNRegressorTPU(4, shard=False).fit(x, y).predict(q)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

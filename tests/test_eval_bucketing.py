@@ -152,3 +152,51 @@ def test_executable_sharing_across_cohort_sizes():
     size_before = _scores_chunk._cache_size()
     cluster_scores_tpu(x2, l2, shard=False)
     assert _scores_chunk._cache_size() == size_before  # no new executable
+
+
+def test_knn_bucketed_parity_and_sharing():
+    """kNN fit matrices bucket too: predictions stay sklearn-exact and two
+    near-sized training sets share the chunk executable."""
+    from sklearn.neighbors import KNeighborsRegressor
+
+    from vae_los_angeles_tpu.ops.knn import KNNRegressorTPU, _knn_chunk
+
+    rng = np.random.default_rng(12)
+    q = rng.normal(size=(64, 20)).astype(np.float32)
+    for weights in ("uniform", "distance"):
+        x1 = rng.normal(size=(850, 20)).astype(np.float32)
+        y1 = rng.normal(size=(850, 3)).astype(np.float32)
+        want = KNeighborsRegressor(5, weights=weights).fit(x1, y1).predict(q)
+        got = KNNRegressorTPU(5, weights=weights, shard=False).fit(
+            x1, y1).predict(q)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    size_before = _knn_chunk._cache_size()
+    x2 = rng.normal(size=(890, 20)).astype(np.float32)  # same 896 bucket
+    y2 = rng.normal(size=(890, 3)).astype(np.float32)
+    KNNRegressorTPU(5, shard=False).fit(x2, y2).predict(q)
+    assert _knn_chunk._cache_size() == size_before
+
+
+def test_conditioned_knn_bucketed_parity():
+    """Conditioned kNN buckets via site=-1 padding (pad rows match no real
+    site): parity with the reference sklearn-loop implementation."""
+    from vae_los_angeles_tpu.models.conditioned_knn import (
+        ConditionedKNeighborsRegressor,
+    )
+    from vae_los_angeles_tpu.ops.knn import ConditionedKNNRegressorTPU
+
+    rng = np.random.default_rng(13)
+    n = 123  # buckets to 126? -> ladder: 112,128 -> 128
+    x = rng.normal(size=(n, 11)).astype(np.float32)
+    sites = rng.integers(0, 4, n).astype(np.float32)
+    X = np.concatenate([x, sites[:, None]], axis=1)
+    y = rng.normal(size=(n,)).astype(np.float32)
+    q = np.concatenate(
+        [rng.normal(size=(40, 11)).astype(np.float32),
+         rng.integers(0, 5, 40).astype(np.float32)[:, None]], axis=1,
+    )  # site 4 unseen -> zero rows
+    want = ConditionedKNeighborsRegressor(n_neighbors=5).fit(X, y).predict(q)
+    got = ConditionedKNNRegressorTPU(n_neighbors=5, shard=False).fit(
+        X, y).predict(q)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -62,6 +62,37 @@ def eval_bucket_enabled() -> bool:
     return os.getenv("EVAL_BUCKET", "1") != "0"
 
 
+def eval_matmul_precision():
+    """`jax.lax.Precision` for the evaluation kernels' distance/Gram
+    matmuls (``EVAL_PRECISION``: ``highest`` by default, ``default`` opts
+    out).
+
+    TPU MXUs execute an fp32-input matmul as ONE bf16 pass by default
+    (~8 mantissa bits). For the evaluation kernels that is not a rounding
+    footnote: neighbor SELECTION (kNN / neighborhood-hit `top_k`) ranks
+    near-tied distances, and on concentrated data the bf16 pass permutes
+    the ranking vs sklearn's host fp32/fp64 computation — measured on the
+    real chip as max |kNN prediction error| 0.74 on N(0,1) data at dim=64
+    (wrong neighbors, not roundoff; benchmarks/RESULTS.md round-4
+    precision ledger). ``highest`` (6-pass bf16 ≈ true fp32) restores
+    sklearn parity and is nearly free in the relay-dispatch-bound regimes
+    these kernels run in; ``EVAL_PRECISION=default`` opts into the raw
+    single-pass MXU mode for matmul-bound sweeps that tolerate ranking
+    drift. Returns a static-hashable value for jit cache keys (the
+    Precision enum, or None for the backend default).
+    """
+    import jax
+
+    raw = os.getenv("EVAL_PRECISION", "highest").lower()
+    if raw in ("", "highest"):
+        return jax.lax.Precision.HIGHEST
+    if raw == "default":
+        return None
+    raise ValueError(
+        f"EVAL_PRECISION={raw!r}; valid: highest (default), default"
+    )
+
+
 # per-octave mantissas: ratio ≤ 1.17 between consecutive buckets
 _BUCKET_MANTISSAS = (16, 18, 21, 24, 28)
 

@@ -72,10 +72,11 @@ def _device_put_cached(arr: np.ndarray, make=None, sharding=None,
     return dev
 
 
-def _row_padded_put(arr, n_pad: int, dtype=np.float32) -> jax.Array:
-    """Single-chip device copy padded with zero rows to ``n_pad`` (the
-    bucketed-executable analogue of `_row_sharded_put`); host numpy inputs
-    reuse the put cache, salted by the pad target."""
+def _row_padded_put(arr, n_pad: int, dtype=np.float32,
+                    pad_value=0.0) -> jax.Array:
+    """Single-chip device copy padded with ``pad_value`` rows to ``n_pad``
+    (the bucketed-executable analogue of `_row_sharded_put`); host numpy
+    inputs reuse the put cache, salted by the pad target."""
     if n_pad == len(arr):
         if isinstance(arr, jax.Array):
             return arr.astype(dtype)
@@ -85,13 +86,15 @@ def _row_padded_put(arr, n_pad: int, dtype=np.float32) -> jax.Array:
         return jnp.asarray(np.asarray(arr, dtype))
     pad = ((0, n_pad - len(arr)),) + ((0, 0),) * (arr.ndim - 1)
     if isinstance(arr, jax.Array):
-        return jnp.pad(arr.astype(dtype), pad)
+        return jnp.pad(arr.astype(dtype), pad, constant_values=pad_value)
     if isinstance(arr, np.ndarray):
         return _device_put_cached(
-            arr, lambda: np.pad(np.asarray(arr, dtype), pad),
-            salt=("rowpad", n_pad),
+            arr, lambda: np.pad(np.asarray(arr, dtype), pad,
+                                constant_values=pad_value),
+            salt=("rowpad", n_pad, pad_value),
         )
-    return jnp.asarray(np.pad(np.asarray(arr, dtype), pad))
+    return jnp.asarray(np.pad(np.asarray(arr, dtype), pad,
+                              constant_values=pad_value))
 
 
 def _eval_mesh(shard=None):
@@ -162,19 +165,28 @@ def _exact_topk_d2(x_train, queries, idx, k: int):
     return jnp.stack(cols, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "weights"))
-def _knn_chunk(x_train, y_train, queries, k: int, weights: str):
+@functools.partial(jax.jit, static_argnames=("k", "weights", "prec"))
+def _knn_chunk(x_train, y_train, queries, n_valid, k: int, weights: str,
+               prec=None):
     """Neighbor-mean predictions for one fixed-size query chunk.
 
     Exact squared-Euclidean distances via the matmul identity; fp32
     accumulation. ``distance`` weighting matches sklearn: wᵢ = 1/dᵢ, with
     an exact-match row (dᵢ = 0 among the neighbors) falling back to the
-    mean of the zero-distance neighbors only."""
+    mean of the zero-distance neighbors only. Training rows at/past
+    ``n_valid`` are bucket padding and can never be neighbors. ``prec``
+    is the MXU precision for the distance matmul — HIGHEST by default via
+    `ops/backend.eval_matmul_precision` (neighbor RANKING is selection,
+    not arithmetic: the default 1-pass-bf16 MXU mode picks different
+    neighbors than sklearn on concentrated data)."""
     q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)   # (m, 1)
     x_sq = jnp.sum(x_train * x_train, axis=1)                  # (n,)
     cross = jnp.dot(queries, x_train.T,
-                    preferred_element_type=jnp.float32)        # (m, n) MXU
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                            # (m, n) MXU
     d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
+    d2 = jnp.where(jnp.arange(x_train.shape[0])[None, :] < n_valid,
+                   d2, jnp.inf)
     neg_d2, idx = jax.lax.top_k(-d2, k)                        # (m, k)
     neighbors = jnp.take(y_train, idx, axis=0)                 # (m, k, t)
     if weights == "uniform":
@@ -248,24 +260,35 @@ class KNNRegressorTPU:
                     self._mesh, n_pad,
                 )
             return self
-        if isinstance(X, jax.Array):
-            self._x = X.astype(jnp.float32)
-        elif isinstance(X, np.ndarray):
-            self._x = _device_put_cached(X, lambda: np.asarray(X, np.float32))
-        else:
-            self._x = jnp.asarray(np.asarray(X, np.float32))
+        from vae_los_angeles_tpu.ops.backend import bucket_rows
+
+        n_pad = bucket_rows(self._n)  # near-sized fits share the executable
+        self._x = _row_padded_put(X, n_pad)
         if isinstance(y, jax.Array):
             self._squeeze = y.ndim == 1
-            self._y = y.astype(jnp.float32).reshape(y.shape[0], -1)
+            self._y = _row_padded_put(y.reshape(y.shape[0], -1), n_pad)
         elif isinstance(y, np.ndarray):
             self._squeeze = y.ndim == 1
-            self._y = _device_put_cached(
-                y, lambda: np.asarray(y, np.float32).reshape(len(y), -1)
-            )
+            if n_pad == self._n:
+                self._y = _device_put_cached(
+                    y, lambda: np.asarray(y, np.float32).reshape(len(y), -1)
+                )
+            else:
+                self._y = _device_put_cached(
+                    y,
+                    lambda: np.pad(
+                        np.asarray(y, np.float32).reshape(len(y), -1),
+                        ((0, n_pad - self._n), (0, 0)),
+                    ),
+                    salt=("rowpad", n_pad),
+                )
         else:
             y = np.asarray(y, np.float32)
             self._squeeze = y.ndim == 1
-            self._y = jnp.asarray(y.reshape(len(y), -1))
+            self._y = jnp.pad(
+                jnp.asarray(y.reshape(len(y), -1)),
+                ((0, n_pad - self._n), (0, 0)),
+            )
         return self
 
     def predict(self, X):
@@ -289,18 +312,26 @@ class KNNRegressorTPU:
             X = np.asarray(X, np.float32)
         elif X.dtype != jnp.float32:
             X = X.astype(jnp.float32)
+        from vae_los_angeles_tpu.ops.backend import eval_matmul_precision
+
+        prec = eval_matmul_precision()
         if self._mesh is not None:
             from vae_los_angeles_tpu.parallel.sharded_eval import (
                 build_knn_chunk,
             )
 
             k = min(self.n_neighbors, self._n)
-            fn = build_knn_chunk(self._mesh, k, self.weights)
+            fn = build_knn_chunk(self._mesh, k, self.weights, prec)
             n_arr = np.int32(self._n)
         else:
-            k = min(self.n_neighbors, int(self._x.shape[0]))
+            k = min(self.n_neighbors, self._n)
             fn = None
-        chunk = min(self.chunk_size, max(len(X), 1))
+            n_arr = np.int32(self._n)
+        from vae_los_angeles_tpu.ops.backend import bucket_rows
+
+        # bucket the query-chunk shape too: near-sized query sets share
+        # the compiled chunk program (trailing pad rows are sliced off)
+        chunk = min(self.chunk_size, bucket_rows(max(len(X), 1)))
         outs = []
         for start in range(0, len(X), chunk):
             block = X[start:start + chunk]
@@ -313,7 +344,8 @@ class KNNRegressorTPU:
             if fn is not None:
                 pred = fn(self._x, self._y, n_arr, block)
             else:
-                pred = _knn_chunk(self._x, self._y, block, k, self.weights)
+                pred = _knn_chunk(self._x, self._y, block, n_arr, k,
+                                  self.weights, prec)
             outs.append(np.asarray(jax.device_get(pred))[:n_valid])
         out = np.concatenate(outs) if outs else np.zeros(
             (0, self._y.shape[1]), np.float32
@@ -337,9 +369,9 @@ class KNNRegressorTPU:
         return self
 
 
-@functools.partial(jax.jit, static_argnames=("k", "weights"))
+@functools.partial(jax.jit, static_argnames=("k", "weights", "prec"))
 def _cond_knn_chunk(x_train, y_train, x_site, queries, q_site, k: int,
-                    weights: str):
+                    weights: str, prec=None):
     """Site-conditioned neighbor means for one query chunk.
 
     TPU-first replacement for the reference's per-site model loop
@@ -351,7 +383,7 @@ def _cond_knn_chunk(x_train, y_train, x_site, queries, q_site, k: int,
     q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
     x_sq = jnp.sum(x_train * x_train, axis=1)
     cross = jnp.dot(queries, x_train.T,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=prec)
     d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
     d2 = jnp.where(q_site[:, None] == x_site[None, :], d2, jnp.inf)
     neg_d2, idx = jax.lax.top_k(-d2, k)                       # (m, k)
@@ -422,9 +454,14 @@ class ConditionedKNNRegressorTPU:
             self._site = _row_sharded_put(
                 sites, self._mesh, n_pad, dtype=np.int32, pad_value=-1)
             return self
-        self._x = jnp.asarray(np.ascontiguousarray(feats))
-        self._y = jnp.asarray(y)
-        self._site = jnp.asarray(sites)
+        from vae_los_angeles_tpu.ops.backend import bucket_rows
+
+        n_pad = bucket_rows(self._n)  # near-sized fits share the executable
+        self._x = _row_padded_put(np.ascontiguousarray(feats), n_pad)
+        self._y = _row_padded_put(y, n_pad)
+        # pad with site -1 (never a real id): padded rows match nothing
+        self._site = _row_padded_put(sites, n_pad, dtype=np.int32,
+                                     pad_value=-1)
         return self
 
     def predict(self, X):
@@ -433,18 +470,25 @@ class ConditionedKNNRegressorTPU:
         X = np.asarray(X, np.float32)
         feats = np.ascontiguousarray(X[:, :-1])
         sites = X[:, -1].astype(np.int32)
+        from vae_los_angeles_tpu.ops.backend import eval_matmul_precision
+
+        prec = eval_matmul_precision()
         if self._mesh is not None:
             from vae_los_angeles_tpu.parallel.sharded_eval import (
                 build_cond_knn_chunk,
             )
 
             k = min(self.n_neighbors, self._n)
-            fn = build_cond_knn_chunk(self._mesh, k, self.weights)
+            fn = build_cond_knn_chunk(self._mesh, k, self.weights, prec)
             n_arr = np.int32(self._n)
         else:
-            k = min(self.n_neighbors, int(self._x.shape[0]))
+            k = min(self.n_neighbors, self._n)
             fn = None
-        chunk = min(self.chunk_size, max(len(X), 1))
+        from vae_los_angeles_tpu.ops.backend import bucket_rows
+
+        # bucket the query-chunk shape: near-sized query sets share the
+        # compiled chunk program (trailing pad rows carry site -1)
+        chunk = min(self.chunk_size, bucket_rows(max(len(X), 1)))
         outs = []
         for start in range(0, len(X), chunk):
             fb = feats[start:start + chunk]
@@ -460,7 +504,7 @@ class ConditionedKNNRegressorTPU:
             else:
                 pred = _cond_knn_chunk(
                     self._x, self._y, self._site, jnp.asarray(fb),
-                    jnp.asarray(sb), k, self.weights,
+                    jnp.asarray(sb), k, self.weights, prec,
                 )
             outs.append(np.asarray(jax.device_get(pred))[:n_valid])
         out = np.concatenate(outs) if outs else np.zeros(
