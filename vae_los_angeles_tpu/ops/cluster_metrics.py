@@ -132,33 +132,37 @@ def _features_on_device(features) -> jax.Array:
     return jnp.asarray(np.asarray(features, np.float32))
 
 
-def _chunk_d2(x, x_sq, block, compensated: bool):
+def _chunk_d2(x, x_sq, block, compensated: bool, prec=None):
     """One query chunk's squared-distance block (m, n): plain matmul
-    identity or the compensated wide-width path."""
+    identity (at ``prec`` MXU precision — HIGHEST by default, see
+    `ops/backend.eval_matmul_precision`) or the compensated wide-width
+    path (always HIGHEST)."""
     if compensated:
         return _d2_blocked(block, x)
     q_sq = jnp.sum(block * block, axis=1, keepdims=True)
-    cross = jnp.dot(block, x.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(block, x.T, preferred_element_type=jnp.float32,
+                    precision=prec)
     return jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("compensated",))
-def _silhouette_chunk(x, x_sq, block, row_offset, onehot, compensated=False):
+@functools.partial(jax.jit, static_argnames=("compensated", "prec"))
+def _silhouette_chunk(x, x_sq, block, row_offset, onehot, compensated=False,
+                      prec=None):
     """Per-cluster distance sums for one query chunk: (m, L).
 
     ``block`` is rows [row_offset, row_offset+m) of ``x`` (zero-padded past
     n); the self column is forced to exactly 0 before the label reduction.
     """
-    d2 = _chunk_d2(x, x_sq, block, compensated)
+    d2 = _chunk_d2(x, x_sq, block, compensated, prec)
     d = jnp.sqrt(d2)
     cols = jnp.arange(x.shape[0])[None, :]
     rows = (row_offset + jnp.arange(block.shape[0]))[:, None]
     d = jnp.where(cols == rows, 0.0, d)
     # the label reduction is a matmul too — bf16 MXU rounding of ~2000-scale
     # distances would re-introduce the drift the blocked path just removed
-    prec = jax.lax.Precision.HIGHEST if compensated else None
+    label_prec = jax.lax.Precision.HIGHEST if compensated else prec
     return jnp.dot(d, onehot, preferred_element_type=jnp.float32,
-                   precision=prec)
+                   precision=label_prec)
 
 
 def silhouette_score_tpu(features, labels, chunk_size: int = 1024,
@@ -185,7 +189,9 @@ def silhouette_score_tpu(features, labels, chunk_size: int = 1024,
             f"Number of labels is {n_labels}; valid values are 2..{n - 1}"
         )
     counts = np.bincount(lab_idx, minlength=n_labels).astype(np.float64)
+    from vae_los_angeles_tpu.ops.backend import eval_matmul_precision
 
+    prec = eval_matmul_precision()
     mesh = _eval_mesh(shard)
     if mesh is not None:
         from vae_los_angeles_tpu.parallel.sharded_eval import (
@@ -197,7 +203,7 @@ def silhouette_score_tpu(features, labels, chunk_size: int = 1024,
         onehot_host = np.zeros((n_pad, n_labels), np.float32)
         onehot_host[np.arange(n), lab_idx] = 1.0  # padded rows: zero onehot
         oh = _row_sharded_put(onehot_host, mesh, n_pad)
-        fn = build_silhouette_chunk(mesh, comp)
+        fn = build_silhouette_chunk(mesh, comp, prec)
         run = lambda block, start: fn(x, oh, block, np.int32(start))
     else:
         from vae_los_angeles_tpu.ops.backend import bucket_rows
@@ -209,7 +215,7 @@ def silhouette_score_tpu(features, labels, chunk_size: int = 1024,
         onehot_host[np.arange(n), lab_idx] = 1.0  # pad rows: zero onehot
         onehot = jnp.asarray(onehot_host)
         run = lambda block, start: _silhouette_chunk(
-            x, x_sq, block, start, onehot, compensated=comp)
+            x, x_sq, block, start, onehot, compensated=comp, prec=prec)
     # key the chunk shape on the PADDED length so near-sized cohorts in
     # one bucket share the executable (pad query rows are sliced off)
     chunk = min(chunk_size, len(x))
@@ -239,13 +245,13 @@ def _silhouette_from_sums(sums, lab_idx, counts) -> float:
     return float(s.mean())
 
 
-@functools.partial(jax.jit, static_argnames=("k", "compensated"))
+@functools.partial(jax.jit, static_argnames=("k", "compensated", "prec"))
 def _nh_chunk(x, x_sq, lab, block, block_lab, row_offset, n_valid,
-              k: int, compensated=False):
+              k: int, compensated=False, prec=None):
     """Fraction of each chunk row's k nearest neighbors (self excluded)
     sharing its label: (m,). Rows of ``x`` at/past ``n_valid`` are bucket
     padding and can never be neighbors."""
-    d2 = _chunk_d2(x, x_sq, block, compensated)
+    d2 = _chunk_d2(x, x_sq, block, compensated, prec)
     cols = jnp.arange(x.shape[0])[None, :]
     rows = (row_offset + jnp.arange(block.shape[0]))[:, None]
     keep = (cols != rows) & (cols < n_valid)
@@ -255,9 +261,9 @@ def _nh_chunk(x, x_sq, lab, block, block_lab, row_offset, n_valid,
     return jnp.mean(hits.astype(jnp.float32), axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "compensated"))
+@functools.partial(jax.jit, static_argnames=("k", "compensated", "prec"))
 def _scores_chunk(x, x_sq, lab, onehot, block, block_lab, row_offset,
-                  n_valid, k: int, compensated=False):
+                  n_valid, k: int, compensated=False, prec=None):
     """Fused silhouette + NH chunk: ONE distance block feeds both the
     per-cluster sums matmul and the top-k neighbor agreement, so scoring a
     clustering compiles and runs one program instead of two (the
@@ -265,14 +271,14 @@ def _scores_chunk(x, x_sq, lab, onehot, block, block_lab, row_offset,
     reference cluster_reconstructed.py:296-318). Bucket-padding rows of
     ``x`` (index ≥ ``n_valid``) carry a zero onehot (inert in the sums) and
     are masked out of the neighbor search."""
-    d2 = _chunk_d2(x, x_sq, block, compensated)
+    d2 = _chunk_d2(x, x_sq, block, compensated, prec)
     cols = jnp.arange(x.shape[0])[None, :]
     rows = (row_offset + jnp.arange(block.shape[0]))[:, None]
     self_mask = cols == rows
     d = jnp.where(self_mask, 0.0, jnp.sqrt(d2))
-    prec = jax.lax.Precision.HIGHEST if compensated else None
+    label_prec = jax.lax.Precision.HIGHEST if compensated else prec
     sums = jnp.dot(d, onehot, preferred_element_type=jnp.float32,
-                   precision=prec)
+                   precision=label_prec)
     d2 = jnp.where(self_mask | (cols >= n_valid), jnp.inf, d2)
     _, idx = jax.lax.top_k(-d2, k)
     hits = jnp.take(lab, idx) == block_lab[:, None]
@@ -295,7 +301,9 @@ def neighborhood_hit_tpu(features, labels, k: int = 5,
     comp = _resolve_compensated(compensated, int(features.shape[1]))
     _, lab_idx = np.unique(labels, return_inverse=True)
     lab_host = lab_idx.astype(np.int32)
+    from vae_los_angeles_tpu.ops.backend import eval_matmul_precision
 
+    prec = eval_matmul_precision()
     mesh = _eval_mesh(shard)
     if mesh is not None:
         from vae_los_angeles_tpu.parallel.sharded_eval import build_nh_chunk
@@ -304,7 +312,7 @@ def neighborhood_hit_tpu(features, labels, k: int = 5,
         x = _row_sharded_put(features, mesh, n_pad)
         lab_sh = _row_sharded_put(lab_host, mesh, n_pad, dtype=np.int32)
         lab = jnp.asarray(lab_host)
-        fn = build_nh_chunk(mesh, k, comp)
+        fn = build_nh_chunk(mesh, k, comp, prec)
         n_arr = np.int32(n)
         run = lambda block, block_lab, start: fn(
             x, lab_sh, n_arr, block, block_lab, np.int32(start))
@@ -320,7 +328,7 @@ def neighborhood_hit_tpu(features, labels, k: int = 5,
         n_arr = np.int32(n)
         run = lambda block, block_lab, start: _nh_chunk(
             x, x_sq, lab, block, block_lab, start, n_arr, k,
-            compensated=comp)
+            compensated=comp, prec=prec)
     # key the chunk shape on the PADDED length so near-sized cohorts in
     # one bucket share the executable (pad query rows are sliced off)
     chunk = min(chunk_size, len(x))
@@ -372,7 +380,9 @@ def cluster_scores_tpu(features, labels, k: int = 5, chunk_size: int = 1024,
     comp = _resolve_compensated(compensated, int(features.shape[1]))
     counts = np.bincount(lab_idx, minlength=n_labels).astype(np.float64)
     lab_host = lab_idx.astype(np.int32)
+    from vae_los_angeles_tpu.ops.backend import eval_matmul_precision
 
+    prec = eval_matmul_precision()
     mesh = _eval_mesh(shard)
     if mesh is not None:
         from vae_los_angeles_tpu.parallel.sharded_eval import (
@@ -386,7 +396,7 @@ def cluster_scores_tpu(features, labels, k: int = 5, chunk_size: int = 1024,
         oh = _row_sharded_put(onehot_host, mesh, n_pad)
         lab_sh = _row_sharded_put(lab_host, mesh, n_pad, dtype=np.int32)
         lab = jnp.asarray(lab_host)
-        fn = build_scores_chunk(mesh, k, comp)
+        fn = build_scores_chunk(mesh, k, comp, prec)
         n_arr = np.int32(n)
         run = lambda block, block_lab, start: fn(
             x, oh, lab_sh, n_arr, block, block_lab, np.int32(start))
@@ -404,7 +414,7 @@ def cluster_scores_tpu(features, labels, k: int = 5, chunk_size: int = 1024,
         n_arr = np.int32(n)
         run = lambda block, block_lab, start: _scores_chunk(
             x, x_sq, lab, onehot, block, block_lab, start, n_arr, k,
-            compensated=comp)
+            compensated=comp, prec=prec)
 
     # key the chunk shape on the PADDED length so near-sized cohorts in
     # one bucket share the executable (pad query rows are sliced off)

@@ -111,19 +111,22 @@ def standardize_tpu(x, n_valid=None) -> jax.Array:
     return centered / jnp.where(std == 0.0, 1.0, std)
 
 
-@functools.partial(jax.jit, static_argnames=("n_components",))
-def _pca_gram(x, n_valid, n_components: int):
+@functools.partial(jax.jit, static_argnames=("n_components", "prec"))
+def _pca_gram(x, n_valid, n_components: int, prec=None):
     """(scores, explained_variance_ratio) via the n×n Gram eigh. Rows
     at/past ``n_valid`` are bucket padding: masked out of the centering and
     exactly zero in the Gram (zero rows/cols add zero eigenvalues, which
     sort below the real spectrum), so the valid-row scores equal the
-    unpadded program's."""
+    unpadded program's. ``prec`` is the Gram matmul's MXU precision
+    (ops/backend.eval_matmul_precision — HIGHEST by default so the
+    spectrum matches sklearn's fp32/fp64 host SVD)."""
     x = x.astype(jnp.float32)
     mask = (jnp.arange(x.shape[0]) < n_valid)[:, None].astype(x.dtype)
     cnt = jnp.asarray(n_valid, jnp.float32)
     mean = jnp.sum(x * mask, axis=0, keepdims=True) / cnt
     x_c = (x - mean) * mask
-    gram = jnp.dot(x_c, x_c.T, preferred_element_type=jnp.float32)
+    gram = jnp.dot(x_c, x_c.T, preferred_element_type=jnp.float32,
+                   precision=prec)
     eigval, eigvec = jnp.linalg.eigh(gram)           # ascending
     lam = jnp.maximum(eigval[::-1][:n_components], 0.0)
     u = eigvec[:, ::-1][:, :n_components]
@@ -162,7 +165,10 @@ class PCATPU:
                 X if isinstance(X, np.ndarray) else np.asarray(X, np.float32),
                 n_pad,
             )
+        from vae_los_angeles_tpu.ops.backend import eval_matmul_precision
+
         k = min(self.n_components, n, dev.shape[1])
-        scores, evr = _pca_gram(dev, np.int32(n), k)
+        scores, evr = _pca_gram(dev, np.int32(n), k,
+                                eval_matmul_precision())
         self.explained_variance_ratio_ = np.asarray(jax.device_get(evr))
         return np.asarray(jax.device_get(scores))[:n]

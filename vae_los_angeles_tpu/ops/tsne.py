@@ -58,12 +58,15 @@ _PERPLEXITY_STEPS = 100  # sklearn _binary_search_perplexity n_steps
 _PERPLEXITY_TOL = 1e-5  # sklearn PERPLEXITY_TOLERANCE
 
 
-def _sq_distances(x: jax.Array) -> jax.Array:
+def _sq_distances(x: jax.Array, prec=None) -> jax.Array:
     """Pairwise squared euclidean distances via the matmul identity,
     clamped at 0 with an exactly-zero diagonal (the identity leaves
-    ~eps·‖x‖² cancellation residue at d(i,i))."""
+    ~eps·‖x‖² cancellation residue at d(i,i)). ``prec`` is the MXU
+    precision (ops/backend.eval_matmul_precision — HIGHEST by default so
+    the affinity stage matches sklearn's host distances)."""
     sq = jnp.sum(x * x, axis=1)
-    d2 = sq[:, None] - 2.0 * jnp.dot(x, x.T, preferred_element_type=jnp.float32)
+    d2 = sq[:, None] - 2.0 * jnp.dot(x, x.T, preferred_element_type=jnp.float32,
+                                     precision=prec)
     d2 = d2 + sq[None, :]
     d2 = jnp.maximum(d2, 0.0)
     return d2 * (1.0 - jnp.eye(x.shape[0], dtype=x.dtype))
@@ -164,8 +167,9 @@ def _apply_update(grad, update, gains, lr, i):
     return update, gains
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "dof"))
-def _optimize(p, y0, lr, early_exaggeration, max_iter: int, dof: float):
+@functools.partial(jax.jit, static_argnames=("max_iter", "dof", "prec"))
+def _optimize(p, y0, lr, early_exaggeration, max_iter: int, dof: float,
+              prec=None):
     """All `max_iter` gradient-descent steps as one scanned program.
 
     Faithful to sklearn `_gradient_descent` + `_kl_divergence`: Student-t
@@ -180,7 +184,7 @@ def _optimize(p, y0, lr, early_exaggeration, max_iter: int, dof: float):
     c = 2.0 * (dof + 1.0) / dof
 
     def qw(y):
-        d2 = _sq_distances(y)
+        d2 = _sq_distances(y, prec)
         w = (1.0 + d2 / dof) ** (-(dof + 1.0) / 2.0) * offdiag
         q = jnp.maximum(w / jnp.maximum(jnp.sum(w), MACHINE_EPSILON),
                         MACHINE_EPSILON) * offdiag
@@ -192,7 +196,8 @@ def _optimize(p, y0, lr, early_exaggeration, max_iter: int, dof: float):
         p_eff = jnp.where(i < _EXPLORATION_ITERS, p * early_exaggeration, p)
         s = (p_eff - q) * w
         grad = c * (y * jnp.sum(s, axis=1, keepdims=True)
-                    - jnp.dot(s, y, preferred_element_type=jnp.float32))
+                    - jnp.dot(s, y, preferred_element_type=jnp.float32,
+                              precision=prec))
         update, gains = _apply_update(grad, update, gains, lr, i)
         return (y + update, update, gains), None
 
@@ -209,14 +214,14 @@ def _optimize(p, y0, lr, early_exaggeration, max_iter: int, dof: float):
     return y, kl
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_components"))
-def _pca_init(x, n_valid, k: int, n_components: int):
+@functools.partial(jax.jit, static_argnames=("k", "n_components", "prec"))
+def _pca_init(x, n_valid, k: int, n_components: int, prec=None):
     """sklearn's PCA init for t-SNE on a bucket-padded matrix: masked
     Gram-PCA scores rescaled so the first component's σ (over the VALID
     rows) is 1e-4; pad rows exactly zero."""
     from vae_los_angeles_tpu.ops.pca import _pca_gram
 
-    scores, _ = _pca_gram(x, n_valid, k)
+    scores, _ = _pca_gram(x, n_valid, k, prec)
     scores = jnp.pad(scores, ((0, 0), (0, n_components - scores.shape[1])))
     mask = (jnp.arange(scores.shape[0]) < n_valid).astype(scores.dtype)
     cnt = jnp.asarray(n_valid, jnp.float32)
@@ -269,9 +274,11 @@ class TSNETPU:
             y[:n] = np.asarray(self.init, np.float32)
             return jnp.asarray(y)
         if self.init == "pca":
+            from vae_los_angeles_tpu.ops.backend import eval_matmul_precision
+
             # sklearn: PCA scores rescaled so the first component has σ=1e-4
             return _pca_init(x_pad, np.int32(n), min(self.n_components, n),
-                             self.n_components)
+                             self.n_components, eval_matmul_precision())
         if self.init == "random":
             rs = np.random.RandomState(
                 self.random_state if self.random_state is not None else None)
@@ -296,9 +303,13 @@ class TSNETPU:
         else:
             lr = float(self.learning_rate)
         dof = float(max(self.n_components - 1, 1))
-        from vae_los_angeles_tpu.ops.backend import bucket_rows
+        from vae_los_angeles_tpu.ops.backend import (
+            bucket_rows,
+            eval_matmul_precision,
+        )
         from vae_los_angeles_tpu.ops.knn import _eval_mesh
 
+        prec = eval_matmul_precision()
         mesh = _eval_mesh(self.shard)
         if mesh is None and self.shard is None and bucket_rows(n) != n:
             # single chip, auto policy, bucketed: run the mask-exact
@@ -323,18 +334,18 @@ class TSNETPU:
             n_pad = _padded_rows(n, mesh)
             x_sh = _row_sharded_put(x, mesh, n_pad)
             y0 = self._initial_embedding(x_sh, n)
-            fn = build_tsne(mesh, self.max_iter, dof)
+            fn = build_tsne(mesh, self.max_iter, dof, prec)
             emb, kl = fn(x_sh, np.int32(n), y0, jnp.float32(self.perplexity),
                          jnp.float32(lr),
                          jnp.float32(self.early_exaggeration))
             emb = emb[:n]
         else:
             y0 = self._initial_embedding(x, n)
-            p = _joint_probabilities(_sq_distances(x),
+            p = _joint_probabilities(_sq_distances(x, prec),
                                      jnp.float32(self.perplexity))
             emb, kl = _optimize(
                 p, y0, jnp.float32(lr), jnp.float32(self.early_exaggeration),
-                max_iter=self.max_iter, dof=dof)
+                max_iter=self.max_iter, dof=dof, prec=prec)
         self.kl_divergence_ = float(jax.device_get(kl))
         self.embedding_ = np.asarray(jax.device_get(emb))
         if self.verbose:

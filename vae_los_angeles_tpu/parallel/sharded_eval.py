@@ -54,7 +54,7 @@ def _local_geometry(x_local, n):
     return offset, valid
 
 
-def _local_d2(x_local, queries, compensated: bool = False):
+def _local_d2(x_local, queries, compensated: bool = False, prec=None):
     if compensated:
         # blocked-Kahan accumulation for methylome-width features: the
         # feature dim is replicated (rows are what's sharded), so the
@@ -64,7 +64,8 @@ def _local_d2(x_local, queries, compensated: bool = False):
         return _d2_blocked(queries, x_local)
     q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
     x_sq = jnp.sum(x_local * x_local, axis=1)
-    cross = jnp.dot(queries, x_local.T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(queries, x_local.T, preferred_element_type=jnp.float32,
+                    precision=prec)
     return jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
 
 
@@ -110,11 +111,11 @@ def _psum_prediction(y_local, lp, mine, w, k: int):
 
 
 def _knn_impl(x_local, y_local, n, queries, keep_extra, k: int,
-              weights: str):
+              weights: str, prec=None):
     n_local = x_local.shape[0]
     k_local = min(k, n_local)
     offset, valid = _local_geometry(x_local, n)
-    d2 = _local_d2(x_local, queries)
+    d2 = _local_d2(x_local, queries, prec=prec)
     keep = valid[None, :] if keep_extra is None else (
         valid[None, :] & keep_extra)
     d2 = jnp.where(keep, d2, jnp.inf)
@@ -133,16 +134,18 @@ def _knn_impl(x_local, y_local, n, queries, keep_extra, k: int,
 
 
 @functools.lru_cache(maxsize=None)
-def build_knn_chunk(mesh, k: int, weights: str):
+def build_knn_chunk(mesh, k: int, weights: str, prec=None):
     """Jitted sharded kNN predictor for one fixed-size query chunk.
 
     Args are device arrays: ``x``/``y`` row-sharded over the mesh (padded
     to a multiple of its size), ``n`` the true row count, ``queries``
     replicated. Matches the single-chip `_knn_chunk` (ops/knn.py)
-    up to float summation order."""
+    up to float summation order. ``prec`` is the distance-matmul MXU
+    precision (ops/backend.eval_matmul_precision)."""
 
     def impl(x_local, y_local, n, queries):
-        return _knn_impl(x_local, y_local, n, queries, None, k, weights)
+        return _knn_impl(x_local, y_local, n, queries, None, k, weights,
+                         prec)
 
     row = P("data", None)
     rep = P(None, None)
@@ -154,14 +157,15 @@ def build_knn_chunk(mesh, k: int, weights: str):
 
 
 @functools.lru_cache(maxsize=None)
-def build_cond_knn_chunk(mesh, k: int, weights: str):
+def build_cond_knn_chunk(mesh, k: int, weights: str, prec=None):
     """Sharded site-conditioned kNN: cross-site pairs masked to +inf before
     the local top-k (single-chip `_cond_knn_chunk` semantics — unseen-site
     queries psum to the reference's zero rows)."""
 
     def impl(x_local, y_local, x_site_local, n, queries, q_site):
         keep = q_site[:, None] == x_site_local[None, :]
-        return _knn_impl(x_local, y_local, n, queries, keep, k, weights)
+        return _knn_impl(x_local, y_local, n, queries, keep, k, weights,
+                         prec)
 
     row = P("data", None)
     rep = P(None, None)
@@ -174,7 +178,7 @@ def build_cond_knn_chunk(mesh, k: int, weights: str):
 
 
 @functools.lru_cache(maxsize=None)
-def build_silhouette_chunk(mesh, compensated: bool = False):
+def build_silhouette_chunk(mesh, compensated: bool = False, prec=None):
     """Jitted sharded per-cluster distance sums for one query chunk:
     psum of (distance block × local label-onehot). Padding rows carry a
     zero onehot; the self column is zeroed via global row/col ids.
@@ -184,15 +188,15 @@ def build_silhouette_chunk(mesh, compensated: bool = False):
     def impl(x_local, onehot_local, queries, row_offset):
         n_local = x_local.shape[0]
         offset = jax.lax.axis_index("data") * n_local
-        d = jnp.sqrt(_local_d2(x_local, queries, compensated))
+        d = jnp.sqrt(_local_d2(x_local, queries, compensated, prec))
         cols = (offset + jnp.arange(n_local))[None, :]
         rows = (row_offset + jnp.arange(queries.shape[0]))[:, None]
         d = jnp.where(cols == rows, 0.0, d)
         # see ops/cluster_metrics._silhouette_chunk: the label reduction
         # must not fall back to 1-pass bf16 on the compensated path
-        prec = jax.lax.Precision.HIGHEST if compensated else None
+        label_prec = jax.lax.Precision.HIGHEST if compensated else prec
         part = jnp.dot(d, onehot_local, preferred_element_type=jnp.float32,
-                       precision=prec)
+                       precision=label_prec)
         return jax.lax.psum(part, "data")
 
     row = P("data", None)
@@ -205,7 +209,7 @@ def build_silhouette_chunk(mesh, compensated: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def build_scores_chunk(mesh, k: int, compensated: bool = False):
+def build_scores_chunk(mesh, k: int, compensated: bool = False, prec=None):
     """Fused sharded silhouette + NH chunk (the multi-chip counterpart of
     `ops/cluster_metrics._scores_chunk`): ONE local distance block feeds
     the psum'd per-cluster sums AND the merged-top-k label agreement —
@@ -215,14 +219,14 @@ def build_scores_chunk(mesh, k: int, compensated: bool = False):
         n_local = x_local.shape[0]
         k_local = min(k, n_local)
         offset, valid = _local_geometry(x_local, n)
-        d2 = _local_d2(x_local, queries, compensated)
+        d2 = _local_d2(x_local, queries, compensated, prec)
         cols = (offset + jnp.arange(n_local))[None, :]
         rows = (row_offset + jnp.arange(queries.shape[0]))[:, None]
         self_mask = cols == rows
         d = jnp.where(self_mask, 0.0, jnp.sqrt(d2))
-        prec = jax.lax.Precision.HIGHEST if compensated else None
+        label_prec = jax.lax.Precision.HIGHEST if compensated else prec
         part = jnp.dot(d, onehot_local, preferred_element_type=jnp.float32,
-                       precision=prec)
+                       precision=label_prec)
         sums = jax.lax.psum(part, "data")
         keep = valid[None, :] & ~self_mask
         d2n = jnp.where(keep, d2, jnp.inf)
@@ -242,7 +246,7 @@ def build_scores_chunk(mesh, k: int, compensated: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def build_nh_chunk(mesh, k: int, compensated: bool = False):
+def build_nh_chunk(mesh, k: int, compensated: bool = False, prec=None):
     """Jitted sharded neighborhood-hit fractions for one query chunk:
     local top-k over self-masked valid distances, neighbor LABELS ride the
     all_gather (scalars, not payload rows), global re-top-k, label
@@ -252,7 +256,7 @@ def build_nh_chunk(mesh, k: int, compensated: bool = False):
         n_local = x_local.shape[0]
         k_local = min(k, n_local)
         offset, valid = _local_geometry(x_local, n)
-        d2 = _local_d2(x_local, queries, compensated)
+        d2 = _local_d2(x_local, queries, compensated, prec)
         cols = (offset + jnp.arange(n_local))[None, :]
         rows = (row_offset + jnp.arange(queries.shape[0]))[:, None]
         keep = valid[None, :] & (cols != rows)
@@ -272,7 +276,7 @@ def build_nh_chunk(mesh, k: int, compensated: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def build_tsne(mesh, max_iter: int, dof: float):
+def build_tsne(mesh, max_iter: int, dof: float, prec=None):
     """Row-sharded exact t-SNE: the sharded counterpart of
     `ops/tsne._joint_probabilities` + `_optimize` (same sklearn-faithful
     schedules via the shared `_perplexity_search` / `_apply_update`
@@ -317,7 +321,8 @@ def build_tsne(mesh, max_iter: int, dof: float):
             r_sq = jnp.sum(rows * rows, axis=1)
             c_sq = jnp.sum(full * full, axis=1)
             cross = jnp.dot(rows, full.T,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
             return jnp.maximum(r_sq[:, None] - 2.0 * cross + c_sq[None, :],
                                0.0)
 
@@ -351,7 +356,8 @@ def build_tsne(mesh, max_iter: int, dof: float):
             s = (p_eff - q) * w
             grad_loc = coef * (
                 y_loc * jnp.sum(s, axis=1, keepdims=True)
-                - jnp.dot(s, y, preferred_element_type=jnp.float32)
+                - jnp.dot(s, y, preferred_element_type=jnp.float32,
+                          precision=prec)
             )
             grad = jax.lax.all_gather(grad_loc, "data", axis=0, tiled=True)
             update, gains = _apply_update(grad, update, gains, lr, i)
