@@ -1,0 +1,169 @@
+"""Fused grid-search kernel parity: one distance pass must reproduce the
+per-combo sklearn loop's validation MSEs and best-param selection
+(reference `src/knn_comparison/run_comparison.py:56-94`)."""
+
+import numpy as np
+import pytest
+
+from vae_los_angeles_tpu.ops.knn import (
+    ConditionedKNNRegressorTPU,
+    KNNRegressorTPU,
+    knn_grid_mse_tpu,
+)
+
+
+@pytest.fixture
+def regression_data():
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=(180, 16)).astype(np.float32)
+    y = (x @ rng.normal(size=(16, 4)) + 0.1 * rng.normal(size=(180, 4))
+         ).astype(np.float32)
+    q = rng.normal(size=(70, 16)).astype(np.float32)
+    yq = (q @ rng.normal(size=(16, 4))).astype(np.float32)
+    return x, y, q, yq
+
+
+def test_grid_mse_matches_sklearn_loop(regression_data):
+    from sklearn.metrics import mean_squared_error
+    from sklearn.neighbors import KNeighborsRegressor
+
+    x, y, q, yq = regression_data
+    ks, modes = (5, 10, 20, 50), ("uniform", "distance")
+    got = knn_grid_mse_tpu(x, y, q, yq, ks, modes)
+    for k in ks:
+        for mode in modes:
+            want = mean_squared_error(
+                yq, KNeighborsRegressor(k, weights=mode).fit(x, y).predict(q)
+            )
+            assert got[(k, mode)] == pytest.approx(want, rel=1e-4), (k, mode)
+
+
+def test_grid_mse_zero_distance_rule(regression_data):
+    """Queries equal to training rows exercise the sklearn exact-match
+    weighting inside the prefix reduction."""
+    from sklearn.metrics import mean_squared_error
+    from sklearn.neighbors import KNeighborsRegressor
+
+    x, y, q, yq = regression_data
+    q2 = np.concatenate([x[:10], q])
+    yq2 = np.concatenate([y[:10], yq])
+    got = knn_grid_mse_tpu(x, y, q2, yq2, (5, 20), ("distance",))
+    for k in (5, 20):
+        want = mean_squared_error(
+            yq2,
+            KNeighborsRegressor(k, weights="distance").fit(x, y).predict(q2),
+        )
+        assert got[(k, "distance")] == pytest.approx(want, rel=1e-4)
+
+
+def test_grid_k_clamps_to_train_size():
+    from sklearn.metrics import mean_squared_error
+    from sklearn.neighbors import KNeighborsRegressor
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(12, 6)).astype(np.float32)
+    y = rng.normal(size=(12, 2)).astype(np.float32)
+    q = rng.normal(size=(9, 6)).astype(np.float32)
+    yq = rng.normal(size=(9, 2)).astype(np.float32)
+    got = knn_grid_mse_tpu(x, y, q, yq, (5, 50), ("uniform",))
+    assert set(got) == {(5, "uniform"), (12, "uniform")}  # 50 → n=12
+    want = mean_squared_error(
+        yq, KNeighborsRegressor(12).fit(x, y).predict(q))
+    assert got[(12, "uniform")] == pytest.approx(want, rel=1e-4)
+
+
+def test_conditioned_grid_matches_reference_loop():
+    from sklearn.metrics import mean_squared_error
+
+    from vae_los_angeles_tpu.models.conditioned_knn import (
+        ConditionedKNeighborsRegressor,
+    )
+
+    rng = np.random.default_rng(8)
+    n = 160
+    feats = rng.normal(size=(n, 10)).astype(np.float32)
+    sites = rng.integers(0, 6, n).astype(np.float32)  # some groups < 20
+    X = np.column_stack([feats, sites])
+    y = rng.normal(size=(n,)).astype(np.float32)
+    qf = rng.normal(size=(50, 10)).astype(np.float32)
+    qs = rng.integers(0, 7, 50).astype(np.float32)  # site 6 unseen → zeros
+    Q = np.column_stack([qf, qs])
+    yq = rng.normal(size=(50,)).astype(np.float32)
+
+    ks, modes = (5, 20), ("uniform", "distance")
+    got = knn_grid_mse_tpu(X, y, Q, yq, ks, modes, conditioned=True)
+    for k in ks:
+        for mode in modes:
+            ref = ConditionedKNeighborsRegressor(
+                n_neighbors=k, weights=mode).fit(X, y)
+            want = mean_squared_error(yq, ref.predict(Q))
+            assert got[(k, mode)] == pytest.approx(want, rel=1e-4), (k, mode)
+
+
+def _sklearn_euclidean_best(model_cls, x, y, q, yq):
+    """Reference grid-loop best over the EUCLIDEAN subset (the TPU path
+    documents skipping the grid's manhattan points)."""
+    import itertools
+
+    from sklearn.metrics import mean_squared_error
+
+    from vae_los_angeles_tpu.evaluation.knn_comparison import KNN_GRID
+
+    best_mse, best = float("inf"), None
+    for k, mode in itertools.product(KNN_GRID["n_neighbors"],
+                                     KNN_GRID["weights"]):
+        model = model_cls(n_neighbors=min(k, len(x)), weights=mode).fit(x, y)
+        mse = mean_squared_error(yq, model.predict(q))
+        if mse < best_mse:
+            best_mse, best = mse, model
+    return best
+
+
+def test_optimize_knn_fused_selects_same_params(regression_data, monkeypatch):
+    """optimize_knn under EVAL_BACKEND=tpu (fused grid) must pick the same
+    best params as the sklearn per-combo loop, and return a fitted model
+    whose predictions match the best sklearn model."""
+    from sklearn.neighbors import KNeighborsRegressor
+
+    from vae_los_angeles_tpu.evaluation.knn_comparison import optimize_knn
+
+    x, y, q, yq = regression_data
+    sk_best = _sklearn_euclidean_best(KNeighborsRegressor, x, y, q, yq)
+
+    monkeypatch.setenv("EVAL_BACKEND", "tpu")
+    tpu_best = optimize_knn(x, y, q, yq, model_class=KNNRegressorTPU)
+    assert isinstance(tpu_best, KNNRegressorTPU)
+    assert tpu_best.n_neighbors == sk_best.n_neighbors
+    assert tpu_best.weights == sk_best.weights
+    np.testing.assert_allclose(
+        tpu_best.predict(q), sk_best.predict(q), rtol=1e-4, atol=1e-4)
+
+
+def test_optimize_knn_fused_conditioned(monkeypatch):
+    from vae_los_angeles_tpu.evaluation.knn_comparison import optimize_knn
+    from vae_los_angeles_tpu.models.conditioned_knn import (
+        ConditionedKNeighborsRegressor,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 140
+    X = np.column_stack([
+        rng.normal(size=(n, 8)).astype(np.float32),
+        rng.integers(0, 5, n).astype(np.float32),
+    ])
+    y = rng.normal(size=(n,)).astype(np.float32)
+    Q = np.column_stack([
+        rng.normal(size=(40, 8)).astype(np.float32),
+        rng.integers(0, 5, 40).astype(np.float32),
+    ])
+    yq = rng.normal(size=(40,)).astype(np.float32)
+
+    sk_best = _sklearn_euclidean_best(
+        ConditionedKNeighborsRegressor, X, y, Q, yq)
+    monkeypatch.setenv("EVAL_BACKEND", "tpu")
+    tpu_best = optimize_knn(X, y, Q, yq,
+                            model_class=ConditionedKNNRegressorTPU)
+    assert tpu_best.n_neighbors == sk_best.n_neighbors
+    assert tpu_best.weights == sk_best.weights
+    np.testing.assert_allclose(
+        tpu_best.predict(Q), sk_best.predict(Q), rtol=1e-4, atol=1e-4)

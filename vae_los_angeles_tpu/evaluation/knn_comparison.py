@@ -56,18 +56,37 @@ def optimize_knn(X_train, y_train, X_val, y_val, name="KNN", model_class=None):
               "points skipped)")
         grid["metric"] = [m for m in grid["metric"] if m != "manhattan"]
     keys, values = zip(*grid.items())
+    fused_mses = None
+    if model_class in (KNNRegressorTPU, ConditionedKNNRegressorTPU):
+        from vae_los_angeles_tpu.ops.knn import _eval_mesh, knn_grid_mse_tpu
+
+        if _eval_mesh(None) is None:  # single-chip: one-pass fused grid
+            fused_mses = knn_grid_mse_tpu(
+                X_train, y_train, X_val, y_val,
+                ks=grid["n_neighbors"], modes=grid["weights"],
+                conditioned=model_class is ConditionedKNNRegressorTPU,
+            )
     for combo in itertools.product(*values):
         p = dict(zip(keys, combo))
         # clamp k to the training size like the reference's conditioned model
         # (sklearn raises 'Expected n_neighbors <= n_samples' otherwise)
         if "n_neighbors" in p:
             p["n_neighbors"] = min(p["n_neighbors"], len(X_train))
-        model = model_class(**p)
-        model.fit(X_train, y_train)
-        preds = model.predict(X_val)
-        mse = mean_squared_error(y_val, preds)
+        if fused_mses is not None:
+            # the fused kernel already computed every combo's validation
+            # MSE in ONE distance pass — no per-combo fit/predict dispatch
+            mse = fused_mses[(p["n_neighbors"], p["weights"])]
+            model = None
+        else:
+            model = model_class(**p)
+            model.fit(X_train, y_train)
+            preds = model.predict(X_val)
+            mse = mean_squared_error(y_val, preds)
         if mse < best_mse:
             best_mse, best_model, best_params = mse, model, p
+    if fused_mses is not None:
+        # materialize only the winner (its fit reuses the device-put cache)
+        best_model = model_class(**best_params).fit(X_train, y_train)
     print(f"Best {name} params: {best_params} | MSE: {best_mse:.4f}")
     return best_model
 

@@ -526,6 +526,174 @@ class ConditionedKNNRegressorTPU:
         return self
 
 
+def _grid_errs_from_topk(d, valid, neighbors, y_val, ks, modes):
+    """Per-sample squared errors for every (k, weights) grid combo from ONE
+    sorted top-K neighbor set: (n_combos, m).
+
+    ``d`` (m, K) exact distances ascending (the top-k sort order), ``valid``
+    (m, K) neighbor validity (finite / same-site / non-pad), ``neighbors``
+    (m, K, t) payload rows, ``y_val`` (m, t) targets. Because the neighbor
+    axis is sorted, every k's prediction is a PREFIX reduction — so all k
+    values fall out of three cumulative sums instead of re-running the
+    O(m·n·dim) distance pass per grid point:
+
+    - uniform:  pred(k) = Σ_{j<k} valid_j·y_j / Σ_{j<k} valid_j
+    - distance (sklearn rule per prefix): if any zero-distance valid
+      neighbor in the first k, average those only; else 1/d weights over
+      the valid prefix.
+
+    Combo order is ``[(k, mode) for mode in modes for k in ks]`` — the
+    caller owns mapping back to param dicts."""
+    vf = valid.astype(jnp.float32)
+    zero = valid & (d <= 0.0)
+    zf = zero.astype(jnp.float32)
+    w_inv = jnp.where(valid & ~zero, 1.0 / jnp.where(zero | ~valid, 1.0, d),
+                      0.0)
+    cum_v = jnp.cumsum(vf, axis=1)                       # (m, K)
+    cum_z = jnp.cumsum(zf, axis=1)
+    cum_w = jnp.cumsum(w_inv, axis=1)
+    cum_vy = jnp.cumsum(vf[:, :, None] * neighbors, axis=1)   # (m, K, t)
+    cum_zy = jnp.cumsum(zf[:, :, None] * neighbors, axis=1)
+    cum_wy = jnp.cumsum(w_inv[:, :, None] * neighbors, axis=1)
+    tiny = 1e-30
+    errs = []
+    for mode in modes:
+        for k in ks:
+            i = k - 1
+            if mode == "uniform":
+                pred = cum_vy[:, i] / jnp.maximum(cum_v[:, i, None], tiny)
+            else:
+                any_zero = (cum_z[:, i] > 0.0)[:, None]
+                pz = cum_zy[:, i] / jnp.maximum(cum_z[:, i, None], tiny)
+                pw = cum_wy[:, i] / jnp.maximum(cum_w[:, i, None], tiny)
+                pred = jnp.where(any_zero, pz, pw)
+            # unseen-site / all-invalid rows predict 0 (reference zero rows)
+            pred = jnp.where((cum_v[:, i] > 0.0)[:, None], pred, 0.0)
+            errs.append(jnp.mean((pred - y_val) ** 2, axis=1))
+    return jnp.stack(errs)                               # (n_combos, m)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ks", "modes", "kmax", "prec"))
+def _knn_grid_chunk(x_train, y_train, queries, y_val, n_valid,
+                    ks: tuple, modes: tuple, kmax: int, prec=None):
+    """All-(k, weights) grid predictions' per-sample MSE for one query
+    chunk in ONE program: one distance matmul + one `top_k(kmax)`, then
+    prefix reductions per grid point (`_grid_errs_from_topk`). Replaces
+    the per-combo fit/predict loop of the comparison scripts' grid search
+    (reference `src/knn_comparison/run_comparison.py:56-94`) under
+    ``EVAL_BACKEND=tpu``."""
+    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+    x_sq = jnp.sum(x_train * x_train, axis=1)
+    cross = jnp.dot(queries, x_train.T,
+                    preferred_element_type=jnp.float32, precision=prec)
+    d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
+    d2 = jnp.where(jnp.arange(x_train.shape[0])[None, :] < n_valid,
+                   d2, jnp.inf)
+    neg_d2, idx = jax.lax.top_k(-d2, kmax)
+    valid = jnp.isfinite(-neg_d2)
+    d = jnp.sqrt(_exact_topk_d2(x_train, queries, idx, kmax))
+    neighbors = jnp.take(y_train, idx, axis=0)
+    return _grid_errs_from_topk(d, valid, neighbors, y_val, ks, modes)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ks", "modes", "kmax", "prec"))
+def _cond_knn_grid_chunk(x_train, y_train, x_site, queries, q_site, y_val,
+                         ks: tuple, modes: tuple, kmax: int, prec=None):
+    """Site-conditioned grid variant: cross-site pairs masked to +inf, so
+    per-site k clamping and unseen-site zero rows fall out of the validity
+    prefix counts (same semantics as `_cond_knn_chunk`, every grid point
+    at once)."""
+    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+    x_sq = jnp.sum(x_train * x_train, axis=1)
+    cross = jnp.dot(queries, x_train.T,
+                    preferred_element_type=jnp.float32, precision=prec)
+    d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
+    d2 = jnp.where(q_site[:, None] == x_site[None, :], d2, jnp.inf)
+    neg_d2, idx = jax.lax.top_k(-d2, kmax)
+    valid = jnp.isfinite(-neg_d2)
+    d = jnp.sqrt(_exact_topk_d2(x_train, queries, idx, kmax))
+    neighbors = jnp.take(y_train, idx, axis=0)
+    return _grid_errs_from_topk(d, valid, neighbors, y_val, ks, modes)
+
+
+def knn_grid_mse_tpu(X_train, y_train, X_val, y_val, ks, modes,
+                     conditioned: bool = False,
+                     chunk_size: int = 512) -> dict:
+    """Mean validation MSE for every (n_neighbors, weights) grid combo via
+    the fused single-pass kernels: ``{(k, mode): mse}`` with k already
+    clamped to the training size (the comparison scripts' clamp).
+
+    One O(m·n·dim) distance pass + one `top_k` serve the WHOLE grid —
+    the per-combo loop pays that pass (and a relay round-trip) per grid
+    point. Per-sample errors come back fp32; the mean is accumulated in
+    float64 on host so combo selection matches the reference's
+    `mean_squared_error` ordering. Single-chip path (the grid-search
+    cohorts are far below HBM scale); multi-chip hosts should keep the
+    per-combo loop over the sharded kernels."""
+    from vae_los_angeles_tpu.ops.backend import (
+        bucket_rows,
+        eval_matmul_precision,
+    )
+
+    prec = eval_matmul_precision()
+    if conditioned:
+        X_train = np.asarray(X_train, np.float32)
+        X_val = np.asarray(X_val, np.float32)
+        feats, sites = X_train[:, :-1], X_train[:, -1].astype(np.int32)
+        q_feats = np.ascontiguousarray(X_val[:, :-1])
+        q_sites = X_val[:, -1].astype(np.int32)
+    else:
+        feats, sites = X_train, None
+        q_feats, q_sites = X_val, None
+    n = len(feats)
+    n_pad = bucket_rows(n)
+    x = _row_padded_put(np.ascontiguousarray(feats), n_pad)
+    y_host = np.asarray(y_train, np.float32)
+    y_dev = _row_padded_put(y_host.reshape(len(y_host), -1), n_pad)
+    site_dev = None
+    if conditioned:
+        # pad with site -1 (never a real id): padded rows match nothing
+        site_dev = _row_padded_put(sites, n_pad, dtype=np.int32,
+                                   pad_value=-1)
+    ks = tuple(min(int(k), n) for k in ks)
+    modes = tuple(modes)
+    kmax = min(max(ks), n)
+    yv = np.asarray(y_val, np.float32).reshape(len(y_val), -1)
+    m = len(q_feats)
+    chunk = min(chunk_size, bucket_rows(max(m, 1)))
+    combo_sums = np.zeros(len(ks) * len(modes), np.float64)
+    for start in range(0, m, chunk):
+        qb = np.asarray(q_feats[start:start + chunk], np.float32)
+        yb = yv[start:start + chunk]
+        n_valid = len(qb)
+        if n_valid < chunk:
+            qb = np.pad(qb, ((0, chunk - n_valid), (0, 0)))
+            yb = np.pad(yb, ((0, chunk - n_valid), (0, 0)))
+        if conditioned:
+            sb = q_sites[start:start + chunk]
+            if n_valid < chunk:
+                sb = np.pad(sb, (0, chunk - n_valid), constant_values=-1)
+            errs = _cond_knn_grid_chunk(
+                x, y_dev, site_dev, jnp.asarray(qb), jnp.asarray(sb),
+                jnp.asarray(yb), ks, modes, kmax, prec)
+        else:
+            errs = _knn_grid_chunk(
+                x, y_dev, jnp.asarray(qb), jnp.asarray(yb), np.int32(n),
+                ks, modes, kmax, prec)
+        host = np.asarray(jax.device_get(errs), np.float64)[:, :n_valid]
+        combo_sums += host.sum(axis=1)
+    mses = combo_sums / max(m, 1)
+    out = {}
+    i = 0
+    for mode in modes:
+        for k in ks:
+            out[(k, mode)] = float(mses[i])
+            i += 1
+    return out
+
+
 def resolve_conditioned_knn():
     """Backend selector for the site-conditioned baseline: sklearn-loop
     reference implementation by default, ``EVAL_BACKEND=tpu`` (alias
