@@ -167,3 +167,59 @@ def test_optimize_knn_fused_conditioned(monkeypatch):
     assert tpu_best.weights == sk_best.weights
     np.testing.assert_allclose(
         tpu_best.predict(Q), sk_best.predict(Q), rtol=1e-4, atol=1e-4)
+
+
+def test_predict_multi_k_matches_per_k(regression_data):
+    from sklearn.neighbors import KNeighborsRegressor
+
+    x, y, q, _ = regression_data
+    for weights in ("uniform", "distance"):
+        reg = KNNRegressorTPU(weights=weights, shard=False).fit(x, y)
+        multi = reg.predict_multi_k(q, (5, 10, 50))
+        assert set(multi) == {5, 10, 50}
+        for k in (5, 10, 50):
+            want = KNeighborsRegressor(k, weights=weights).fit(x, y).predict(q)
+            np.testing.assert_allclose(multi[k], want, rtol=1e-4, atol=1e-4)
+
+
+def test_predict_multi_k_clamps_and_squeezes():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(14, 5)).astype(np.float32)
+    y = rng.normal(size=14).astype(np.float32)  # 1-D → squeezed output
+    q = rng.normal(size=(6, 5)).astype(np.float32)
+    multi = KNNRegressorTPU(shard=False).fit(x, y).predict_multi_k(q, (5, 50))
+    assert set(multi) == {5, 14}
+    assert multi[5].shape == (6,)
+    want = KNNRegressorTPU(5, shard=False).fit(x, y).predict(q)
+    np.testing.assert_allclose(multi[5], want, rtol=1e-5, atol=1e-6)
+
+
+def test_cv_knn_sweep_fused_matches_sklearn(monkeypatch):
+    """run_cross_validation('knn') under EVAL_BACKEND=tpu (fused multi-k)
+    must reproduce the sklearn per-k sweep's fold metrics."""
+    from sklearn.model_selection import KFold
+
+    from vae_los_angeles_tpu.evaluation.cross_modality_cv import (
+        run_cross_validation,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 120
+    X = rng.normal(size=(n, 12)).astype(np.float32)
+    y = (X @ rng.normal(size=(12, 7))).astype(np.float32)
+    site = rng.integers(0, 4, n)
+    folds = list(KFold(n_splits=3, shuffle=True, random_state=0).split(X))
+
+    monkeypatch.delenv("EVAL_BACKEND", raising=False)
+    monkeypatch.delenv("KNN_BACKEND", raising=False)
+    want = run_cross_validation(X, y, site, [5, 10], folds,
+                                "RNA -> DNA", "knn")
+    monkeypatch.setenv("EVAL_BACKEND", "tpu")
+    got = run_cross_validation(X, y, site, [5, 10], folds,
+                               "RNA -> DNA", "knn")
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        assert g["param_value"] == w["param_value"]
+        for metric, scores in w["fold_metrics"].items():
+            np.testing.assert_allclose(
+                g["fold_metrics"][metric], scores, rtol=1e-4, atol=1e-5)

@@ -150,6 +150,43 @@ def run_cross_validation(
         "_ae" if model_type == "ae" else ""
     )
 
+    if model_type == "knn":
+        from vae_los_angeles_tpu.ops.knn import (
+            KNNRegressorTPU,
+            _eval_mesh,
+            resolve_knn_regressor,
+        )
+
+        if (resolve_knn_regressor() is KNNRegressorTPU
+                and _eval_mesh(None) is None):
+            # EVAL_BACKEND=tpu, single chip: ONE distance pass per fold
+            # serves every swept k (sorted-top-k prefix reductions,
+            # ops/knn.predict_multi_k) instead of re-running the
+            # O(m·n·dim) matmul per k. Per-fold numbers are identical to
+            # the per-k path; the swept params share one wall-clock (the
+            # same combined-`time` convention as the unified families).
+            print("  Testing "
+                  + ", ".join(f"k={p}" for p in params_to_test)
+                  + " (one fused pass per fold)...")
+            start_time = time.time()
+            per_param = {p: {k: [] for k in METRIC_NAMES}
+                         for p in params_to_test}
+            for train_index, val_index in fold_indices:
+                model = KNNRegressorTPU().fit(X[train_index], y[train_index])
+                preds = model.predict_multi_k(X[val_index], params_to_test)
+                for param in params_to_test:
+                    m = compute_cv_metrics(
+                        y[val_index], preds[min(param, len(train_index))]
+                    )
+                    for k in METRIC_NAMES:
+                        per_param[param][k].append(m[k])
+            elapsed = time.time() - start_time
+            return [
+                _aggregate_sweep(direction_name, model_type, param_name,
+                                 param, elapsed, per_param[param])
+                for param in params_to_test
+            ]
+
     for param in params_to_test:
         label = f"{param_name}={param}" if model_type != "mean" else "Mean Baseline"
         print(f"  Testing {label}...")

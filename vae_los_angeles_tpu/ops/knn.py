@@ -352,6 +352,50 @@ class KNNRegressorTPU:
         )
         return out[:, 0] if self._squeeze else out
 
+    def predict_multi_k(self, X, ks) -> dict:
+        """Predictions for every k in ``ks`` from ONE distance pass:
+        ``{clamped_k: (m, t) ndarray}``. The CV harness's n_neighbors sweep
+        re-ran the full distance matmul per k; the sorted top-kmax prefix
+        reduction serves all of them in a single program (single-chip path;
+        multi-chip callers loop `predict` over the sharded kernels).
+        Each k's rows match ``KNNRegressorTPU(k).predict`` exactly."""
+        if self._x is None:
+            raise RuntimeError("fit() before predict_multi_k()")
+        if self._mesh is not None:
+            raise NotImplementedError(
+                "predict_multi_k is single-chip; loop predict() per k on "
+                "multi-chip hosts")
+        from vae_los_angeles_tpu.ops.backend import (
+            bucket_rows,
+            eval_matmul_precision,
+        )
+
+        prec = eval_matmul_precision()
+        ks = tuple(sorted({min(int(k), self._n) for k in ks}))
+        kmax = max(ks)
+        X = np.asarray(X, np.float32)
+        chunk = min(self.chunk_size, bucket_rows(max(len(X), 1)))
+        outs = {k: [] for k in ks}
+        for start in range(0, len(X), chunk):
+            block = X[start:start + chunk]
+            n_valid = len(block)
+            if n_valid < chunk:
+                block = np.pad(block, ((0, chunk - n_valid), (0, 0)))
+            preds = _knn_multi_chunk(
+                self._x, self._y, jnp.asarray(block), np.int32(self._n),
+                ks, self.weights, kmax, prec)
+            host = np.asarray(jax.device_get(preds))[:, :n_valid]
+            for i, k in enumerate(ks):
+                outs[k].append(host[i])
+        stacked = {
+            k: (np.concatenate(v) if v else np.zeros(
+                (0, self._y.shape[1]), np.float32))
+            for k, v in outs.items()
+        }
+        if self._squeeze:  # match predict(): 1-D y → 1-D predictions
+            stacked = {k: v[:, 0] for k, v in stacked.items()}
+        return stacked
+
     # sklearn plumbing used by the comparison scripts' grid search
     def get_params(self, deep=True):
         return {
@@ -526,24 +570,25 @@ class ConditionedKNNRegressorTPU:
         return self
 
 
-def _grid_errs_from_topk(d, valid, neighbors, y_val, ks, modes):
-    """Per-sample squared errors for every (k, weights) grid combo from ONE
-    sorted top-K neighbor set: (n_combos, m).
+def _prefix_predictions(d, valid, neighbors, ks, modes):
+    """Every (k, weights) grid combo's predictions from ONE sorted top-K
+    neighbor set, yielded in ``[(k, mode) for mode in modes for k in ks]``
+    order as (m, t) arrays.
 
     ``d`` (m, K) exact distances ascending (the top-k sort order), ``valid``
     (m, K) neighbor validity (finite / same-site / non-pad), ``neighbors``
-    (m, K, t) payload rows, ``y_val`` (m, t) targets. Because the neighbor
-    axis is sorted, every k's prediction is a PREFIX reduction — so all k
-    values fall out of three cumulative sums instead of re-running the
-    O(m·n·dim) distance pass per grid point:
+    (m, K, t) payload rows. Because the neighbor axis is sorted, every k's
+    prediction is a PREFIX reduction — so all k values fall out of three
+    cumulative sums instead of re-running the O(m·n·dim) distance pass per
+    grid point:
 
     - uniform:  pred(k) = Σ_{j<k} valid_j·y_j / Σ_{j<k} valid_j
     - distance (sklearn rule per prefix): if any zero-distance valid
       neighbor in the first k, average those only; else 1/d weights over
       the valid prefix.
 
-    Combo order is ``[(k, mode) for mode in modes for k in ks]`` — the
-    caller owns mapping back to param dicts."""
+    All-invalid prefixes (unseen site) predict 0 — the reference's zero
+    rows."""
     vf = valid.astype(jnp.float32)
     zero = valid & (d <= 0.0)
     zf = zero.astype(jnp.float32)
@@ -556,7 +601,6 @@ def _grid_errs_from_topk(d, valid, neighbors, y_val, ks, modes):
     cum_zy = jnp.cumsum(zf[:, :, None] * neighbors, axis=1)
     cum_wy = jnp.cumsum(w_inv[:, :, None] * neighbors, axis=1)
     tiny = 1e-30
-    errs = []
     for mode in modes:
         for k in ks:
             i = k - 1
@@ -568,9 +612,41 @@ def _grid_errs_from_topk(d, valid, neighbors, y_val, ks, modes):
                 pw = cum_wy[:, i] / jnp.maximum(cum_w[:, i, None], tiny)
                 pred = jnp.where(any_zero, pz, pw)
             # unseen-site / all-invalid rows predict 0 (reference zero rows)
-            pred = jnp.where((cum_v[:, i] > 0.0)[:, None], pred, 0.0)
-            errs.append(jnp.mean((pred - y_val) ** 2, axis=1))
-    return jnp.stack(errs)                               # (n_combos, m)
+            yield jnp.where((cum_v[:, i] > 0.0)[:, None], pred, 0.0)
+
+
+def _grid_errs_from_topk(d, valid, neighbors, y_val, ks, modes):
+    """Per-sample squared errors for every grid combo: (n_combos, m) —
+    `_prefix_predictions` reduced against the validation targets on
+    device (only the small per-sample error matrix travels home)."""
+    return jnp.stack([
+        jnp.mean((pred - y_val) ** 2, axis=1)
+        for pred in _prefix_predictions(d, valid, neighbors, ks, modes)
+    ])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ks", "weights", "kmax", "prec"))
+def _knn_multi_chunk(x_train, y_train, queries, n_valid,
+                     ks: tuple, weights: str, kmax: int, prec=None):
+    """Predictions for EVERY k in ``ks`` from one distance pass + one
+    `top_k(kmax)`: (len(ks), m, t). The CV harness sweeps n_neighbors over
+    the same folds (reference `vae_cross_modality_cv.py:285-340`) — each k
+    re-ran the O(m·n·dim) pass; the sorted prefix trick serves them all."""
+    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+    x_sq = jnp.sum(x_train * x_train, axis=1)
+    cross = jnp.dot(queries, x_train.T,
+                    preferred_element_type=jnp.float32, precision=prec)
+    d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
+    d2 = jnp.where(jnp.arange(x_train.shape[0])[None, :] < n_valid,
+                   d2, jnp.inf)
+    neg_d2, idx = jax.lax.top_k(-d2, kmax)
+    valid = jnp.isfinite(-neg_d2)
+    d = jnp.sqrt(_exact_topk_d2(x_train, queries, idx, kmax))
+    neighbors = jnp.take(y_train, idx, axis=0)
+    return jnp.stack(list(
+        _prefix_predictions(d, valid, neighbors, ks, (weights,))
+    ))
 
 
 @functools.partial(jax.jit,
