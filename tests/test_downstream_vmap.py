@@ -178,3 +178,152 @@ def test_directional_scenarios_vmapped_match_sequential():
             seq["accuracy"], abs=1e-6), name
         assert vm[name]["weighted avg"]["f1-score"] == pytest.approx(
             seq["weighted avg"]["f1-score"], abs=1e-6), name
+
+
+# ---------------------------------------------------------------------------
+# Feature-width bucketing (round 4): scenario widths pad up to the 128-lane
+# boundary the MXU pads to anyway, so near-sized widths (1177/1211) share one
+# compiled executable — and can even join one vmapped population. Contract:
+# the padded program is BIT-IDENTICAL to the true-width fit (zero input
+# columns → zero fc1 grads → zero Adam drift on the pad rows).
+# ---------------------------------------------------------------------------
+
+
+def test_feature_bucket_ladder(monkeypatch):
+    from vae_los_angeles_tpu.evaluation.mlp_classifier import feature_bucket
+
+    monkeypatch.delenv("DOWNSTREAM_DIM_BUCKET", raising=False)
+    assert feature_bucket(1177) == 1280
+    assert feature_bucket(1211) == 1280  # shares 1177's executable
+    assert feature_bucket(2388) == 2432
+    assert feature_bucket(128) == 128
+    monkeypatch.setenv("DOWNSTREAM_DIM_BUCKET", "0")
+    assert feature_bucket(1177) == 1177
+
+
+def test_bucketed_fit_bit_identical_to_unbucketed(monkeypatch):
+    """dim=20 (bucket 128) with padding ON vs OFF: identical val-acc
+    trajectory, identical predictions, and the pad weight rows stay
+    exactly zero through training."""
+    x, y = _fixture(n=90, dim=20, seed=7)
+    cw = np.ones(N_CLASSES, np.float32)
+    args = (x[:70], y[:70], x[70:], y[70:], N_CLASSES, cw,
+            jax.random.PRNGKey(3))
+
+    monkeypatch.setenv("DOWNSTREAM_DIM_BUCKET", "0")
+    plain = fit_classifier(*args, num_epochs=EPOCHS)
+    monkeypatch.delenv("DOWNSTREAM_DIM_BUCKET", raising=False)
+    padded = fit_classifier(*args, num_epochs=EPOCHS)
+
+    assert padded.params["fc1"]["w"].shape[0] == 128
+    np.testing.assert_array_equal(
+        np.asarray(padded.val_accs), np.asarray(plain.val_accs)
+    )
+    w = np.asarray(padded.params["fc1"]["w"])
+    np.testing.assert_array_equal(w[:20], np.asarray(plain.params["fc1"]["w"]))
+    assert not w[20:].any()  # pad rows never drift off zero
+    np.testing.assert_array_equal(
+        predict_classes(padded.params, x[70:]),
+        predict_classes(plain.params, x[70:]),
+    )
+
+
+def test_mixed_width_population_matches_standalone():
+    """Members of DIFFERENT true widths (20 and 28 → one 128 bucket) train
+    as one population; each reproduces its standalone fit bit-for-bit."""
+    x, y = _fixture(n=100, dim=28, seed=8)
+    cw = np.ones(N_CLASSES, np.float32)
+    members = [x[:, :20], x]  # widths 20, 28
+    folds = [(m[:80], y[:80], m[80:], y[80:], cw) for m in members]
+    fit = fit_classifier_folds(folds, N_CLASSES, num_epochs=EPOCHS)
+
+    preds = predict_classes_folds(fit.params, [m[80:] for m in members])
+    for i, m in enumerate(members):
+        alone = fit_classifier(
+            m[:80], y[:80], m[80:], y[80:], N_CLASSES, cw,
+            jax.random.PRNGKey(i), num_epochs=EPOCHS,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fit.val_accs[i]), np.asarray(alone.val_accs)
+        )
+        np.testing.assert_array_equal(
+            preds[i], predict_classes(alone.params, m[80:])
+        )
+
+
+def test_bucketed_widths_share_one_executable():
+    """Two scenario widths in the same bucket (20 and 28, same fold rows)
+    must not compile a second program: the jit cache size is unchanged by
+    the second width."""
+    from vae_los_angeles_tpu.evaluation.mlp_classifier import (
+        _build_classifier_fit_folds,
+    )
+
+    x, y = _fixture(n=100, dim=28, seed=9)
+    cw = np.ones(N_CLASSES, np.float32)
+
+    def run(width):
+        m = x[:, :width]
+        folds = [
+            (m[:80], y[:80], m[80:], y[80:], cw),
+            (m[:80], y[:80], m[80:], y[80:], cw),
+        ]
+        return fit_classifier_folds(folds, N_CLASSES, num_epochs=EPOCHS)
+
+    run(20)
+    fit_fn = _build_classifier_fit_folds("deep", EPOCHS, 32, 80, 20, True)
+    size_before = fit_fn._cache_size()
+    run(28)  # same 128 bucket → same shapes → zero new executables
+    assert fit_fn._cache_size() == size_before
+
+
+def test_grouped_scenarios_match_per_scenario():
+    """`run_scenarios_grouped` (one population per bucketed width, members =
+    scenario × fold) reproduces `run_classification_scenario` exactly for
+    every scenario — same splits, same per-fold class weights, same
+    PRNGKey(fold) seeding."""
+    from sklearn.preprocessing import LabelEncoder
+
+    from vae_los_angeles_tpu.evaluation.downstream import (
+        run_classification_scenario,
+        run_scenarios_grouped,
+    )
+
+    x, y = _fixture(n=120, dim=24, seed=11)
+    le = LabelEncoder().fit(np.array(["A", "B", "C", "D"])[y])
+    labels = le.transform(np.array(["A", "B", "C", "D"])[y]).astype(np.int64)
+    scenarios = {
+        "narrow": x[:, :10],            # bucket 128 (joins the others)
+        "full": x,
+        "doubled": np.concatenate([x, x * 0.5], axis=1),
+    }
+    grouped = run_scenarios_grouped(
+        scenarios, labels, N_CLASSES, le, n_folds=3
+    )
+    assert list(grouped.keys()) == list(scenarios.keys())
+    for name, data in scenarios.items():
+        solo = run_classification_scenario(
+            data, labels, N_CLASSES, name, le, n_folds=3, vmap_folds=True
+        )
+        assert grouped[name]["accuracy"] == pytest.approx(
+            solo["accuracy"], abs=1e-6), name
+        assert grouped[name]["accuracy_std"] == pytest.approx(
+            solo["accuracy_std"], abs=1e-6), name
+        for stat in ("precision", "recall", "f1-score"):
+            assert grouped[name]["weighted avg"][stat] == pytest.approx(
+                solo["weighted avg"][stat], abs=1e-6), name
+        for cls in le.classes_:
+            if cls in solo:
+                assert grouped[name][cls]["f1-score"] == pytest.approx(
+                    solo[cls]["f1-score"], abs=1e-6), name
+
+
+def test_group_env_toggle(monkeypatch):
+    from vae_los_angeles_tpu.evaluation.downstream import (
+        _group_scenarios_default,
+    )
+
+    monkeypatch.delenv("DOWNSTREAM_GROUP", raising=False)
+    assert _group_scenarios_default() is True
+    monkeypatch.setenv("DOWNSTREAM_GROUP", "0")
+    assert _group_scenarios_default() is False

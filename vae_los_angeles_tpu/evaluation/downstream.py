@@ -10,11 +10,15 @@ early stopping on val accuracy; aggregate sklearn classification_reports
 across folds; emit grouped-bar comparison and per-tissue-F1 plots.
 
 The MLP classifier is the fused-scan JAX trainer in `mlp_classifier`. By
-default each scenario's StratifiedKFold population trains as ONE vmapped
-program (`fit_classifier_folds` — uneven folds padded + masked), so the
-reference's 8×5 = 40 sequential MLP fits become 8 dispatches sharing 3
-compiled executables (one per distinct feature width); ``DOWNSTREAM_VMAP=0``
-restores the sequential per-fold loop (one dispatch per fold).
+default ALL scenarios of one bucketed feature width train as ONE vmapped
+(scenario × fold) population (`run_scenarios_grouped`): the reference's
+8×5 = 40 sequential MLP fits become 2 dispatches / 2 compiled executables
+(widths pad to the 128-lane boundary, so 1177 and 1211 share one — see
+`mlp_classifier.feature_bucket`), and the member axis auto-shards over
+multi-chip meshes. Step-back knobs: ``DOWNSTREAM_GROUP=0`` → one vmapped
+population per scenario (8 dispatches), ``DOWNSTREAM_VMAP=0`` → the
+reference-shaped sequential per-fold loop, ``DOWNSTREAM_DIM_BUCKET=0`` /
+``DOWNSTREAM_SHARD=0`` disable width padding / population sharding.
 """
 
 from __future__ import annotations
@@ -72,6 +76,38 @@ def _vmap_folds_default() -> bool:
     """The vmapped fold population is the default; ``DOWNSTREAM_VMAP=0``
     falls back to the reference-shaped sequential fold loop."""
     return os.getenv("DOWNSTREAM_VMAP", "1") != "0"
+
+
+def _group_scenarios_default() -> bool:
+    """Cross-scenario population grouping (scenarios of one bucketed feature
+    width train as ONE vmapped population) is the default on the vmapped
+    path; ``DOWNSTREAM_GROUP=0`` keeps one dispatch per scenario."""
+    return os.getenv("DOWNSTREAM_GROUP", "1") != "0"
+
+
+def _aggregate_fold_reports(fold_reports, le_new):
+    """Mean ± std of per-fold sklearn classification_reports
+    (reference :190-228)."""
+    aggregated = {}
+    accuracies = [r["accuracy"] for r in fold_reports]
+    aggregated["accuracy"] = float(np.mean(accuracies))
+    aggregated["accuracy_std"] = float(np.std(accuracies))
+    for stat in ("precision", "recall", "f1-score"):
+        vals = [r["weighted avg"][stat] for r in fold_reports]
+        aggregated.setdefault("weighted avg", {})[stat] = float(np.mean(vals))
+        aggregated["weighted avg"][f"{stat}_std"] = float(np.std(vals))
+    for class_name in le_new.classes_:
+        vals = [r[class_name] for r in fold_reports if class_name in r]
+        if vals:
+            aggregated[class_name] = {
+                stat: float(np.mean([v[stat] for v in vals]))
+                for stat in ("precision", "recall", "f1-score")
+            }
+            for stat in ("precision", "recall", "f1-score"):
+                aggregated[class_name][f"{stat}_std"] = float(
+                    np.std([v[stat] for v in vals])
+                )
+    return aggregated
 
 
 def run_classification_scenario(features, labels, n_classes,
@@ -147,25 +183,7 @@ def run_classification_scenario(features, labels, n_classes,
             )
             fold_reports.append(report)
 
-    aggregated = {}
-    accuracies = [r["accuracy"] for r in fold_reports]
-    aggregated["accuracy"] = float(np.mean(accuracies))
-    aggregated["accuracy_std"] = float(np.std(accuracies))
-    for stat in ("precision", "recall", "f1-score"):
-        vals = [r["weighted avg"][stat] for r in fold_reports]
-        aggregated.setdefault("weighted avg", {})[stat] = float(np.mean(vals))
-        aggregated["weighted avg"][f"{stat}_std"] = float(np.std(vals))
-    for class_name in le_new.classes_:
-        vals = [r[class_name] for r in fold_reports if class_name in r]
-        if vals:
-            aggregated[class_name] = {
-                stat: float(np.mean([v[stat] for v in vals]))
-                for stat in ("precision", "recall", "f1-score")
-            }
-            for stat in ("precision", "recall", "f1-score"):
-                aggregated[class_name][f"{stat}_std"] = float(
-                    np.std([v[stat] for v in vals])
-                )
+    aggregated = _aggregate_fold_reports(fold_reports, le_new)
 
     print(f"\nCross-Validation Results ({n_folds} folds):")
     print(f"Accuracy: {aggregated['accuracy']:.4f} ± {aggregated['accuracy_std']:.4f}")
@@ -174,6 +192,85 @@ def run_classification_scenario(features, labels, n_classes,
         f"± {aggregated['weighted avg']['f1-score_std']:.4f}"
     )
     return aggregated
+
+
+def run_scenarios_grouped(scenarios, labels, n_classes, le_new,
+                          n_folds=5, seed=42):
+    """ALL scenarios of one bucketed feature width train as ONE vmapped
+    population of (scenario × fold) members.
+
+    The StratifiedKFold splits depend only on the labels (identical across
+    scenarios, reference :173), so members stack cleanly; member
+    ``(scenario, fold)`` uses ``PRNGKey(fold)`` and that fold's balanced
+    class weights — exactly the per-scenario paths' seeding — so every
+    member reproduces its `run_classification_scenario` result bit-for-bit
+    (tested). The reference's 8 scenarios (40 sequential MLP fits,
+    downstream_task.py:164-237) become TWO dispatches: one 20-member
+    population per bucketed width (1280: RNA/DNA-width scenarios, 2432:
+    the concatenated ones)."""
+    from sklearn.metrics import classification_report
+    from sklearn.model_selection import StratifiedKFold
+    from sklearn.preprocessing import StandardScaler
+    from sklearn.utils.class_weight import compute_class_weight
+
+    from vae_los_angeles_tpu.evaluation.mlp_classifier import feature_bucket
+
+    names = list(scenarios.keys())
+    any_features = scenarios[names[0]]
+    skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
+    splits = list(skf.split(any_features, labels))
+    fold_cws = []
+    for train_idx, _ in splits:
+        y_train = labels[train_idx]
+        fold_cw = compute_class_weight(
+            "balanced", classes=np.unique(y_train), y=y_train
+        )
+        cw_full = np.ones(n_classes, np.float32)
+        cw_full[np.unique(y_train)] = fold_cw
+        fold_cws.append(cw_full)
+    n_val_max = max(len(va) for _, va in splits)
+
+    by_width = {}
+    for name in names:
+        by_width.setdefault(
+            feature_bucket(scenarios[name].shape[1]), []
+        ).append(name)
+
+    metrics_dict = {}
+    for width, group in by_width.items():
+        print("\n" + "=" * 50)
+        print(f"Scenario group (vmapped population, width bucket {width}): "
+              + ", ".join(group))
+        print("=" * 50)
+        members, member_val = [], []
+        for name in group:
+            fn = StandardScaler().fit_transform(scenarios[name])
+            for (tr, va), cw in zip(splits, fold_cws):
+                members.append((fn[tr], labels[tr], fn[va], labels[va], cw))
+                member_val.append(_pad_rows(fn[va], n_val_max))
+        seeds = [f for _ in group for f in range(n_folds)]
+        fit = fit_classifier_folds(
+            members, n_classes, arch="deep", num_epochs=100, batch_size=32,
+            lr=1e-3, weight_decay=1e-4, early_stop=True, seeds=seeds,
+        )
+        preds = predict_classes_folds(fit.params, member_val, arch="deep")
+        for s, name in enumerate(group):
+            fold_reports = []
+            for f, (_, va) in enumerate(splits):
+                m = s * n_folds + f
+                fold_reports.append(classification_report(
+                    labels[va], preds[m, : len(va)],
+                    target_names=le_new.classes_,
+                    labels=np.arange(len(le_new.classes_)),
+                    output_dict=True, zero_division=0,
+                ))
+            agg = _aggregate_fold_reports(fold_reports, le_new)
+            metrics_dict[name] = agg
+            print(f"{name}: accuracy {agg['accuracy']:.4f} ± "
+                  f"{agg['accuracy_std']:.4f}, weighted F1 "
+                  f"{agg['weighted avg']['f1-score']:.4f}")
+    # report in the caller's scenario order
+    return {name: metrics_dict[name] for name in names}
 
 
 def plot_comparison(metrics_dict, run_id=None, out_subdir="downstream_task",
@@ -323,11 +420,16 @@ def main(cfg: Optional[Config] = None, n_folds: int = 5):
         "Est. RNA + Est. DNA": np.concatenate([est_rna_data, est_dna_data], axis=1),
     }
 
-    metrics_dict = {}
-    for name, data in scenarios.items():
-        metrics_dict[name] = run_classification_scenario(
-            data, labels, n_classes, name, le_new, n_folds=n_folds
+    if _vmap_folds_default() and _group_scenarios_default():
+        metrics_dict = run_scenarios_grouped(
+            scenarios, labels, n_classes, le_new, n_folds=n_folds
         )
+    else:
+        metrics_dict = {}
+        for name, data in scenarios.items():
+            metrics_dict[name] = run_classification_scenario(
+                data, labels, n_classes, name, le_new, n_folds=n_folds
+            )
 
     plot_comparison(metrics_dict, run_id, plots_dir=cfg.plots_dir)
     plot_per_tissue_comparison(metrics_dict, le_new, run_id, plots_dir=cfg.plots_dir)

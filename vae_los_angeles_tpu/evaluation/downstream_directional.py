@@ -27,6 +27,7 @@ from vae_los_angeles_tpu.evaluation.downstream import (
 )
 from vae_los_angeles_tpu.evaluation.loading import load_dna2rna, load_rna2dna
 from vae_los_angeles_tpu.evaluation.mlp_classifier import (
+    feature_bucket,
     fit_classifier,
     fit_classifier_folds,
     predict_classes,
@@ -93,7 +94,13 @@ def run_scenarios_vmapped(scenarios, labels, n_classes, class_weights,
     names = list(scenarios.keys())
     by_width = {}
     for name in names:
-        by_width.setdefault(scenarios[name].shape[1], []).append(name)
+        # group by BUCKETED width: near-sized scenario widths (within one
+        # 128-lane boundary) merge into one population — the mixed-width
+        # member padding in `fit_classifier_folds` keeps each member's fit
+        # bit-identical to its standalone run
+        by_width.setdefault(
+            feature_bucket(scenarios[name].shape[1]), []
+        ).append(name)
 
     metrics_dict = {}
     for width, group in by_width.items():
@@ -114,8 +121,10 @@ def run_scenarios_vmapped(scenarios, labels, n_classes, class_weights,
             lr=1e-3, weight_decay=0.0, early_stop=False,
             seeds=[seed] * len(group),
         )
+        # pass the per-member list: widths inside a bucketed group may
+        # differ, predict_classes_folds column-pads each member
         preds = predict_classes_folds(
-            fit.params, np.stack([t[0] for t in tests]), arch="shallow"
+            fit.params, [t[0] for t in tests], arch="shallow"
         )
         for i, name in enumerate(group):
             y_test = tests[i][1]

@@ -21,6 +21,7 @@ on the CV side), replacing the reference's sequential 40-fit meta-loop
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -31,6 +32,46 @@ from vae_los_angeles_tpu.ops import optim
 from vae_los_angeles_tpu.ops.nn import dropout_apply, linear_apply, linear_init, relu
 
 LN_EPS = 1e-5
+
+
+def feature_bucket(input_dim: int) -> int:
+    """Pad the classifier's feature width up to the next 128-lane boundary.
+
+    The MXU already zero-pads the contraction dimension to a multiple of 128
+    internally, so this costs no FLOPs it wasn't paying — but it makes
+    near-sized scenario widths share one compiled executable (the reference's
+    8 downstream scenarios span widths 1177/1211/2388 → buckets 1280/2432,
+    cutting the population compiles 3 → 2). Training on the padded width is
+    BIT-IDENTICAL to the true width: pad input columns are zero, so their
+    fc1 weight rows (initialized zero, see `_pad_fc1_rows`) receive zero
+    gradient and zero Adam/weight-decay drift forever.
+    ``DOWNSTREAM_DIM_BUCKET=0`` disables.
+    """
+    if os.getenv("DOWNSTREAM_DIM_BUCKET", "1") == "0":
+        return input_dim
+    return -(-input_dim // 128) * 128
+
+
+def _pad_cols(a, dim: int):
+    a = np.asarray(a)
+    if a.shape[1] == dim:
+        return a
+    return np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, dim - a.shape[1])])
+
+
+def _pad_fc1_rows(params, dim: int):
+    """Zero-pad fc1's weight rows to the bucketed input width. Init stays at
+    the TRUE width (same RNG draws, same Kaiming bound) so the padded
+    program reproduces the unpadded one bit-for-bit."""
+    w = params["fc1"]["w"]
+    if w.shape[0] == dim:
+        return params
+    padded = dict(params)
+    padded["fc1"] = {
+        "w": jnp.pad(w, ((0, dim - w.shape[0]), (0, 0))),
+        "b": params["fc1"]["b"],
+    }
+    return padded
 
 
 def _layernorm_init(dim):
@@ -259,11 +300,13 @@ def fit_classifier(
     *, arch: str = "deep", num_epochs: int = 100, batch_size: int = 32,
     lr: float = 1e-3, weight_decay: float = 1e-4, early_stop: bool = True,
 ):
-    x_train = jnp.asarray(x_train, jnp.float32)
+    dim_pad = feature_bucket(int(np.asarray(x_train).shape[1]))
+    params0 = mlp_init(key, int(np.asarray(x_train).shape[1]), n_classes, arch)
+    params0 = _pad_fc1_rows(params0, dim_pad)
+    x_train = jnp.asarray(_pad_cols(x_train, dim_pad), jnp.float32)
     y_train = jnp.asarray(y_train, jnp.int32)
-    x_val = jnp.asarray(x_val, jnp.float32)
+    x_val = jnp.asarray(_pad_cols(x_val, dim_pad), jnp.float32)
     y_val = jnp.asarray(y_val, jnp.int32)
-    params0 = mlp_init(key, x_train.shape[1], n_classes, arch)
     fit_fn = _build_classifier_fit(
         arch, int(num_epochs), int(batch_size), int(len(x_train)),
         int(len(x_val)), bool(early_stop),
@@ -302,36 +345,78 @@ def fit_classifier_folds(
 
     Per-fold PRNG: fold i uses ``PRNGKey(seeds[i])`` (default ``seeds =
     range(len(folds))``, matching the sequential path's ``seed=fold_idx``).
+
+    Feature widths may differ ACROSS members: every fold matrix is
+    column-padded to `feature_bucket` of the population max, and each
+    member's params are initialized at its own TRUE width then zero-row
+    padded (`_pad_fc1_rows`), so a mixed-width population reproduces each
+    member's standalone fit bit-for-bit while sharing one executable.
     """
     n_folds = len(folds)
     seeds = list(range(n_folds)) if seeds is None else list(seeds)
     n_train_max = max(len(f[0]) for f in folds)
     n_val_max = max(len(f[2]) for f in folds)
-    input_dim = int(np.asarray(folds[0][0]).shape[1])
+    dim_pad = feature_bucket(max(int(np.asarray(f[0]).shape[1]) for f in folds))
 
     x_tr = jnp.asarray(
-        np.stack([_pad_rows(f[0], n_train_max) for f in folds]), jnp.float32)
+        np.stack([_pad_rows(_pad_cols(f[0], dim_pad), n_train_max)
+                  for f in folds]), jnp.float32)
     y_tr = jnp.asarray(
         np.stack([_pad_rows(f[1], n_train_max) for f in folds]), jnp.int32)
     n_tr = jnp.asarray([len(f[0]) for f in folds], jnp.int32)
     x_va = jnp.asarray(
-        np.stack([_pad_rows(f[2], n_val_max) for f in folds]), jnp.float32)
+        np.stack([_pad_rows(_pad_cols(f[2], dim_pad), n_val_max)
+                  for f in folds]), jnp.float32)
     y_va = jnp.asarray(
         np.stack([_pad_rows(f[3], n_val_max) for f in folds]), jnp.int32)
     n_va = jnp.asarray([len(f[2]) for f in folds], jnp.int32)
     cw = jnp.asarray(np.stack([f[4] for f in folds]), jnp.float32)
     keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
 
-    params0 = jax.vmap(lambda k: mlp_init(k, input_dim, n_classes, arch))(keys)
+    params0 = jax.tree.map(
+        lambda *leaves: jnp.stack(leaves),
+        *[
+            _pad_fc1_rows(
+                mlp_init(k, int(np.asarray(f[0]).shape[1]), n_classes, arch),
+                dim_pad,
+            )
+            for k, f in zip(keys, folds)
+        ],
+    )
     fit_fn = _build_classifier_fit_folds(
         arch, int(num_epochs), int(batch_size), int(n_train_max),
         int(n_val_max), bool(early_stop),
     )
-    return fit_fn(params0, x_tr, y_tr, n_tr, x_va, y_va, n_va, cw, keys,
-                  jnp.float32(lr), jnp.float32(weight_decay))
+    args = [params0, x_tr, y_tr, n_tr, x_va, y_va, n_va, cw, keys]
+
+    # multi-chip hosts: shard the member axis over the ("data",) mesh — the
+    # serving-policy convention every evaluation kernel follows. Each member
+    # trains entirely on one chip (identical per-member math; GSPMD just
+    # partitions the population), members padded to the device count by
+    # repeating the last one (discarded). DOWNSTREAM_SHARD=0 opts out.
+    mesh = None
+    if os.getenv("DOWNSTREAM_SHARD", "1") != "0":
+        from vae_los_angeles_tpu.parallel.vmap_meta import (
+            _pad_population,
+            _padded_size,
+            _shard_population,
+            population_mesh,
+        )
+
+        mesh = population_mesh()
+    if mesh is not None:
+        target = _padded_size(n_folds, mesh)
+        args = [
+            _shard_population(_pad_population(a, target), mesh) for a in args
+        ]
+    fit = fit_fn(*args, jnp.float32(lr), jnp.float32(weight_decay))
+    if mesh is not None and int(fit.best_val_acc.shape[0]) != n_folds:
+        fit = jax.tree.map(lambda leaf: leaf[:n_folds], fit)
+    return fit
 
 
 def predict_classes(params, x, arch: str = "deep"):
+    x = _pad_cols(x, int(params["fc1"]["w"].shape[0]))
     logits = mlp_apply(params, jnp.asarray(x, jnp.float32), arch=arch, train=False)
     return np.asarray(jnp.argmax(logits, axis=-1))
 
@@ -339,7 +424,11 @@ def predict_classes(params, x, arch: str = "deep"):
 def predict_classes_folds(params, x_vals, arch: str = "deep"):
     """Vmapped per-fold prediction. ``params`` carries a leading fold axis
     (from `fit_classifier_folds`); ``x_vals`` is the padded (F, n_val_max,
-    D) stack — callers slice row i to its true fold length."""
+    D) stack — callers slice row i to its true fold length. Columns are
+    padded to the population's bucketed width to match the params."""
+    x_vals = np.stack(
+        [_pad_cols(x, int(params["fc1"]["w"].shape[1])) for x in x_vals]
+    )
     logits = jax.vmap(
         lambda p, x: mlp_apply(p, x, arch=arch, train=False)
     )(params, jnp.asarray(x_vals, jnp.float32))
