@@ -223,3 +223,37 @@ def test_cv_knn_sweep_fused_matches_sklearn(monkeypatch):
         for metric, scores in w["fold_metrics"].items():
             np.testing.assert_allclose(
                 g["fold_metrics"][metric], scores, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_grid_matches_single_chip(regression_data):
+    """On the 8-device mesh, the sharded fused grid (exact all-gather
+    top-k merge + psum'd prefix numerators) must reproduce the single-chip
+    kernel's MSEs for every combo — and both run in this suite: shard=None
+    auto-detects the mesh, shard=False forces the single-chip program."""
+    x, y, q, yq = regression_data
+    ks, modes = (5, 10, 20, 50), ("uniform", "distance")
+    sharded = knn_grid_mse_tpu(x, y, q, yq, ks, modes, shard=True)
+    single = knn_grid_mse_tpu(x, y, q, yq, ks, modes, shard=False)
+    for combo, mse in single.items():
+        assert sharded[combo] == pytest.approx(mse, rel=1e-5), combo
+
+
+def test_sharded_conditioned_grid_matches_single_chip():
+    """Conditioned variant, incl. unseen-site queries (zero rows) and
+    per-site k clamping, sharded vs single-chip."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(90, 8)).astype(np.float32)
+    y = rng.normal(size=(90, 3)).astype(np.float32)
+    sites = rng.integers(0, 4, 90).astype(np.float32)  # site 4 never trains
+    q = rng.normal(size=(40, 8)).astype(np.float32)
+    yq = rng.normal(size=(40, 3)).astype(np.float32)
+    q_sites = rng.integers(0, 5, 40).astype(np.float32)
+    xt = np.concatenate([x, sites[:, None]], axis=1)
+    xv = np.concatenate([q, q_sites[:, None]], axis=1)
+    ks, modes = (5, 20, 50), ("uniform", "distance")
+    sharded = knn_grid_mse_tpu(xt, y, xv, yq, ks, modes, conditioned=True,
+                               shard=True)
+    single = knn_grid_mse_tpu(xt, y, xv, yq, ks, modes, conditioned=True,
+                              shard=False)
+    for combo, mse in single.items():
+        assert sharded[combo] == pytest.approx(mse, rel=1e-5), combo

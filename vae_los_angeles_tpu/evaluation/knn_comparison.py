@@ -58,14 +58,16 @@ def optimize_knn(X_train, y_train, X_val, y_val, name="KNN", model_class=None):
     keys, values = zip(*grid.items())
     fused_mses = None
     if model_class in (KNNRegressorTPU, ConditionedKNNRegressorTPU):
-        from vae_los_angeles_tpu.ops.knn import _eval_mesh, knn_grid_mse_tpu
+        # one-pass fused grid; on multi-chip hosts the training matrix
+        # row-shards over the mesh with the exact all-gather top-k merge
+        # (parallel/sharded_eval.build_knn_grid_chunk)
+        from vae_los_angeles_tpu.ops.knn import knn_grid_mse_tpu
 
-        if _eval_mesh(None) is None:  # single-chip: one-pass fused grid
-            fused_mses = knn_grid_mse_tpu(
-                X_train, y_train, X_val, y_val,
-                ks=grid["n_neighbors"], modes=grid["weights"],
-                conditioned=model_class is ConditionedKNNRegressorTPU,
-            )
+        fused_mses = knn_grid_mse_tpu(
+            X_train, y_train, X_val, y_val,
+            ks=grid["n_neighbors"], modes=grid["weights"],
+            conditioned=model_class is ConditionedKNNRegressorTPU,
+        )
     for combo in itertools.product(*values):
         p = dict(zip(keys, combo))
         # clamp k to the training size like the reference's conditioned model

@@ -696,7 +696,7 @@ def _cond_knn_grid_chunk(x_train, y_train, x_site, queries, q_site, y_val,
 
 def knn_grid_mse_tpu(X_train, y_train, X_val, y_val, ks, modes,
                      conditioned: bool = False,
-                     chunk_size: int = 512) -> dict:
+                     chunk_size: int = 512, shard=None) -> dict:
     """Mean validation MSE for every (n_neighbors, weights) grid combo via
     the fused single-pass kernels: ``{(k, mode): mse}`` with k already
     clamped to the training size (the comparison scripts' clamp).
@@ -705,15 +705,18 @@ def knn_grid_mse_tpu(X_train, y_train, X_val, y_val, ks, modes,
     the per-combo loop pays that pass (and a relay round-trip) per grid
     point. Per-sample errors come back fp32; the mean is accumulated in
     float64 on host so combo selection matches the reference's
-    `mean_squared_error` ordering. Single-chip path (the grid-search
-    cohorts are far below HBM scale); multi-chip hosts should keep the
-    per-combo loop over the sharded kernels."""
+    `mean_squared_error` ordering. On multi-chip hosts the training matrix
+    row-shards over the mesh and the candidate merge is the exact
+    all-gather/re-top-k of the sharded kNN kernels
+    (`parallel/sharded_eval.build_knn_grid_chunk`); ``shard`` follows the
+    serving auto-detect policy (`_eval_mesh`)."""
     from vae_los_angeles_tpu.ops.backend import (
         bucket_rows,
         eval_matmul_precision,
     )
 
     prec = eval_matmul_precision()
+    mesh = _eval_mesh(shard)
     if conditioned:
         X_train = np.asarray(X_train, np.float32)
         X_val = np.asarray(X_val, np.float32)
@@ -724,18 +727,34 @@ def knn_grid_mse_tpu(X_train, y_train, X_val, y_val, ks, modes,
         feats, sites = X_train, None
         q_feats, q_sites = X_val, None
     n = len(feats)
-    n_pad = bucket_rows(n)
-    x = _row_padded_put(np.ascontiguousarray(feats), n_pad)
     y_host = np.asarray(y_train, np.float32)
-    y_dev = _row_padded_put(y_host.reshape(len(y_host), -1), n_pad)
+    if mesh is None:
+        n_pad = bucket_rows(n)
+        x = _row_padded_put(np.ascontiguousarray(feats), n_pad)
+        y_dev = _row_padded_put(y_host.reshape(len(y_host), -1), n_pad)
+    else:
+        n_pad = _padded_rows(n, mesh)
+        x = _row_sharded_put(np.ascontiguousarray(feats), mesh, n_pad)
+        y_dev = _row_sharded_put(y_host.reshape(len(y_host), -1), mesh,
+                                 n_pad)
     site_dev = None
     if conditioned:
         # pad with site -1 (never a real id): padded rows match nothing
-        site_dev = _row_padded_put(sites, n_pad, dtype=np.int32,
-                                   pad_value=-1)
+        if mesh is None:
+            site_dev = _row_padded_put(sites, n_pad, dtype=np.int32,
+                                       pad_value=-1)
+        else:
+            site_dev = _row_sharded_put(sites, mesh, n_pad, dtype=np.int32,
+                                        pad_value=-1)
     ks = tuple(min(int(k), n) for k in ks)
     modes = tuple(modes)
     kmax = min(max(ks), n)
+    if mesh is not None:
+        from vae_los_angeles_tpu.parallel import sharded_eval
+
+        grid_fn = (sharded_eval.build_cond_knn_grid_chunk if conditioned
+                   else sharded_eval.build_knn_grid_chunk)(
+            mesh, ks, modes, kmax, prec)
     yv = np.asarray(y_val, np.float32).reshape(len(y_val), -1)
     m = len(q_feats)
     chunk = min(chunk_size, bucket_rows(max(m, 1)))
@@ -751,9 +770,17 @@ def knn_grid_mse_tpu(X_train, y_train, X_val, y_val, ks, modes,
             sb = q_sites[start:start + chunk]
             if n_valid < chunk:
                 sb = np.pad(sb, (0, chunk - n_valid), constant_values=-1)
-            errs = _cond_knn_grid_chunk(
-                x, y_dev, site_dev, jnp.asarray(qb), jnp.asarray(sb),
-                jnp.asarray(yb), ks, modes, kmax, prec)
+            if mesh is not None:
+                errs = grid_fn(x, y_dev, site_dev, jnp.int32(n),
+                               jnp.asarray(qb), jnp.asarray(sb),
+                               jnp.asarray(yb))
+            else:
+                errs = _cond_knn_grid_chunk(
+                    x, y_dev, site_dev, jnp.asarray(qb), jnp.asarray(sb),
+                    jnp.asarray(yb), ks, modes, kmax, prec)
+        elif mesh is not None:
+            errs = grid_fn(x, y_dev, jnp.int32(n), jnp.asarray(qb),
+                           jnp.asarray(yb))
         else:
             errs = _knn_grid_chunk(
                 x, y_dev, jnp.asarray(qb), jnp.asarray(yb), np.int32(n),

@@ -177,6 +177,134 @@ def build_cond_knn_chunk(mesh, k: int, weights: str, prec=None):
     return jax.jit(sharded)
 
 
+def _grid_impl(x_local, y_local, n, queries, y_val, keep_extra,
+               ks: tuple, modes: tuple, kmax: int, prec=None):
+    """Sharded fused (k, weights) grid search: per-sample validation MSE of
+    EVERY grid combo from ONE local distance pass + ONE exact top-k merge
+    (the multi-chip counterpart of `ops/knn._knn_grid_chunk`).
+
+    The merged candidate axis is sorted (ascending distance), so each k's
+    prediction is a prefix reduction. The prefix DENOMINATORS (validity /
+    zero-distance / 1/d weight counts) come from the replicated exact
+    winner distances; the prefix NUMERATORS Σⱼ cⱼ·yⱼ need the payload rows,
+    which stay sharded — each chip accumulates the winners it owns and
+    snapshots the running sum at every swept k, then ONE stacked psum
+    assembles the (3·|ks|, m, t) numerators. Payload traffic over ICI is
+    therefore O(|ks|·m·t), never O(kmax·m·t) or O(rows).
+    """
+    n_local = x_local.shape[0]
+    k_local = min(kmax, n_local)
+    offset, valid = _local_geometry(x_local, n)
+    d2 = _local_d2(x_local, queries, prec=prec)
+    keep = valid[None, :] if keep_extra is None else (
+        valid[None, :] & keep_extra)
+    d2 = jnp.where(keep, d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k_local)
+    neg2, win = _merge_topk(neg, idx + offset, kmax)
+    finite = jnp.isfinite(-neg2)
+    local_pos = win - offset
+    mine = (local_pos >= 0) & (local_pos < n_local) & finite
+    lp = jnp.clip(local_pos, 0, n_local - 1)
+
+    # exact winner distances (zero-distance rule; single-chip parity with
+    # ops/knn._exact_topk_d2) — one psum over the chip-owned columns —
+    # and the per-chip prefix numerators, snapshotted at each swept k
+    d_cols = []
+    ks_set = sorted(set(ks))
+    acc_v = acc_z = acc_w = jnp.zeros(
+        (queries.shape[0], y_local.shape[1]), jnp.float32)
+    snaps = {}
+    for j in range(kmax):
+        xi = jnp.take(x_local, lp[:, j], axis=0)
+        diff = queries - xi
+        dj = jnp.sum(diff * diff, axis=1)
+        d_cols.append(jnp.where(mine[:, j], dj, 0.0))
+    d = jnp.sqrt(jax.lax.psum(jnp.stack(d_cols, axis=1), "data"))
+    zero = finite & (d <= 0.0)
+    w_inv = jnp.where(finite & ~zero,
+                      1.0 / jnp.where(zero | ~finite, 1.0, d), 0.0)
+    vf = finite.astype(jnp.float32)
+    zf = zero.astype(jnp.float32)
+    for j in range(kmax):
+        yj = jnp.where(mine[:, j, None],
+                       jnp.take(y_local, lp[:, j], axis=0), 0.0)
+        acc_v = acc_v + vf[:, j, None] * yj
+        acc_z = acc_z + zf[:, j, None] * yj
+        acc_w = acc_w + w_inv[:, j, None] * yj
+        if j + 1 in ks_set:
+            snaps[j + 1] = (acc_v, acc_z, acc_w)
+    nums = jax.lax.psum(
+        jnp.stack([a for k in ks_set for a in snaps[k]]), "data"
+    )  # (3·|ks_set|, m, t)
+    num_at = {k: (nums[3 * i], nums[3 * i + 1], nums[3 * i + 2])
+              for i, k in enumerate(ks_set)}
+
+    cum_v = jnp.cumsum(vf, axis=1)
+    cum_z = jnp.cumsum(zf, axis=1)
+    cum_w = jnp.cumsum(w_inv, axis=1)
+    tiny = 1e-30
+    errs = []
+    # combo order must match ops/knn._grid_errs_from_topk: modes outer
+    for mode in modes:
+        for k in ks:
+            i = k - 1
+            num_v, num_z, num_w = num_at[k]
+            if mode == "uniform":
+                pred = num_v / jnp.maximum(cum_v[:, i, None], tiny)
+            else:
+                any_zero = (cum_z[:, i] > 0.0)[:, None]
+                pz = num_z / jnp.maximum(cum_z[:, i, None], tiny)
+                pw = num_w / jnp.maximum(cum_w[:, i, None], tiny)
+                pred = jnp.where(any_zero, pz, pw)
+            pred = jnp.where((cum_v[:, i] > 0.0)[:, None], pred, 0.0)
+            errs.append(jnp.mean((pred - y_val) ** 2, axis=1))
+    return jnp.stack(errs)
+
+
+@functools.lru_cache(maxsize=None)
+def build_knn_grid_chunk(mesh, ks: tuple, modes: tuple, kmax: int,
+                         prec=None):
+    """Jitted sharded fused grid search for one fixed-size query chunk:
+    (n_combos, m) per-sample validation MSEs, x/y row-sharded, queries and
+    targets replicated. Matches `ops/knn._knn_grid_chunk` up to float
+    summation order."""
+
+    def impl(x_local, y_local, n, queries, y_val):
+        return _grid_impl(x_local, y_local, n, queries, y_val, None,
+                          ks, modes, kmax, prec)
+
+    row = P("data", None)
+    rep = P(None, None)
+    sharded = jax.shard_map(
+        impl, mesh=mesh, in_specs=(row, row, P(), rep, rep),
+        out_specs=rep, check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=None)
+def build_cond_knn_grid_chunk(mesh, ks: tuple, modes: tuple, kmax: int,
+                              prec=None):
+    """Sharded site-conditioned fused grid: cross-site pairs masked to +inf
+    before the local top-k (per-site k clamping and unseen-site zero rows
+    fall out of the validity prefixes, `ops/knn._cond_knn_grid_chunk`
+    semantics)."""
+
+    def impl(x_local, y_local, x_site_local, n, queries, q_site, y_val):
+        keep = q_site[:, None] == x_site_local[None, :]
+        return _grid_impl(x_local, y_local, n, queries, y_val, keep,
+                          ks, modes, kmax, prec)
+
+    row = P("data", None)
+    rep = P(None, None)
+    sharded = jax.shard_map(
+        impl, mesh=mesh,
+        in_specs=(row, row, P("data"), P(), rep, P(None), rep),
+        out_specs=rep, check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 @functools.lru_cache(maxsize=None)
 def build_silhouette_chunk(mesh, compensated: bool = False, prec=None):
     """Jitted sharded per-cluster distance sums for one query chunk:
