@@ -257,3 +257,17 @@ def test_sharded_conditioned_grid_matches_single_chip():
                               shard=False)
     for combo, mse in single.items():
         assert sharded[combo] == pytest.approx(mse, rel=1e-5), combo
+
+
+def test_sharded_multi_k_matches_single_chip(regression_data):
+    """predict_multi_k on the mesh (one sharded pass, exact top-k merge)
+    vs the single-chip kernel and the per-k sharded predictors."""
+    x, y, q, yq = regression_data
+    ks = (5, 10, 20, 50)
+    sharded = KNNRegressorTPU(shard=True).fit(x, y).predict_multi_k(q, ks)
+    single = KNNRegressorTPU(shard=False).fit(x, y).predict_multi_k(q, ks)
+    for k in ks:
+        np.testing.assert_allclose(sharded[k], single[k], rtol=1e-5,
+                                   atol=1e-6)
+        per_k = KNNRegressorTPU(n_neighbors=k, shard=True).fit(x, y).predict(q)
+        np.testing.assert_allclose(sharded[k], per_k, rtol=1e-5, atol=1e-6)

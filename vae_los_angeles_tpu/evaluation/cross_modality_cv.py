@@ -153,18 +153,18 @@ def run_cross_validation(
     if model_type == "knn":
         from vae_los_angeles_tpu.ops.knn import (
             KNNRegressorTPU,
-            _eval_mesh,
             resolve_knn_regressor,
         )
 
-        if (resolve_knn_regressor() is KNNRegressorTPU
-                and _eval_mesh(None) is None):
-            # EVAL_BACKEND=tpu, single chip: ONE distance pass per fold
-            # serves every swept k (sorted-top-k prefix reductions,
-            # ops/knn.predict_multi_k) instead of re-running the
-            # O(m·n·dim) matmul per k. Per-fold numbers are identical to
-            # the per-k path; the swept params share one wall-clock (the
-            # same combined-`time` convention as the unified families).
+        if resolve_knn_regressor() is KNNRegressorTPU:
+            # EVAL_BACKEND=tpu: ONE distance pass per fold serves every
+            # swept k (sorted-top-k prefix reductions,
+            # ops/knn.predict_multi_k; row-sharded over the mesh with an
+            # exact top-k merge on multi-chip hosts) instead of re-running
+            # the O(m·n·dim) matmul per k. Per-fold numbers are identical
+            # to the per-k path; the swept params share one wall-clock
+            # (the same combined-`time` convention as the unified
+            # families).
             print("  Testing "
                   + ", ".join(f"k={p}" for p in params_to_test)
                   + " (one fused pass per fold)...")

@@ -356,15 +356,12 @@ class KNNRegressorTPU:
         """Predictions for every k in ``ks`` from ONE distance pass:
         ``{clamped_k: (m, t) ndarray}``. The CV harness's n_neighbors sweep
         re-ran the full distance matmul per k; the sorted top-kmax prefix
-        reduction serves all of them in a single program (single-chip path;
-        multi-chip callers loop `predict` over the sharded kernels).
-        Each k's rows match ``KNNRegressorTPU(k).predict`` exactly."""
+        reduction serves all of them in a single program. On multi-chip
+        hosts the pass runs sharded with the exact all-gather top-k merge
+        (`parallel/sharded_eval.build_knn_multi_chunk`). Each k's rows
+        match ``KNNRegressorTPU(k).predict`` exactly."""
         if self._x is None:
             raise RuntimeError("fit() before predict_multi_k()")
-        if self._mesh is not None:
-            raise NotImplementedError(
-                "predict_multi_k is single-chip; loop predict() per k on "
-                "multi-chip hosts")
         from vae_los_angeles_tpu.ops.backend import (
             bucket_rows,
             eval_matmul_precision,
@@ -373,6 +370,11 @@ class KNNRegressorTPU:
         prec = eval_matmul_precision()
         ks = tuple(sorted({min(int(k), self._n) for k in ks}))
         kmax = max(ks)
+        if self._mesh is not None:
+            from vae_los_angeles_tpu.parallel import sharded_eval
+
+            multi_fn = sharded_eval.build_knn_multi_chunk(
+                self._mesh, ks, self.weights, kmax, prec)
         X = np.asarray(X, np.float32)
         chunk = min(self.chunk_size, bucket_rows(max(len(X), 1)))
         outs = {k: [] for k in ks}
@@ -381,9 +383,13 @@ class KNNRegressorTPU:
             n_valid = len(block)
             if n_valid < chunk:
                 block = np.pad(block, ((0, chunk - n_valid), (0, 0)))
-            preds = _knn_multi_chunk(
-                self._x, self._y, jnp.asarray(block), np.int32(self._n),
-                ks, self.weights, kmax, prec)
+            if self._mesh is not None:
+                preds = multi_fn(self._x, self._y, jnp.int32(self._n),
+                                 jnp.asarray(block))
+            else:
+                preds = _knn_multi_chunk(
+                    self._x, self._y, jnp.asarray(block), np.int32(self._n),
+                    ks, self.weights, kmax, prec)
             host = np.asarray(jax.device_get(preds))[:, :n_valid]
             for i, k in enumerate(ks):
                 outs[k].append(host[i])

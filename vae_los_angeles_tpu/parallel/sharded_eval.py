@@ -177,11 +177,10 @@ def build_cond_knn_chunk(mesh, k: int, weights: str, prec=None):
     return jax.jit(sharded)
 
 
-def _grid_impl(x_local, y_local, n, queries, y_val, keep_extra,
-               ks: tuple, modes: tuple, kmax: int, prec=None):
-    """Sharded fused (k, weights) grid search: per-sample validation MSE of
-    EVERY grid combo from ONE local distance pass + ONE exact top-k merge
-    (the multi-chip counterpart of `ops/knn._knn_grid_chunk`).
+def _prefix_parts(x_local, y_local, n, queries, keep_extra,
+                  ks_set, kmax: int, prec=None):
+    """Shared core of the sharded fused sweeps: ONE local distance pass +
+    ONE exact top-k merge, then everything a prefix reduction needs.
 
     The merged candidate axis is sorted (ascending distance), so each k's
     prediction is a prefix reduction. The prefix DENOMINATORS (validity /
@@ -191,7 +190,9 @@ def _grid_impl(x_local, y_local, n, queries, y_val, keep_extra,
     snapshots the running sum at every swept k, then ONE stacked psum
     assembles the (3·|ks|, m, t) numerators. Payload traffic over ICI is
     therefore O(|ks|·m·t), never O(kmax·m·t) or O(rows).
-    """
+
+    Returns (cum_v, cum_z, cum_w, num_at) with ``num_at[k] = (Σvf·y,
+    Σzf·y, Σw⁻¹·y)`` over the k-prefix, all replicated."""
     n_local = x_local.shape[0]
     k_local = min(kmax, n_local)
     offset, valid = _local_geometry(x_local, n)
@@ -207,13 +208,8 @@ def _grid_impl(x_local, y_local, n, queries, y_val, keep_extra,
     lp = jnp.clip(local_pos, 0, n_local - 1)
 
     # exact winner distances (zero-distance rule; single-chip parity with
-    # ops/knn._exact_topk_d2) — one psum over the chip-owned columns —
-    # and the per-chip prefix numerators, snapshotted at each swept k
+    # ops/knn._exact_topk_d2) — one psum over the chip-owned columns
     d_cols = []
-    ks_set = sorted(set(ks))
-    acc_v = acc_z = acc_w = jnp.zeros(
-        (queries.shape[0], y_local.shape[1]), jnp.float32)
-    snaps = {}
     for j in range(kmax):
         xi = jnp.take(x_local, lp[:, j], axis=0)
         diff = queries - xi
@@ -225,6 +221,9 @@ def _grid_impl(x_local, y_local, n, queries, y_val, keep_extra,
                       1.0 / jnp.where(zero | ~finite, 1.0, d), 0.0)
     vf = finite.astype(jnp.float32)
     zf = zero.astype(jnp.float32)
+    acc_v = acc_z = acc_w = jnp.zeros(
+        (queries.shape[0], y_local.shape[1]), jnp.float32)
+    snaps = {}
     for j in range(kmax):
         yj = jnp.where(mine[:, j, None],
                        jnp.take(y_local, lp[:, j], axis=0), 0.0)
@@ -238,27 +237,68 @@ def _grid_impl(x_local, y_local, n, queries, y_val, keep_extra,
     )  # (3·|ks_set|, m, t)
     num_at = {k: (nums[3 * i], nums[3 * i + 1], nums[3 * i + 2])
               for i, k in enumerate(ks_set)}
+    return jnp.cumsum(vf, axis=1), jnp.cumsum(zf, axis=1), \
+        jnp.cumsum(w_inv, axis=1), num_at
 
-    cum_v = jnp.cumsum(vf, axis=1)
-    cum_z = jnp.cumsum(zf, axis=1)
-    cum_w = jnp.cumsum(w_inv, axis=1)
+
+def _prefix_pred(cum_v, cum_z, cum_w, num_at, k: int, mode: str):
+    """One (k, weights) combo's predictions from the prefix parts (sklearn
+    rules: zero-distance override for 'distance', all-invalid rows → 0)."""
     tiny = 1e-30
-    errs = []
+    i = k - 1
+    num_v, num_z, num_w = num_at[k]
+    if mode == "uniform":
+        pred = num_v / jnp.maximum(cum_v[:, i, None], tiny)
+    else:
+        any_zero = (cum_z[:, i] > 0.0)[:, None]
+        pz = num_z / jnp.maximum(cum_z[:, i, None], tiny)
+        pw = num_w / jnp.maximum(cum_w[:, i, None], tiny)
+        pred = jnp.where(any_zero, pz, pw)
+    return jnp.where((cum_v[:, i] > 0.0)[:, None], pred, 0.0)
+
+
+def _grid_impl(x_local, y_local, n, queries, y_val, keep_extra,
+               ks: tuple, modes: tuple, kmax: int, prec=None):
+    """Sharded fused (k, weights) grid search: per-sample validation MSE of
+    EVERY grid combo from one `_prefix_parts` pass (the multi-chip
+    counterpart of `ops/knn._knn_grid_chunk`)."""
+    parts = _prefix_parts(x_local, y_local, n, queries, keep_extra,
+                          sorted(set(ks)), kmax, prec)
     # combo order must match ops/knn._grid_errs_from_topk: modes outer
-    for mode in modes:
-        for k in ks:
-            i = k - 1
-            num_v, num_z, num_w = num_at[k]
-            if mode == "uniform":
-                pred = num_v / jnp.maximum(cum_v[:, i, None], tiny)
-            else:
-                any_zero = (cum_z[:, i] > 0.0)[:, None]
-                pz = num_z / jnp.maximum(cum_z[:, i, None], tiny)
-                pw = num_w / jnp.maximum(cum_w[:, i, None], tiny)
-                pred = jnp.where(any_zero, pz, pw)
-            pred = jnp.where((cum_v[:, i] > 0.0)[:, None], pred, 0.0)
-            errs.append(jnp.mean((pred - y_val) ** 2, axis=1))
-    return jnp.stack(errs)
+    return jnp.stack([
+        jnp.mean((_prefix_pred(*parts, k, mode) - y_val) ** 2, axis=1)
+        for mode in modes for k in ks
+    ])
+
+
+def _multi_impl(x_local, y_local, n, queries, ks: tuple, weights: str,
+                kmax: int, prec=None):
+    """Sharded multi-k predictions (len(ks), m, t) from one pass — the
+    multi-chip counterpart of `ops/knn._knn_multi_chunk` (the CV harness's
+    n_neighbors sweep)."""
+    parts = _prefix_parts(x_local, y_local, n, queries, None,
+                          sorted(set(ks)), kmax, prec)
+    return jnp.stack([_prefix_pred(*parts, k, weights) for k in ks])
+
+
+@functools.lru_cache(maxsize=None)
+def build_knn_multi_chunk(mesh, ks: tuple, weights: str, kmax: int,
+                          prec=None):
+    """Jitted sharded multi-k predictor for one fixed-size query chunk:
+    x/y row-sharded, queries replicated. Each k's rows match the sharded
+    `build_knn_chunk(k)` predictor up to float summation order."""
+
+    def impl(x_local, y_local, n, queries):
+        return _multi_impl(x_local, y_local, n, queries, ks, weights,
+                           kmax, prec)
+
+    row = P("data", None)
+    rep = P(None, None)
+    sharded = jax.shard_map(
+        impl, mesh=mesh, in_specs=(row, row, P(), rep),
+        out_specs=rep, check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 @functools.lru_cache(maxsize=None)
