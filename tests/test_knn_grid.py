@@ -259,15 +259,24 @@ def test_sharded_conditioned_grid_matches_single_chip():
         assert sharded[combo] == pytest.approx(mse, rel=1e-5), combo
 
 
-def test_sharded_multi_k_matches_single_chip(regression_data):
+@pytest.mark.parametrize("weights", ["uniform", "distance"])
+def test_sharded_multi_k_matches_single_chip(regression_data, weights):
     """predict_multi_k on the mesh (one sharded pass, exact top-k merge)
-    vs the single-chip kernel and the per-k sharded predictors."""
+    vs the single-chip kernel and the per-k sharded predictors, both
+    weighting modes — 'distance' includes zero-distance queries (exact
+    training rows) to exercise the sklearn override inside the sharded
+    prefix reduction."""
     x, y, q, yq = regression_data
+    if weights == "distance":
+        q = np.concatenate([x[:7], q])  # exact matches → zero distances
     ks = (5, 10, 20, 50)
-    sharded = KNNRegressorTPU(shard=True).fit(x, y).predict_multi_k(q, ks)
-    single = KNNRegressorTPU(shard=False).fit(x, y).predict_multi_k(q, ks)
+    sharded = KNNRegressorTPU(weights=weights, shard=True).fit(
+        x, y).predict_multi_k(q, ks)
+    single = KNNRegressorTPU(weights=weights, shard=False).fit(
+        x, y).predict_multi_k(q, ks)
     for k in ks:
         np.testing.assert_allclose(sharded[k], single[k], rtol=1e-5,
                                    atol=1e-6)
-        per_k = KNNRegressorTPU(n_neighbors=k, shard=True).fit(x, y).predict(q)
+        per_k = KNNRegressorTPU(
+            n_neighbors=k, weights=weights, shard=True).fit(x, y).predict(q)
         np.testing.assert_allclose(sharded[k], per_k, rtol=1e-5, atol=1e-6)

@@ -78,19 +78,45 @@ def _merge_topk(neg_local, payload_local, k: int):
     return neg2, jnp.take_along_axis(pays, pos, axis=1)
 
 
-def _exact_refined_weights(x_local, queries, lp, mine, finite, k: int):
-    """sklearn 'distance' weights from exactly-recomputed winner distances.
+def _merge_candidates(x_local, n, queries, keep_extra, k: int, prec=None):
+    """Shared candidate-merge preamble of every sharded neighbor kernel:
+    local distance block (+inf on pad rows / keep_extra-masked pairs) →
+    local top-k → exact global top-k merge. Returns ``(finite, mine, lp)``:
+    candidate validity, this-chip ownership, and clipped local row ids —
+    the exactness-critical masks every downstream reduction keys on."""
+    n_local = x_local.shape[0]
+    k_local = min(k, n_local)
+    offset, valid = _local_geometry(x_local, n)
+    d2 = _local_d2(x_local, queries, prec=prec)
+    keep = valid[None, :] if keep_extra is None else (
+        valid[None, :] & keep_extra)
+    d2 = jnp.where(keep, d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k_local)
+    neg2, win = _merge_topk(neg, idx + offset, k)
+    finite = jnp.isfinite(-neg2)
+    local_pos = win - offset
+    mine = (local_pos >= 0) & (local_pos < n_local) & finite
+    lp = jnp.clip(local_pos, 0, n_local - 1)
+    return finite, mine, lp
 
-    Each chip recomputes ‖q−xⱼ‖² for the winners it owns (the matmul
-    identity's cancellation would break the zero-distance rule); one psum
-    assembles the full (m, k) matrix."""
+
+def _exact_winner_d(x_local, queries, lp, mine, k: int):
+    """Exact winner distances √‖q−xⱼ‖², one psum: each chip recomputes the
+    winners it owns directly (the matmul identity's cancellation would
+    break the zero-distance rule)."""
     cols = []
     for j in range(k):
         xi = jnp.take(x_local, lp[:, j], axis=0)
         diff = queries - xi
         dj = jnp.sum(diff * diff, axis=1)
         cols.append(jnp.where(mine[:, j], dj, 0.0))
-    d = jnp.sqrt(jax.lax.psum(jnp.stack(cols, axis=1), "data"))
+    return jnp.sqrt(jax.lax.psum(jnp.stack(cols, axis=1), "data"))
+
+
+def _exact_refined_weights(x_local, queries, lp, mine, finite, k: int):
+    """sklearn 'distance' weights from exactly-recomputed winner distances
+    (`_exact_winner_d`)."""
+    d = _exact_winner_d(x_local, queries, lp, mine, k)
     zero = finite & (d <= 0.0)
     any_zero = jnp.any(zero, axis=1, keepdims=True)
     return jnp.where(
@@ -112,19 +138,8 @@ def _psum_prediction(y_local, lp, mine, w, k: int):
 
 def _knn_impl(x_local, y_local, n, queries, keep_extra, k: int,
               weights: str, prec=None):
-    n_local = x_local.shape[0]
-    k_local = min(k, n_local)
-    offset, valid = _local_geometry(x_local, n)
-    d2 = _local_d2(x_local, queries, prec=prec)
-    keep = valid[None, :] if keep_extra is None else (
-        valid[None, :] & keep_extra)
-    d2 = jnp.where(keep, d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, k_local)
-    neg2, win = _merge_topk(neg, idx + offset, k)
-    finite = jnp.isfinite(-neg2)
-    local_pos = win - offset
-    mine = (local_pos >= 0) & (local_pos < n_local) & finite
-    lp = jnp.clip(local_pos, 0, n_local - 1)
+    finite, mine, lp = _merge_candidates(x_local, n, queries, keep_extra,
+                                         k, prec)
     if weights == "uniform":
         w = finite.astype(jnp.float32)
     else:
@@ -193,29 +208,11 @@ def _prefix_parts(x_local, y_local, n, queries, keep_extra,
 
     Returns (cum_v, cum_z, cum_w, num_at) with ``num_at[k] = (Σvf·y,
     Σzf·y, Σw⁻¹·y)`` over the k-prefix, all replicated."""
-    n_local = x_local.shape[0]
-    k_local = min(kmax, n_local)
-    offset, valid = _local_geometry(x_local, n)
-    d2 = _local_d2(x_local, queries, prec=prec)
-    keep = valid[None, :] if keep_extra is None else (
-        valid[None, :] & keep_extra)
-    d2 = jnp.where(keep, d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, k_local)
-    neg2, win = _merge_topk(neg, idx + offset, kmax)
-    finite = jnp.isfinite(-neg2)
-    local_pos = win - offset
-    mine = (local_pos >= 0) & (local_pos < n_local) & finite
-    lp = jnp.clip(local_pos, 0, n_local - 1)
-
+    finite, mine, lp = _merge_candidates(x_local, n, queries, keep_extra,
+                                         kmax, prec)
     # exact winner distances (zero-distance rule; single-chip parity with
-    # ops/knn._exact_topk_d2) — one psum over the chip-owned columns
-    d_cols = []
-    for j in range(kmax):
-        xi = jnp.take(x_local, lp[:, j], axis=0)
-        diff = queries - xi
-        dj = jnp.sum(diff * diff, axis=1)
-        d_cols.append(jnp.where(mine[:, j], dj, 0.0))
-    d = jnp.sqrt(jax.lax.psum(jnp.stack(d_cols, axis=1), "data"))
+    # ops/knn._exact_topk_d2)
+    d = _exact_winner_d(x_local, queries, lp, mine, kmax)
     zero = finite & (d <= 0.0)
     w_inv = jnp.where(finite & ~zero,
                       1.0 / jnp.where(zero | ~finite, 1.0, d), 0.0)
