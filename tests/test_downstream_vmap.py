@@ -271,9 +271,52 @@ def test_bucketed_widths_share_one_executable():
         return fit_classifier_folds(folds, N_CLASSES, num_epochs=EPOCHS)
 
     run(20)
-    fit_fn = _build_classifier_fit_folds("deep", EPOCHS, 32, 80, 20, True)
+    from vae_los_angeles_tpu.evaluation.mlp_classifier import _bucket_fold_rows
+
+    fit_fn = _build_classifier_fit_folds(
+        "deep", EPOCHS, 32, _bucket_fold_rows(80), 20, True
+    )
     size_before = fit_fn._cache_size()
+    assert size_before > 0  # the builder key must match what run() built
     run(28)  # same 128 bucket → same shapes → zero new executables
+    assert fit_fn._cache_size() == size_before
+
+
+def test_row_bucketing_inert_and_shares_executables(monkeypatch):
+    """Row-count bucketing (fold maxima padded up the `bucket_rows` ladder)
+    must not change any result — true sizes are dynamic, masks exact — and
+    two cohort sizes in one bucket must share the compiled program."""
+    from vae_los_angeles_tpu.evaluation.mlp_classifier import (
+        _bucket_fold_rows,
+        _build_classifier_fit_folds,
+    )
+
+    x, y = _fixture(n=120, dim=20, seed=13)
+    cw = np.ones(N_CLASSES, np.float32)
+
+    def fit_at(n_train, n_val):
+        return fit_classifier_folds(
+            [(x[:n_train], y[:n_train], x[n_train:n_train + n_val],
+              y[n_train:n_train + n_val], cw)],
+            N_CLASSES, num_epochs=EPOCHS,
+        )
+
+    monkeypatch.setenv("EVAL_BUCKET", "0")
+    plain = fit_at(85, 33)
+    monkeypatch.delenv("EVAL_BUCKET", raising=False)
+    bucketed = fit_at(85, 33)  # 85→96-row bucket, 33→36
+    np.testing.assert_array_equal(
+        np.asarray(plain.val_accs), np.asarray(bucketed.val_accs)
+    )
+    assert float(plain.best_val_acc[0]) == float(bucketed.best_val_acc[0])
+
+    fit_fn = _build_classifier_fit_folds(
+        "deep", EPOCHS, 32, _bucket_fold_rows(85), _bucket_fold_rows(33),
+        True,
+    )
+    size_before = fit_fn._cache_size()
+    assert size_before > 0
+    fit_at(90, 35)  # same 96/36 buckets → zero new executables
     assert fit_fn._cache_size() == size_before
 
 

@@ -59,6 +59,21 @@ def _pad_cols(a, dim: int):
     return np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, dim - a.shape[1])])
 
 
+def _bucket_fold_rows(n: int) -> int:
+    """Row-count bucketing for the classifier programs (the evaluation
+    kernels' `ops/backend.bucket_rows` ladder, honoring ``EVAL_BUCKET=0``).
+
+    Executables are keyed on the padded (n_train_max, n_val_max) maxima;
+    the TRUE sizes are dynamic arguments with mask-exact discipline (see
+    `_make_fold_fit`), so padding the maxima up the ladder is provably
+    inert — and near-sized cohorts (a 850- vs 890-sample validation split)
+    share every compiled program instead of each paying the relay's cold
+    stack."""
+    from vae_los_angeles_tpu.ops.backend import bucket_rows
+
+    return bucket_rows(n)
+
+
 def _pad_fc1_rows(params, dim: int):
     """Zero-pad fc1's weight rows to the bucketed input width. Init stays at
     the TRUE width (same RNG draws, same Kaiming bound) so the padded
@@ -303,17 +318,22 @@ def fit_classifier(
     dim_pad = feature_bucket(int(np.asarray(x_train).shape[1]))
     params0 = mlp_init(key, int(np.asarray(x_train).shape[1]), n_classes, arch)
     params0 = _pad_fc1_rows(params0, dim_pad)
-    x_train = jnp.asarray(_pad_cols(x_train, dim_pad), jnp.float32)
-    y_train = jnp.asarray(y_train, jnp.int32)
-    x_val = jnp.asarray(_pad_cols(x_val, dim_pad), jnp.float32)
-    y_val = jnp.asarray(y_val, jnp.int32)
+    n_train, n_val = len(x_train), len(x_val)
+    n_tr_pad = _bucket_fold_rows(n_train)
+    n_va_pad = _bucket_fold_rows(n_val)
+    x_train = jnp.asarray(
+        _pad_rows(_pad_cols(x_train, dim_pad), n_tr_pad), jnp.float32)
+    y_train = jnp.asarray(_pad_rows(y_train, n_tr_pad), jnp.int32)
+    x_val = jnp.asarray(
+        _pad_rows(_pad_cols(x_val, dim_pad), n_va_pad), jnp.float32)
+    y_val = jnp.asarray(_pad_rows(y_val, n_va_pad), jnp.int32)
     fit_fn = _build_classifier_fit(
-        arch, int(num_epochs), int(batch_size), int(len(x_train)),
-        int(len(x_val)), bool(early_stop),
+        arch, int(num_epochs), int(batch_size), n_tr_pad, n_va_pad,
+        bool(early_stop),
     )
     return fit_fn(
-        params0, x_train, y_train, jnp.int32(len(x_train)),
-        x_val, y_val, jnp.int32(len(x_val)),
+        params0, x_train, y_train, jnp.int32(n_train),
+        x_val, y_val, jnp.int32(n_val),
         jnp.asarray(class_weights, jnp.float32), key,
         jnp.float32(lr), jnp.float32(weight_decay),
     )
@@ -354,8 +374,8 @@ def fit_classifier_folds(
     """
     n_folds = len(folds)
     seeds = list(range(n_folds)) if seeds is None else list(seeds)
-    n_train_max = max(len(f[0]) for f in folds)
-    n_val_max = max(len(f[2]) for f in folds)
+    n_train_max = _bucket_fold_rows(max(len(f[0]) for f in folds))
+    n_val_max = _bucket_fold_rows(max(len(f[2]) for f in folds))
     dim_pad = feature_bucket(max(int(np.asarray(f[0]).shape[1]) for f in folds))
 
     x_tr = jnp.asarray(
