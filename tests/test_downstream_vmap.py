@@ -370,3 +370,44 @@ def test_group_env_toggle(monkeypatch):
     assert _group_scenarios_default() is True
     monkeypatch.setenv("DOWNSTREAM_GROUP", "0")
     assert _group_scenarios_default() is False
+
+
+def test_grouped_task_compiles_one_program_per_width_bucket():
+    """The round-4 program-count contract: a whole multi-scenario task
+    compiles exactly ONE fold-population executable per bucketed feature
+    width — scenarios and cohort paddings all reuse them."""
+    import functools
+
+    import vae_los_angeles_tpu.evaluation.mlp_classifier as mc
+    from sklearn.preprocessing import LabelEncoder
+
+    from vae_los_angeles_tpu.evaluation.downstream import (
+        run_scenarios_grouped,
+    )
+
+    x, y = _fixture(n=110, dim=30, seed=17)
+    le = LabelEncoder().fit(np.array(["A", "B", "C", "D"])[y])
+    labels = le.transform(np.array(["A", "B", "C", "D"])[y]).astype(np.int64)
+    scenarios = {  # widths 12/30 → bucket 128; 160 → bucket 256
+        "narrow": x[:, :12],
+        "full": x,
+        "wide": np.tile(x, (1, 6))[:, :160],
+    }
+
+    built = {}
+    orig = mc._build_classifier_fit_folds.__wrapped__
+
+    @functools.lru_cache(maxsize=None)
+    def tracking(*args):
+        fn = orig(*args)
+        built[args] = fn
+        return fn
+
+    old = mc._build_classifier_fit_folds
+    mc._build_classifier_fit_folds = tracking
+    try:
+        run_scenarios_grouped(scenarios, labels, N_CLASSES, le, n_folds=3)
+        execs = sum(f._cache_size() for f in built.values())
+    finally:
+        mc._build_classifier_fit_folds = old
+    assert execs == 2, f"expected 1 executable per width bucket, got {execs}"
