@@ -142,3 +142,13 @@ def test_shallow_mlp_forward_matches_torch(rng):
                                    train=False))
     want = model(torch.from_numpy(x)).detach().numpy()
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pad_cols_rejects_wider_than_trained(rng):
+    """A caller passing features wider than the trained (bucketed) width
+    must get a clear shape-mismatch error, not an opaque np.pad failure
+    (round-4 advisor finding)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="wider .*trained width"):
+        mlp._pad_cols(rng.normal(size=(4, 40)).astype(np.float32), 32)

@@ -56,6 +56,12 @@ def _pad_cols(a, dim: int):
     a = np.asarray(a)
     if a.shape[1] == dim:
         return a
+    if a.shape[1] > dim:
+        raise ValueError(
+            f"features wider ({a.shape[1]}) than trained width ({dim}); "
+            "a classifier only accepts inputs at or below the (bucketed) "
+            "width it was fit on"
+        )
     return np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, dim - a.shape[1])])
 
 

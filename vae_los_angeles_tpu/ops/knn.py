@@ -550,11 +550,11 @@ class ConditionedKNNRegressorTPU:
                 sb = np.pad(sb, (0, chunk - n_valid), constant_values=-1)
             if fn is not None:
                 pred = fn(self._x, self._y, self._site, n_arr,
-                          jnp.asarray(fb), jnp.asarray(sb))
+                          jnp.asarray(fb), jnp.asarray(sb, jnp.int32))
             else:
                 pred = _cond_knn_chunk(
                     self._x, self._y, self._site, jnp.asarray(fb),
-                    jnp.asarray(sb), k, self.weights, prec,
+                    jnp.asarray(sb, jnp.int32), k, self.weights, prec,
                 )
             outs.append(np.asarray(jax.device_get(pred))[:n_valid])
         out = np.concatenate(outs) if outs else np.zeros(
@@ -777,13 +777,17 @@ def knn_grid_mse_tpu(X_train, y_train, X_val, y_val, ks, modes,
             if n_valid < chunk:
                 sb = np.pad(sb, (0, chunk - n_valid), constant_values=-1)
             if mesh is not None:
+                # explicit int32: the device-side keep-mask compares against
+                # int32 fitted sites (pad -1) — both sides must share a dtype
+                # even for callers passing float-encoded site columns
                 errs = grid_fn(x, y_dev, site_dev, jnp.int32(n),
-                               jnp.asarray(qb), jnp.asarray(sb),
+                               jnp.asarray(qb), jnp.asarray(sb, jnp.int32),
                                jnp.asarray(yb))
             else:
                 errs = _cond_knn_grid_chunk(
-                    x, y_dev, site_dev, jnp.asarray(qb), jnp.asarray(sb),
-                    jnp.asarray(yb), ks, modes, kmax, prec)
+                    x, y_dev, site_dev, jnp.asarray(qb),
+                    jnp.asarray(sb, jnp.int32), jnp.asarray(yb),
+                    ks, modes, kmax, prec)
         elif mesh is not None:
             errs = grid_fn(x, y_dev, jnp.int32(n), jnp.asarray(qb),
                            jnp.asarray(yb))

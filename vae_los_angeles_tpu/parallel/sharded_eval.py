@@ -218,17 +218,31 @@ def _prefix_parts(x_local, y_local, n, queries, keep_extra,
                       1.0 / jnp.where(zero | ~finite, 1.0, d), 0.0)
     vf = finite.astype(jnp.float32)
     zf = zero.astype(jnp.float32)
-    acc_v = acc_z = acc_w = jnp.zeros(
-        (queries.shape[0], y_local.shape[1]), jnp.float32)
+    acc0 = jnp.zeros((queries.shape[0], y_local.shape[1]), jnp.float32)
+
+    def _seg_body(j, accs):
+        # dynamic neighbor-rank j: keeps the traced body O(1) in kmax
+        # (an unrolled kmax-iteration loop inflated relay compile time for
+        # large k sweeps) while preserving the exact j-ascending float
+        # summation order of the unrolled form — the (m, kmax, t) payload
+        # is still never materialized
+        av, az, aw = accs
+        take = lambda a: jax.lax.dynamic_index_in_dim(
+            a, j, axis=1, keepdims=False)
+        yj = jnp.where(take(mine)[:, None],
+                       jnp.take(y_local, take(lp), axis=0), 0.0)
+        return (av + take(vf)[:, None] * yj,
+                az + take(zf)[:, None] * yj,
+                aw + take(w_inv)[:, None] * yj)
+
+    # one fori_loop per swept k-segment: program size is O(|ks_set|)
     snaps = {}
-    for j in range(kmax):
-        yj = jnp.where(mine[:, j, None],
-                       jnp.take(y_local, lp[:, j], axis=0), 0.0)
-        acc_v = acc_v + vf[:, j, None] * yj
-        acc_z = acc_z + zf[:, j, None] * yj
-        acc_w = acc_w + w_inv[:, j, None] * yj
-        if j + 1 in ks_set:
-            snaps[j + 1] = (acc_v, acc_z, acc_w)
+    accs = (acc0, acc0, acc0)
+    prev = 0
+    for k in sorted(ks_set):
+        accs = jax.lax.fori_loop(prev, k, _seg_body, accs)
+        snaps[k] = accs
+        prev = k
     nums = jax.lax.psum(
         jnp.stack([a for k in ks_set for a in snaps[k]]), "data"
     )  # (3·|ks_set|, m, t)
