@@ -190,16 +190,22 @@ def main():
     run(0)  # compile + first run
     compile_and_run = time.perf_counter() - t0
 
-    # best-of-2 steady-state: single-shot measurements on the relay carry
-    # dispatch-latency noise an order of magnitude above the run's own
-    # variance (RESULTS.md variance ledger); the min is the honest
-    # executable cost and costs <1 s extra
+    # median-of-N steady-state (default 5): single-shot measurements on the
+    # relay carry dispatch-latency noise an order of magnitude above the
+    # run's own variance, and round-over-round trend reading needs a spread,
+    # not just a point (BENCH_r04's 0.64 s vs r03's 0.53 s was
+    # unclassifiable under best-of-2). Per-run walls go to stderr and the
+    # min/max spread rides the JSON line so a swing is classifiable as
+    # noise or regression at a glance. BENCH_RUNS overrides N (the CPU
+    # fallback drops to 2 — each run is ~390 s there).
+    n_runs = int(os.getenv("BENCH_RUNS", "2" if cpu_fallback else "5"))
     walls = []
-    for seed in (1, 2):
+    for seed in range(1, n_runs + 1):
         t0 = time.perf_counter()
         res = run(seed)
         walls.append(time.perf_counter() - t0)
-    wall = min(walls)
+        print(f"steady run {seed}/{n_runs}: {walls[-1]:.3f}s", file=sys.stderr)
+    wall = sorted(walls)[len(walls) // 2] if n_runs >= 3 else min(walls)
 
     n_train = len(tr_idx)
     samples_per_sec = EPOCHS * (n_train // cfg.batch_size) * cfg.batch_size / wall
@@ -207,7 +213,8 @@ def main():
     print(
         f"backend init: {init_s:.2f}s | data placement: {place_s:.2f}s | "
         f"compile: {compile_s:.2f}s | compile+run: {compile_and_run:.2f}s | "
-        f"steady-state 200-epoch run: {wall:.2f}s | "
+        f"steady-state 200-epoch run (median of {n_runs}): {wall:.2f}s | "
+        f"walls min/max {min(walls):.3f}/{max(walls):.3f}s | "
         f"{samples_per_sec:,.0f} samples/s | "
         f"final val loss {float(res.val_losses[-1]):.2f} | "
         f"mode={mode}",
@@ -218,6 +225,8 @@ def main():
         "value": round(wall, 3),
         "unit": "s",
         "vs_baseline": round(TARGET_SECONDS / wall, 2),
+        "runs": n_runs,
+        "spread_s": [round(min(walls), 3), round(max(walls), 3)],
     }
     if cpu_fallback:
         line["platform"] = "cpu (TPU relay unreachable; see stderr)"

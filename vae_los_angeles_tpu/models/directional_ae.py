@@ -78,6 +78,7 @@ def rna2dna_ae_apply(
     site: Optional[jnp.ndarray] = None,
     *,
     train: bool = False,
+    row_mask=None,
 ) -> DirectionalAEOutput:
     if rna is None and site is None:
         raise ValueError("at least one of rna/site must be provided")
@@ -86,7 +87,8 @@ def rna2dna_ae_apply(
     if rna is not None:
         h = linear_apply(params["enc_fc1"], rna)
         h, new_state["enc_bn"] = batchnorm_apply(
-            params["enc_bn"], state["enc_bn"], h, train=train
+            params["enc_bn"], state["enc_bn"], h, train=train,
+            row_mask=row_mask,
         )
         h = relu(h)
         h = dropout_apply(key, h, DROPOUT_RATE, train=train)
@@ -133,6 +135,7 @@ def dna2rna_ae_apply(
     site: Optional[jnp.ndarray] = None,
     *,
     train: bool = False,
+    row_mask=None,
 ) -> DirectionalAEOutput:
     if dna is None and site is None:
         raise ValueError("at least one of dna/site must be provided")
@@ -146,13 +149,15 @@ def dna2rna_ae_apply(
             kd1 = kd2 = None
         h = linear_apply(params["enc_fc1"], x)
         h, new_state["enc_bn1"] = batchnorm_apply(
-            params["enc_bn1"], state["enc_bn1"], h, train=train
+            params["enc_bn1"], state["enc_bn1"], h, train=train,
+            row_mask=row_mask,
         )
         h = relu(h)
         h = dropout_apply(kd1, h, DROPOUT_RATE, train=train)
         h = linear_apply(params["enc_fc2"], h)
         h, new_state["enc_bn2"] = batchnorm_apply(
-            params["enc_bn2"], state["enc_bn2"], h, train=train
+            params["enc_bn2"], state["enc_bn2"], h, train=train,
+            row_mask=row_mask,
         )
         h = relu(h)
         h = dropout_apply(kd2, h, DROPOUT_RATE, train=train)

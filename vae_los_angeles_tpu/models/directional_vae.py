@@ -74,6 +74,7 @@ def rna2dna_vae_apply(
     *,
     train: bool = False,
     noise_scale=None,
+    row_mask=None,
 ) -> DirectionalVAEOutput:
     if rna is None and site is None:
         raise ValueError("at least one of rna/site must be provided")
@@ -85,7 +86,8 @@ def rna2dna_vae_apply(
     new_state = dict(state)
     if rna is not None:
         mu_r, lv_r, new_state["encoder_rna"] = encoder_a_apply(
-            params["encoder_rna"], state["encoder_rna"], rna, train=train, key=k_drop
+            params["encoder_rna"], state["encoder_rna"], rna, train=train,
+            key=k_drop, row_mask=row_mask,
         )
         mu_list.append(mu_r)
         logvar_list.append(lv_r)
@@ -131,6 +133,7 @@ def dna2rna_vae_apply(
     *,
     train: bool = False,
     noise_scale=None,
+    row_mask=None,
 ) -> DirectionalVAEOutput:
     if dna is None and site is None:
         raise ValueError("at least one of dna/site must be provided")
@@ -142,7 +145,8 @@ def dna2rna_vae_apply(
     new_state = dict(state)
     if dna is not None:
         mu_d, lv_d, new_state["encoder_dna"] = encoder_b_apply(
-            params["encoder_dna"], state["encoder_dna"], dna, train=train, key=k_drop
+            params["encoder_dna"], state["encoder_dna"], dna, train=train,
+            key=k_drop, row_mask=row_mask,
         )
         mu_list.append(mu_d)
         logvar_list.append(lv_d)

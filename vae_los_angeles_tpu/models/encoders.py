@@ -46,9 +46,12 @@ def encoder_a_init(key, input_dim: int, latent_dim: int):
     return params, state
 
 
-def encoder_a_apply(params, state, x, *, train: bool, key=None):
+def encoder_a_apply(params, state, x, *, train: bool, key=None, row_mask=None):
+    # row_mask: train-mode BN statistics over valid rows only — the masked
+    # fold-population hook (see ops.nn.batchnorm_apply)
     h = linear_apply(params["fc"], x)
-    h, bn_s = batchnorm_apply(params["bn"], state["bn"], h, train=train)
+    h, bn_s = batchnorm_apply(params["bn"], state["bn"], h, train=train,
+                              row_mask=row_mask)
     h = relu(h)
     h = dropout_apply(key, h, DROPOUT_RATE, train=train)
     return (
@@ -74,18 +77,20 @@ def encoder_b_init(key, input_dim: int, latent_dim: int):
     return params, state
 
 
-def encoder_b_apply(params, state, x, *, train: bool, key=None):
+def encoder_b_apply(params, state, x, *, train: bool, key=None, row_mask=None):
     x = x.reshape(x.shape[0], -1)  # flatten (reference encoders.py:44)
     if key is not None:
         k1, k2 = jax.random.split(key)
     else:
         k1 = k2 = None
     h = linear_apply(params["fc1"], x)
-    h, bn1_s = batchnorm_apply(params["bn1"], state["bn1"], h, train=train)
+    h, bn1_s = batchnorm_apply(params["bn1"], state["bn1"], h, train=train,
+                               row_mask=row_mask)
     h = relu(h)
     h = dropout_apply(k1, h, DROPOUT_RATE, train=train)
     h = linear_apply(params["fc2"], h)
-    h, bn2_s = batchnorm_apply(params["bn2"], state["bn2"], h, train=train)
+    h, bn2_s = batchnorm_apply(params["bn2"], state["bn2"], h, train=train,
+                               row_mask=row_mask)
     h = relu(h)
     h = dropout_apply(k2, h, DROPOUT_RATE, train=train)
     return (

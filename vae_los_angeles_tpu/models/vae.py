@@ -112,6 +112,7 @@ def multimodal_vae_apply(
     *,
     train: bool = False,
     latent_mask: Optional[jnp.ndarray] = None,
+    row_mask: Optional[jnp.ndarray] = None,
 ) -> MultiModalVAEOutput:
     """Forward over any static subset of (a, b, site) (reference vae.py:37-79).
 
@@ -135,13 +136,15 @@ def multimodal_vae_apply(
     new_state = dict(state)
     if a is not None:
         mu_a, lv_a, new_state["encoder_a"] = encoder_a_apply(
-            params["encoder_a"], state["encoder_a"], a, train=train, key=k_da
+            params["encoder_a"], state["encoder_a"], a, train=train, key=k_da,
+            row_mask=row_mask,
         )
         mu_list.append(mu_a)
         logvar_list.append(lv_a)
     if b is not None:
         mu_b, lv_b, new_state["encoder_b"] = encoder_b_apply(
-            params["encoder_b"], state["encoder_b"], b, train=train, key=k_db
+            params["encoder_b"], state["encoder_b"], b, train=train, key=k_db,
+            row_mask=row_mask,
         )
         mu_list.append(mu_b)
         logvar_list.append(lv_b)

@@ -27,32 +27,52 @@ import jax
 import jax.numpy as jnp
 
 
-def kl_divergence(mu, logvar):
+def _mask_rows(term, row_mask):
+    """Zero the padded rows of an elementwise loss term BEFORE the sum.
+
+    ``where`` (never multiply) so garbage/NaN padding cannot poison through
+    0·inf, and the masking happens at ELEMENT level ahead of the ORIGINAL
+    sum expression — an all-ones mask leaves the reduction tree untouched,
+    so the masked program is inert when every row is real (the padded-fold
+    population contract, parallel/vmap_meta masked mode)."""
+    if row_mask is None:
+        return term
+    mask = row_mask
+    while mask.ndim < term.ndim:
+        mask = mask[..., None]
+    return jnp.where(mask, term, 0.0)
+
+
+def kl_divergence(mu, logvar, row_mask=None):
     """-0.5 * sum(1 + logvar - mu^2 - e^logvar)  (losses.py:42-44)."""
-    return -0.5 * jnp.sum(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar))
+    term = 1.0 + logvar - jnp.square(mu) - jnp.exp(logvar)
+    return -0.5 * jnp.sum(_mask_rows(term, row_mask))
 
 
-def mse_sum(pred, target):
-    return jnp.sum(jnp.square(pred - target))
+def mse_sum(pred, target, row_mask=None):
+    return jnp.sum(_mask_rows(jnp.square(pred - target), row_mask))
 
 
-def bce_sum(probs, target):
+def bce_sum(probs, target, row_mask=None):
     """Prob-space BCE with torch's clamp of log terms at -100."""
     log_p = jnp.maximum(jnp.log(probs), -100.0)
     log_1mp = jnp.maximum(jnp.log1p(-probs), -100.0)
-    return -jnp.sum(target * log_p + (1.0 - target) * log_1mp)
+    return -jnp.sum(
+        _mask_rows(target * log_p + (1.0 - target) * log_1mp, row_mask)
+    )
 
 
-def bce_with_logits_sum(logits, target):
+def bce_with_logits_sum(logits, target, row_mask=None):
     """Numerically-stable BCE from logits: sum(max(l,0) - l*t + log1p(e^-|l|))."""
-    return jnp.sum(
+    term = (
         jnp.maximum(logits, 0.0)
         - logits * target
         + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     )
+    return jnp.sum(_mask_rows(term, row_mask))
 
 
-def cross_entropy_sum(logits, labels, class_weights=None):
+def cross_entropy_sum(logits, labels, class_weights=None, row_mask=None):
     """``F.cross_entropy(..., weight=w, reduction='sum')`` semantics.
 
     With class weights torch computes sum_i w[y_i] * nll_i (sum reduction does
@@ -62,7 +82,7 @@ def cross_entropy_sum(logits, labels, class_weights=None):
     nll = -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
     if class_weights is not None:
         nll = nll * jnp.take(class_weights, labels)
-    return jnp.sum(nll)
+    return jnp.sum(_mask_rows(nll, row_mask))
 
 
 # ---------------------------------------------------------------------------
@@ -82,6 +102,7 @@ def vae_loss(
     beta=1e-3,
     gamma=1.0,
     class_weights=None,
+    row_mask=None,
 ):
     """Tri-modal loss (reference losses.py:8). ``recon_b_logits`` are
     pre-sigmoid DNA logits. Any of the three reconstruction terms may be None
@@ -91,38 +112,38 @@ def vae_loss(
     """
     recon = jnp.float32(0.0)
     if recon_a is not None and a is not None:
-        recon = recon + mse_sum(recon_a, a)
+        recon = recon + mse_sum(recon_a, a, row_mask)
     if recon_b_logits is not None and b is not None:
-        recon = recon + bce_with_logits_sum(recon_b_logits, b)
+        recon = recon + bce_with_logits_sum(recon_b_logits, b, row_mask)
     class_loss = jnp.float32(0.0)
     if recon_c is not None and site is not None:
-        class_loss = cross_entropy_sum(recon_c, site, class_weights)
-    kld = kl_divergence(mu, logvar)
+        class_loss = cross_entropy_sum(recon_c, site, class_weights, row_mask)
+    kld = kl_divergence(mu, logvar, row_mask)
     total = recon + gamma * class_loss + beta * kld
     return total, {"recon": recon, "class": class_loss, "kld": kld}
 
 
-def rna2dna_loss(recon_dna_logits, dna, mu, logvar, beta=1e-3):
+def rna2dna_loss(recon_dna_logits, dna, mu, logvar, beta=1e-3, row_mask=None):
     """BCE-sum + beta*KLD (reference directional_losses.py:8-30)."""
-    recon = bce_with_logits_sum(recon_dna_logits, dna)
-    kld = kl_divergence(mu, logvar)
+    recon = bce_with_logits_sum(recon_dna_logits, dna, row_mask)
+    kld = kl_divergence(mu, logvar, row_mask)
     return recon + beta * kld, {"recon": recon, "kld": kld}
 
 
-def dna2rna_loss(recon_rna, rna, mu, logvar, beta=1e-3):
+def dna2rna_loss(recon_rna, rna, mu, logvar, beta=1e-3, row_mask=None):
     """MSE-sum + beta*KLD (reference directional_losses.py:33-53)."""
-    recon = mse_sum(recon_rna, rna)
-    kld = kl_divergence(mu, logvar)
+    recon = mse_sum(recon_rna, rna, row_mask)
+    kld = kl_divergence(mu, logvar, row_mask)
     return recon + beta * kld, {"recon": recon, "kld": kld}
 
 
-def rna2dna_ae_loss(recon_dna_logits, dna):
+def rna2dna_ae_loss(recon_dna_logits, dna, row_mask=None):
     """BCE-sum only (reference ae_losses.py:8-20)."""
-    recon = bce_with_logits_sum(recon_dna_logits, dna)
+    recon = bce_with_logits_sum(recon_dna_logits, dna, row_mask)
     return recon, {"recon": recon}
 
 
-def dna2rna_ae_loss(recon_rna, rna):
+def dna2rna_ae_loss(recon_rna, rna, row_mask=None):
     """MSE-sum only (reference ae_losses.py:25-37)."""
-    recon = mse_sum(recon_rna, rna)
+    recon = mse_sum(recon_rna, rna, row_mask)
     return recon, {"recon": recon}

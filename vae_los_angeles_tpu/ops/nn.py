@@ -121,24 +121,58 @@ def batchnorm_init(dim: int, dtype=jnp.float32):
     return params, state
 
 
-def batchnorm_apply(params, state, x, *, train: bool):
+def batchnorm_apply(params, state, x, *, train: bool, row_mask=None):
     """BatchNorm1d forward.
 
     Returns (y, new_state). In eval mode state passes through unchanged.
     ``train`` must be a static Python bool (it selects the traced graph).
+
+    ``row_mask``: optional (n,) bool — train-mode batch statistics are
+    computed over the True rows only (biased norm var, unbiased running var
+    over the DYNAMIC valid count), the hook the masked fold populations use
+    to train on row-padded batches (parallel/vmap_meta masked mode). Pad
+    rows still flow through the normalization (their outputs are discarded
+    by the callers' loss masking); ``where``-zeroing keeps NaN padding
+    inert. Callers guarantee ≥2 valid rows per active batch (torch raises
+    on n==1; the masked engine fail-louds host-side where sizes are known).
+    Ignored in eval mode (running stats are rowwise).
     """
     if train:
-        n = x.shape[0]
-        if n <= 1:
-            # torch raises "Expected more than 1 value per channel when
-            # training" — a batch of 1 would normalize to all-zeros and drag
-            # the running var toward 0; fail loudly like the reference
-            raise ValueError(
-                f"train-mode BatchNorm requires batch size > 1, got {n}"
-            )
-        mean = jnp.mean(x, axis=0)
-        var = jnp.var(x, axis=0)  # biased — used for normalization
-        unbiased = var * (n / (n - 1))
+        if row_mask is not None:
+            n = x.shape[0]
+            # Row 0 is treated as always-valid: an ALL-masked batch (an
+            # inactive trailing batch of a short fold — its stats are gated
+            # away by the caller) would otherwise produce NaN through
+            # jnp.var's 0-count guard and crash healthy runs under
+            # jax_debug_nans. The engine's active batches are valid-prefix
+            # batches, so OR-ing row 0 in is an identity for every batch
+            # whose statistics are actually used.
+            safe = row_mask | (jnp.arange(n) == 0)
+            m = safe[:, None]
+            # jnp.mean/var(where=...): the same formulas as the unmasked
+            # branch restricted to the valid rows. With an all-ones mask
+            # the values agree with the unmasked branch to reduction-order
+            # ULPs (bitwise equality across two DIFFERENT compiled programs
+            # is at XLA fusion's mercy — the pinned contracts are
+            # vmapped ≡ sequential-masked and padding inertness instead;
+            # see tests/test_masked_populations.py)
+            mean = jnp.mean(x, axis=0, where=m)
+            var = jnp.var(x, axis=0, where=m)  # biased, over valid rows
+            n_valid = jnp.sum(row_mask.astype(jnp.float32))
+            unbiased = var * (n_valid / jnp.maximum(n_valid - 1.0, 1.0))
+        else:
+            n = x.shape[0]
+            if n <= 1:
+                # torch raises "Expected more than 1 value per channel when
+                # training" — a batch of 1 would normalize to all-zeros and
+                # drag the running var toward 0; fail loudly like the
+                # reference
+                raise ValueError(
+                    f"train-mode BatchNorm requires batch size > 1, got {n}"
+                )
+            mean = jnp.mean(x, axis=0)
+            var = jnp.var(x, axis=0)  # biased — used for normalization
+            unbiased = var * (n / (n - 1))
         new_state = {
             "mean": (1.0 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
             "var": (1.0 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,

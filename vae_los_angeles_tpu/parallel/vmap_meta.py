@@ -27,6 +27,7 @@ reference's wall-clock hot spot is folds×directions sequential trainings
 
 from __future__ import annotations
 
+import os
 import threading
 from typing import Dict, List, Optional, Sequence
 
@@ -126,9 +127,63 @@ def _vmapped_init(task_name: str, cfg: Config, n_sites: int):
         return _VMAP_INIT_CACHE[cache_key]
 
 
+def mask_sizes_enabled() -> bool:
+    """Masked-dynamic-size populations (default on): fold/trial programs are
+    keyed on `ops.backend.bucket_rows`-padded row maxima with the TRUE sizes
+    as dynamic masked arguments — uneven KFold folds share ONE executable
+    per family and a re-sized ``--subset`` compiles nothing new (the
+    downstream classifier's recipe, evaluation/mlp_classifier, applied to
+    the flagship engine; see engine.build_fit_fn(masked_sizes=True) for the
+    padding discipline). ``POP_MASK_SIZES=0`` restores round-4's
+    exact-shape grouping (bit-compatible with the single-run CLIs' streams,
+    one program per distinct (n_train, n_val))."""
+    return os.getenv("POP_MASK_SIZES", "1") != "0"
+
+
+def _check_masked_sizes(n_trs, n_vas, batch_size: int, drop_last: bool):
+    """Host-side fail-loud parity for the masked programs: the exact-shape
+    path rejects these at trace time (engine.build_fit_fn / torch BN), but
+    a masked program's true sizes are dynamic, so the checks move here
+    where the sizes are known."""
+    for i, (n_tr, n_va) in enumerate(zip(n_trs, n_vas)):
+        if (n_tr // batch_size if drop_last
+                else -(-n_tr // batch_size)) == 0:
+            raise ValueError(
+                f"member {i}: no training batches (n_train={n_tr}, "
+                f"batch_size={batch_size}, drop_last={drop_last})"
+            )
+        if not drop_last and n_tr % batch_size == 1:
+            # torch raises "Expected more than 1 value per channel when
+            # training" on the 1-row final batch; mirror it loudly instead
+            # of silently normalizing a single row
+            raise ValueError(
+                f"member {i}: final training batch has a single row "
+                f"(n_train={n_tr} % batch_size={batch_size} == 1) — "
+                "train-mode BatchNorm requires batch size > 1 (the "
+                "reference crashes here too)"
+            )
+        if n_va == 0:
+            raise ValueError(f"member {i}: empty validation set")
+
+
+def _pad_rows_arrays(a: MultiModalArrays, n_max: int) -> MultiModalArrays:
+    """Zero-pad a table's row axis to ``n_max`` (site pads with id 0 — pad
+    rows are unreachable on the train side and where-masked out of every
+    val-side loss, so the content is inert; 0 keeps the embedding gather
+    in-bounds)."""
+    pad = n_max - len(a)
+    if pad == 0:
+        return a
+    return MultiModalArrays(
+        tpm=jnp.pad(a.tpm, ((0, pad), (0, 0))),
+        beta=jnp.pad(a.beta, ((0, pad), (0, 0))),
+        site=jnp.pad(a.site, (0, pad)),
+    )
+
+
 def _vmapped_fit(task_name, num_epochs, batch_size, n_train, n_val, drop_last,
                  has_cw, data_axis, hp_axis, compute_dtype="float32",
-                 optimizer="adamw"):
+                 optimizer="adamw", masked_sizes=False, sizes_axis=0):
     """jit(vmap(fit)) with configurable in_axes, cached per static config.
 
     Deliberately the XLA-path fit, never the Pallas kernels: measured on the
@@ -159,16 +214,20 @@ def _vmapped_fit(task_name, num_epochs, batch_size, n_train, n_val, drop_last,
     stop_fill_inf = bool(jax.config.jax_debug_nans)
     cache_key = (task_name, num_epochs, batch_size, n_train, n_val, drop_last,
                  has_cw, data_axis, hp_axis, compute_dtype, optimizer,
-                 stop_fill_inf)
+                 stop_fill_inf, masked_sizes, sizes_axis)
     with _CACHE_LOCK:
         if cache_key not in _VMAP_FIT_CACHE:
             fit_fn = engine.build_fit_fn(
                 task_name, num_epochs, batch_size, n_train, n_val, drop_last,
                 has_cw, stop_via_mask=True, compute_dtype=compute_dtype,
                 optimizer=optimizer, stop_fill_inf=stop_fill_inf,
+                masked_sizes=masked_sizes,
             )
-            # (carry0, train, val, hp, class_weights, key, epoch_offset)
+            # (carry0, train, val, hp, class_weights, key, epoch_offset
+            #  [, n_train, n_val] in masked mode)
             in_axes = (0, data_axis, data_axis, hp_axis, None, 0, None)
+            if masked_sizes:
+                in_axes = in_axes + (sizes_axis, sizes_axis)
             _VMAP_FIT_CACHE[cache_key] = jax.jit(
                 jax.vmap(fit_fn, in_axes=in_axes)
             )
@@ -188,6 +247,7 @@ def fit_folds(
     mesh: Optional[Mesh] = None,
     keys=None,
     state_overrides: Optional[Dict[str, np.ndarray]] = None,
+    mask_sizes: Optional[bool] = None,
 ) -> List[engine.FitResult]:
     """Train one model per CV fold, folds of equal shape batched via vmap.
 
@@ -195,6 +255,13 @@ def fit_folds(
     defaults False to match the CV inner loaders (vae_cross_modality_cv.py:121).
     With ``mesh``, the fold axis is sharded over the mesh's "data" axis —
     each chip trains its share of the folds (see module docstring).
+
+    ``mask_sizes`` (default: the ``POP_MASK_SIZES`` env, on): pad every
+    fold's rows to the bucketed population maxima and pass the true sizes
+    as dynamic masked arguments, so ALL folds — uneven KFold sizes included
+    — train as ONE compiled program per family, and near-sized cohorts
+    (``--subset`` sweeps) reuse it (see `mask_sizes_enabled`). Off: round-4
+    exact-shape grouping, at most one program per distinct (n_train, n_val).
 
     ``keys``: explicit (n_folds, 2) per-fold run keys, overriding the
     default ``split(key, n_folds)`` — lets a caller embed one fold list
@@ -209,10 +276,24 @@ def fit_folds(
     """
     if num_epochs is None:
         num_epochs = cfg.num_epochs
-    # group folds by (n_train, n_val)
-    groups: Dict[tuple, list] = {}
-    for i, (tr, va) in enumerate(zip(fold_train, fold_val)):
-        groups.setdefault((len(tr), len(va)), []).append(i)
+    if mask_sizes is None:
+        mask_sizes = mask_sizes_enabled()
+    if mask_sizes:
+        from vae_los_angeles_tpu.ops.backend import bucket_rows
+
+        _check_masked_sizes(
+            [len(t) for t in fold_train], [len(v) for v in fold_val],
+            int(cfg.batch_size), bool(drop_last),
+        )
+        n_tr_max = bucket_rows(max(len(t) for t in fold_train))
+        n_va_max = bucket_rows(max(len(v) for v in fold_val))
+        # one group: every fold rides the same padded executable
+        groups = {(n_tr_max, n_va_max): list(range(len(fold_train)))}
+    else:
+        # group folds by exact (n_train, n_val)
+        groups: Dict[tuple, list] = {}
+        for i, (tr, va) in enumerate(zip(fold_train, fold_val)):
+            groups.setdefault((len(tr), len(va)), []).append(i)
 
     results: List = [None] * len(fold_train)
     if keys is None:
@@ -225,8 +306,18 @@ def fit_folds(
             )
     hp = engine.hyperparams(cfg)
     for (n_tr, n_va), idxs in groups.items():
-        stacked_tr = _stack_arrays([fold_train[i] for i in idxs])
-        stacked_va = _stack_arrays([fold_val[i] for i in idxs])
+        if mask_sizes:
+            stacked_tr = _stack_arrays(
+                [_pad_rows_arrays(fold_train[i], n_tr) for i in idxs])
+            stacked_va = _stack_arrays(
+                [_pad_rows_arrays(fold_val[i], n_va) for i in idxs])
+            sizes_tr = jnp.asarray(
+                [len(fold_train[i]) for i in idxs], jnp.int32)
+            sizes_va = jnp.asarray(
+                [len(fold_val[i]) for i in idxs], jnp.int32)
+        else:
+            stacked_tr = _stack_arrays([fold_train[i] for i in idxs])
+            stacked_va = _stack_arrays([fold_val[i] for i in idxs])
         group_keys = keys[np.asarray(idxs)]
         overrides = {
             name: jnp.asarray(arr)[np.asarray(idxs)]
@@ -245,6 +336,11 @@ def fit_folds(
             stacked_va = _shard_population(stacked_va, mesh)
             group_keys = _shard_population(group_keys, mesh)
             overrides = _shard_population(overrides, mesh)
+            if mask_sizes:
+                sizes_tr = _shard_population(
+                    _pad_population(sizes_tr, padded), mesh)
+                sizes_va = _shard_population(
+                    _pad_population(sizes_va, padded), mesh)
         pop_n = group_keys.shape[0]
         carry0 = init(group_keys, jnp.broadcast_to(hp["lr"], (pop_n,)))
         for name, arr in overrides.items():
@@ -258,11 +354,18 @@ def fit_folds(
         fit_v = _vmapped_fit(
             task_name, int(num_epochs), int(cfg.batch_size), n_tr, n_va,
             bool(drop_last), False, 0, None, str(cfg.compute_dtype),
-            str(cfg.optimizer),
+            str(cfg.optimizer), masked_sizes=bool(mask_sizes),
         )
-        batched: engine.FitResult = fit_v(
-            carry0, stacked_tr, stacked_va, hp, None, group_keys, jnp.int32(0)
-        )
+        if mask_sizes:
+            batched: engine.FitResult = fit_v(
+                carry0, stacked_tr, stacked_va, hp, None, group_keys,
+                jnp.int32(0), sizes_tr, sizes_va,
+            )
+        else:
+            batched: engine.FitResult = fit_v(
+                carry0, stacked_tr, stacked_va, hp, None, group_keys,
+                jnp.int32(0)
+            )
         # Assemble results on host in ONE transfer before the per-member
         # slice-back (results are host-consumed by every caller). Slicing
         # member j directly out of a device leaf would dispatch a gather per
@@ -292,8 +395,15 @@ def fit_trials(
     carry0=None,
     start_epoch: int = 0,
     keys=None,
+    mask_sizes: Optional[bool] = None,
 ) -> engine.FitResult:
     """Train a population of hyperparameter trials in ONE compiled program.
+
+    ``mask_sizes`` (default: the ``POP_MASK_SIZES`` env, on): the shared
+    train/val tables are row-padded to `ops.backend.bucket_rows` maxima and
+    the true sizes ride as dynamic arguments, so a ``--subset`` re-size or
+    a different cohort within the same buckets REUSES the compiled trial
+    population instead of recompiling the stack (see `mask_sizes_enabled`).
 
     ``hp_population`` maps hyperparam name → (n_trials,) array for any of
     {lr, weight_decay, beta_start, gamma}. All trials share the model shape
@@ -317,6 +427,17 @@ def fit_trials(
     """
     if num_epochs is None:
         num_epochs = cfg.num_epochs
+    if mask_sizes is None:
+        mask_sizes = mask_sizes_enabled()
+    n_train_true, n_val_true = int(len(train_arrays)), int(len(val_arrays))
+    if mask_sizes:
+        from vae_los_angeles_tpu.ops.backend import bucket_rows
+
+        _check_masked_sizes([n_train_true], [n_val_true],
+                            int(cfg.batch_size), True)
+        train_arrays = _pad_rows_arrays(
+            train_arrays, bucket_rows(n_train_true))
+        val_arrays = _pad_rows_arrays(val_arrays, bucket_rows(n_val_true))
     n_trials = len(next(iter(hp_population.values())))
     base = engine.hyperparams(cfg)
     hp = {
@@ -359,12 +480,21 @@ def fit_trials(
         task_name, int(num_epochs), int(cfg.batch_size),
         int(len(train_arrays)), int(len(val_arrays)), True,
         class_weights is not None, None, 0, str(cfg.compute_dtype),
-        str(cfg.optimizer),
+        str(cfg.optimizer), masked_sizes=bool(mask_sizes),
+        sizes_axis=None,  # sizes are shared scalars, like the tables
     )
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
-    res = fit_v(
-        carry0, train_arrays, val_arrays, hp, cw, keys, jnp.int32(start_epoch)
-    )
+    if mask_sizes:
+        res = fit_v(
+            carry0, train_arrays, val_arrays, hp, cw, keys,
+            jnp.int32(start_epoch), jnp.int32(n_train_true),
+            jnp.int32(n_val_true),
+        )
+    else:
+        res = fit_v(
+            carry0, train_arrays, val_arrays, hp, cw, keys,
+            jnp.int32(start_epoch)
+        )
     # host-side assembly (+ pad-drop) in one transfer — see fit_folds for
     # why slicing device leaves per trial is both slower and a flaky abort
     # site on the virtual-device CPU backend

@@ -148,6 +148,7 @@ def build_fit_fn(
     compute_dtype: str = "float32",
     stop_fill_inf: bool = False,
     optimizer: str = "adamw",
+    masked_sizes: bool = False,
 ):
     """Construct the PURE fused training function for a static problem shape.
 
@@ -156,8 +157,45 @@ def build_fit_fn(
     run) or a restored resume checkpoint. Returned unjitted so that
     `parallel.vmap_meta` can vmap it over fold/trial populations; `_build_fit`
     wraps it in jit for single-run use.
+
+    ``masked_sizes=True`` builds the MASKED-DYNAMIC-SIZE variant: the
+    (n_train, n_val) statics become PADDED MAXIMA that only key the compiled
+    program, and the true sizes ride as two extra trailed DYNAMIC int32
+    arguments — ``_fit(..., epoch_offset, n_train, n_val)``. This is the
+    downstream classifier's recipe (evaluation/mlp_classifier._make_fold_fit)
+    applied to the flagship engine, so uneven KFold folds and near-sized
+    cohorts share ONE executable per family instead of compiling per exact
+    shape (parallel/vmap_meta masked mode). Padding discipline:
+
+      * the shuffle draws ``permutation(pkey, n_train_max)`` and stable-
+        partitions the valid ids first — a member whose true size equals
+        the padded max reproduces the exact-shape path's stream verbatim,
+        smaller members train on a uniform restriction of it. (Cross-shape
+        bit-parity is impossible in principle: threefry pairs its counters
+        by draw length, so ``permutation(k, n)`` and ``permutation(k, m)``
+        are unrelated streams — see benchmarks/RESULTS.md round-5 note.)
+      * rows past ``n_train`` are NEVER gathered; pad slots of a partial
+        final batch re-gather row perm[0] and are masked out of the loss
+        AND the BatchNorm batch statistics (ops.nn.batchnorm_apply
+        row_mask), keeping torch's short-final-batch semantics.
+      * trailing batches a small member doesn't need are computed-and-
+        discarded (params/opt/BN state gated per batch), so optimizer
+        steps advance exactly the reference's ceil/floor(n/B) per epoch.
+      * val rows past ``n_val`` are where-masked out of the sum-losses
+        (garbage padding cannot poison through 0·inf), and the val
+        denominator ceil(n_val/B) is computed dynamically.
     """
     task: Task = TASKS[task_name]
+    if masked_sizes and (fused_step or fused_epoch):
+        raise ValueError(
+            "masked_sizes is an XLA-path feature: the Pallas fused kernels "
+            "are exact-shape programs"
+        )
+    if masked_sizes and data_sharding is not None:
+        raise ValueError(
+            "masked_sizes composes with POPULATION sharding "
+            "(parallel/vmap_meta), not with intra-run data sharding"
+        )
     n_full = n_train // batch_size
     remainder = 0 if drop_last else n_train % batch_size
     n_batches = n_full + (1 if remainder else 0)
@@ -174,6 +212,7 @@ def build_fit_fn(
         # NaN into the plateau scheduler and early stopping
         raise ValueError("empty validation set: n_val=0")
     n_val_batches = -(-n_val // batch_size)  # val loader never drops last
+    n_slots = n_batches * batch_size  # masked mode: padded batch grid
 
     fwd_dtype = _resolve_compute_dtype(compute_dtype)
     if fwd_dtype != jnp.float32 and (fused_step or fused_epoch):
@@ -199,6 +238,21 @@ def build_fit_fn(
         )
         return loss
 
+    def train_loss_fn_masked(params, state, key, batch, beta_kl,
+                             class_weights, gamma, row_mask):
+        cw = class_weights if has_class_weights else None
+        fwd_params = ops_nn.cast_matmul_params(params, fwd_dtype)
+        return task.loss(fwd_params, state, key, batch, beta_kl, gamma, cw,
+                         True, row_mask=row_mask)
+
+    def eval_loss_fn_masked(params, state, key, batch, beta_kl,
+                            class_weights, gamma, row_mask):
+        cw = class_weights if has_class_weights else None
+        fwd_params = ops_nn.cast_matmul_params(params, fwd_dtype)
+        loss, _ = task.loss(fwd_params, state, key, batch, beta_kl, gamma,
+                            cw, False, row_mask=row_mask)
+        return loss
+
     if optimizer not in _OPTIMIZERS:
         raise ValueError(
             f"unsupported optimizer {optimizer!r}; valid: {sorted(_OPTIMIZERS)}"
@@ -212,6 +266,7 @@ def build_fit_fn(
         )
     _, opt_update = _OPTIMIZERS[optimizer]
     grad_fn = jax.value_and_grad(train_loss_fn, has_aux=True)
+    grad_fn_masked = jax.value_and_grad(train_loss_fn_masked, has_aux=True)
 
     if fused_step:
         if task_name not in ("rna2dna", "dna2rna", "multimodal"):
@@ -263,7 +318,10 @@ def build_fit_fn(
             )
 
     def _fit(carry0, train_arrays, val_arrays, hp, class_weights, key,
-             epoch_offset):
+             epoch_offset, n_train_d=None, n_val_d=None):
+        if masked_sizes:
+            n_train_d = jnp.asarray(n_train_d, jnp.int32)
+            n_val_d = jnp.asarray(n_val_d, jnp.int32)
 
         if data_sharding is not None:
             # Data-parallel SPMD: constrain the sample axis of both tables to
@@ -301,10 +359,67 @@ def build_fit_fn(
                 beta_kl = jnp.float32(0.0)
 
             perm = jax.random.permutation(pkey, n_train)
-            full_idx = perm[: n_full * batch_size].reshape(n_full, batch_size)
+            if not masked_sizes:
+                full_idx = perm[: n_full * batch_size].reshape(
+                    n_full, batch_size)
             lr = carry["plateau"]["lr"]
 
-            if fused_epoch:
+            if masked_sizes:
+                # stable partition: valid row ids first, relative order kept
+                # — a member with n_train_d == n_train reproduces the exact-
+                # shape path's shuffle verbatim; smaller members train on a
+                # uniform restriction of it
+                perm_c = perm[jnp.argsort(perm >= n_train_d, stable=True)]
+                slot = jnp.arange(n_slots)
+                n_used = (
+                    (n_train_d // batch_size) * batch_size
+                    if drop_last else n_train_d
+                )
+                slot_valid = slot < n_used
+                # pad slots re-gather the first shuffled row (never a pad
+                # row: the train table's padding is unreachable by
+                # construction) and are masked out of loss + BN statistics
+                idx = perm_c[jnp.where(slot_valid, slot, 0)].reshape(
+                    n_batches, batch_size)
+                bmask = slot_valid.reshape(n_batches, batch_size)
+                n_batches_d = (
+                    n_train_d // batch_size if drop_last
+                    else -(-n_train_d // batch_size)
+                )
+                batch_active = jnp.arange(n_batches) < n_batches_d
+
+                def batch_step_m(bstate, scan_in):
+                    b_i, bidx, bm, active = scan_in
+                    params, state, opt = bstate
+                    batch = gather(bidx)
+                    bkey = jax.random.fold_in(dkey, b_i)
+                    (loss, new_state), grads = grad_fn_masked(
+                        params, state, bkey, batch, beta_kl, class_weights,
+                        hp["gamma"], bm,
+                    )
+                    new_params, new_opt = opt_update(
+                        params, grads, opt, lr, hp["weight_decay"]
+                    )
+                    # trailing batches a small member doesn't need must not
+                    # advance params/opt/BN (zero grads would still decay
+                    # moments and apply weight decay)
+                    gate = lambda new, old: jax.tree.map(
+                        lambda n_, o_: jnp.where(active, n_, o_), new, old)
+                    return (
+                        gate(new_params, params),
+                        gate(new_state, state),
+                        gate(new_opt, opt),
+                    ), jnp.where(active, loss, 0.0)
+
+                (params, state, opt), batch_losses = jax.lax.scan(
+                    batch_step_m,
+                    (carry["params"], carry["state"], carry["opt"]),
+                    (jnp.arange(n_batches), idx, bmask, batch_active),
+                    unroll=_batch_unroll(n_batches),
+                )
+                train_loss = jnp.sum(batch_losses) / n_batches_d.astype(
+                    jnp.float32)
+            elif fused_epoch:
                 # ONE Pallas kernel runs every AdamW step of the epoch with
                 # params + moments VMEM-resident (ops/pallas/fused_epoch.py)
                 ep = gather(perm[: n_full * batch_size])
@@ -416,10 +531,19 @@ def build_fit_fn(
 
             # Validation: full-set sum loss / ceil(n_val/B) — equal to the
             # reference's mean of per-batch sum losses.
-            val_sum = eval_loss_fn(
-                params, state, vkey, val_arrays, beta_kl, class_weights, hp["gamma"]
-            )
-            val_loss = val_sum / n_val_batches
+            if masked_sizes:
+                val_sum = eval_loss_fn_masked(
+                    params, state, vkey, val_arrays, beta_kl, class_weights,
+                    hp["gamma"], jnp.arange(n_val) < n_val_d,
+                )
+                val_loss = val_sum / (
+                    -(-n_val_d // batch_size)).astype(jnp.float32)
+            else:
+                val_sum = eval_loss_fn(
+                    params, state, vkey, val_arrays, beta_kl, class_weights,
+                    hp["gamma"]
+                )
+                val_loss = val_sum / n_val_batches
 
             plateau = optim.plateau_step(
                 carry["plateau"], val_loss, hp["sched_factor"], hp["sched_patience"]

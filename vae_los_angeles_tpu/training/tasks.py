@@ -21,8 +21,10 @@ class Task(NamedTuple):
     name: str
     # init(key, cfg, n_sites) -> (params, bn_state)
     init: Callable
-    # loss(params, state, key, batch, beta_kl, gamma, class_weights, train)
-    #   -> (loss_sum, new_state)
+    # loss(params, state, key, batch, beta_kl, gamma, class_weights, train,
+    #      row_mask=None) -> (loss_sum, new_state); row_mask (n,) bool masks
+    #      padded rows out of the sum-losses and BN batch statistics (the
+    #      masked fold-population mode, parallel/vmap_meta)
     loss: Callable
     # predict(params, state, key, batch) -> imputed target array (eval mode)
     predict: Callable
@@ -37,12 +39,15 @@ def _rna2dna_init(key, cfg, n_sites):
     )
 
 
-def _rna2dna_loss(params, state, key, batch, beta_kl, gamma, class_weights, train):
+def _rna2dna_loss(params, state, key, batch, beta_kl, gamma, class_weights, train,
+                  row_mask=None):
     out = directional_vae.rna2dna_vae_apply(
-        params, state, key, rna=batch.tpm, site=batch.site, train=train
+        params, state, key, rna=batch.tpm, site=batch.site, train=train,
+        row_mask=row_mask,
     )
     total, _ = losses.rna2dna_loss(
-        out.recon_logits, batch.beta, out.mu, out.logvar, beta=beta_kl
+        out.recon_logits, batch.beta, out.mu, out.logvar, beta=beta_kl,
+        row_mask=row_mask,
     )
     return total, out.state
 
@@ -59,12 +64,15 @@ def _dna2rna_init(key, cfg, n_sites):
     )
 
 
-def _dna2rna_loss(params, state, key, batch, beta_kl, gamma, class_weights, train):
+def _dna2rna_loss(params, state, key, batch, beta_kl, gamma, class_weights, train,
+                  row_mask=None):
     out = directional_vae.dna2rna_vae_apply(
-        params, state, key, dna=batch.beta, site=batch.site, train=train
+        params, state, key, dna=batch.beta, site=batch.site, train=train,
+        row_mask=row_mask,
     )
     total, _ = losses.dna2rna_loss(
-        out.recon, batch.tpm, out.mu, out.logvar, beta=beta_kl
+        out.recon, batch.tpm, out.mu, out.logvar, beta=beta_kl,
+        row_mask=row_mask,
     )
     return total, out.state
 
@@ -81,11 +89,14 @@ def _rna2dna_ae_init(key, cfg, n_sites):
     )
 
 
-def _rna2dna_ae_loss(params, state, key, batch, beta_kl, gamma, class_weights, train):
+def _rna2dna_ae_loss(params, state, key, batch, beta_kl, gamma, class_weights, train,
+                     row_mask=None):
     out = directional_ae.rna2dna_ae_apply(
-        params, state, key, rna=batch.tpm, site=batch.site, train=train
+        params, state, key, rna=batch.tpm, site=batch.site, train=train,
+        row_mask=row_mask,
     )
-    total, _ = losses.rna2dna_ae_loss(out.recon_logits, batch.beta)
+    total, _ = losses.rna2dna_ae_loss(out.recon_logits, batch.beta,
+                                      row_mask=row_mask)
     return total, out.state
 
 
@@ -101,11 +112,14 @@ def _dna2rna_ae_init(key, cfg, n_sites):
     )
 
 
-def _dna2rna_ae_loss(params, state, key, batch, beta_kl, gamma, class_weights, train):
+def _dna2rna_ae_loss(params, state, key, batch, beta_kl, gamma, class_weights, train,
+                     row_mask=None):
     out = directional_ae.dna2rna_ae_apply(
-        params, state, key, dna=batch.beta, site=batch.site, train=train
+        params, state, key, dna=batch.beta, site=batch.site, train=train,
+        row_mask=row_mask,
     )
-    total, _ = losses.dna2rna_ae_loss(out.recon, batch.tpm)
+    total, _ = losses.dna2rna_ae_loss(out.recon, batch.tpm,
+                                      row_mask=row_mask)
     return total, out.state
 
 
@@ -121,9 +135,11 @@ def _multimodal_init(key, cfg, n_sites):
     )
 
 
-def _multimodal_loss(params, state, key, batch, beta_kl, gamma, class_weights, train):
+def _multimodal_loss(params, state, key, batch, beta_kl, gamma, class_weights, train,
+                     row_mask=None):
     out = vae.multimodal_vae_apply(
-        params, state, key, a=batch.tpm, b=batch.beta, site=batch.site, train=train
+        params, state, key, a=batch.tpm, b=batch.beta, site=batch.site,
+        train=train, row_mask=row_mask,
     )
     total, _ = losses.vae_loss(
         out.out_a,
@@ -137,6 +153,7 @@ def _multimodal_loss(params, state, key, batch, beta_kl, gamma, class_weights, t
         beta=beta_kl,
         gamma=gamma,
         class_weights=class_weights,
+        row_mask=row_mask,
     )
     return total, out.state
 
@@ -163,10 +180,10 @@ def _multimodal_padded_init(key, cfg, n_sites):
 
 
 def _multimodal_padded_loss(params, state, key, batch, beta_kl, gamma,
-                            class_weights, train):
+                            class_weights, train, row_mask=None):
     out = vae.multimodal_vae_apply(
         params, state, key, a=batch.tpm, b=batch.beta, site=batch.site,
-        train=train, latent_mask=state["latent_mask"],
+        train=train, latent_mask=state["latent_mask"], row_mask=row_mask,
     )
     total, _ = losses.vae_loss(
         out.out_a,
@@ -180,6 +197,7 @@ def _multimodal_padded_loss(params, state, key, batch, beta_kl, gamma,
         beta=beta_kl,
         gamma=gamma,
         class_weights=class_weights,
+        row_mask=row_mask,
     )
     # multimodal_vae_apply copies every state key, so out.state keeps the mask
     return total, out.state
@@ -223,14 +241,15 @@ def _unified_init(vae_init):
 
 
 def _rna2dna_unified_loss(params, state, key, batch, beta_kl, gamma,
-                          class_weights, train):
+                          class_weights, train, row_mask=None):
     kl_on = state["kl_on"]
     out = directional_vae.rna2dna_vae_apply(
         params, state, key, rna=batch.tpm, site=batch.site, train=train,
-        noise_scale=kl_on,
+        noise_scale=kl_on, row_mask=row_mask,
     )
     total, _ = losses.rna2dna_loss(
-        out.recon_logits, batch.beta, out.mu, out.logvar, beta=beta_kl * kl_on
+        out.recon_logits, batch.beta, out.mu, out.logvar,
+        beta=beta_kl * kl_on, row_mask=row_mask,
     )
     # rna2dna_vae_apply copies every state key, so out.state keeps kl_on
     return total, out.state
@@ -244,14 +263,15 @@ def _rna2dna_unified_predict(params, state, key, batch):
 
 
 def _dna2rna_unified_loss(params, state, key, batch, beta_kl, gamma,
-                          class_weights, train):
+                          class_weights, train, row_mask=None):
     kl_on = state["kl_on"]
     out = directional_vae.dna2rna_vae_apply(
         params, state, key, dna=batch.beta, site=batch.site, train=train,
-        noise_scale=kl_on,
+        noise_scale=kl_on, row_mask=row_mask,
     )
     total, _ = losses.dna2rna_loss(
-        out.recon, batch.tpm, out.mu, out.logvar, beta=beta_kl * kl_on
+        out.recon, batch.tpm, out.mu, out.logvar, beta=beta_kl * kl_on,
+        row_mask=row_mask,
     )
     return total, out.state
 
