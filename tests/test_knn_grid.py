@@ -100,9 +100,9 @@ def test_conditioned_grid_matches_reference_loop():
             assert got[(k, mode)] == pytest.approx(want, rel=1e-4), (k, mode)
 
 
-def _sklearn_euclidean_best(model_cls, x, y, q, yq):
-    """Reference grid-loop best over the EUCLIDEAN subset (the TPU path
-    documents skipping the grid's manhattan points)."""
+def _sklearn_grid_best(model_cls, x, y, q, yq):
+    """Reference grid-loop best over the FULL 16-combo grid (since round 5
+    the TPU path evaluates the manhattan half too — ops/knn._l1_dists)."""
     import itertools
 
     from sklearn.metrics import mean_squared_error
@@ -110,9 +110,11 @@ def _sklearn_euclidean_best(model_cls, x, y, q, yq):
     from vae_los_angeles_tpu.evaluation.knn_comparison import KNN_GRID
 
     best_mse, best = float("inf"), None
-    for k, mode in itertools.product(KNN_GRID["n_neighbors"],
-                                     KNN_GRID["weights"]):
-        model = model_cls(n_neighbors=min(k, len(x)), weights=mode).fit(x, y)
+    for k, mode, metric in itertools.product(KNN_GRID["n_neighbors"],
+                                             KNN_GRID["weights"],
+                                             KNN_GRID["metric"]):
+        model = model_cls(n_neighbors=min(k, len(x)), weights=mode,
+                          metric=metric).fit(x, y)
         mse = mean_squared_error(yq, model.predict(q))
         if mse < best_mse:
             best_mse, best = mse, model
@@ -128,13 +130,14 @@ def test_optimize_knn_fused_selects_same_params(regression_data, monkeypatch):
     from vae_los_angeles_tpu.evaluation.knn_comparison import optimize_knn
 
     x, y, q, yq = regression_data
-    sk_best = _sklearn_euclidean_best(KNeighborsRegressor, x, y, q, yq)
+    sk_best = _sklearn_grid_best(KNeighborsRegressor, x, y, q, yq)
 
     monkeypatch.setenv("EVAL_BACKEND", "tpu")
     tpu_best = optimize_knn(x, y, q, yq, model_class=KNNRegressorTPU)
     assert isinstance(tpu_best, KNNRegressorTPU)
     assert tpu_best.n_neighbors == sk_best.n_neighbors
     assert tpu_best.weights == sk_best.weights
+    assert tpu_best.metric == sk_best.metric
     np.testing.assert_allclose(
         tpu_best.predict(q), sk_best.predict(q), rtol=1e-4, atol=1e-4)
 
@@ -158,13 +161,14 @@ def test_optimize_knn_fused_conditioned(monkeypatch):
     ])
     yq = rng.normal(size=(40,)).astype(np.float32)
 
-    sk_best = _sklearn_euclidean_best(
+    sk_best = _sklearn_grid_best(
         ConditionedKNeighborsRegressor, X, y, Q, yq)
     monkeypatch.setenv("EVAL_BACKEND", "tpu")
     tpu_best = optimize_knn(X, y, Q, yq,
                             model_class=ConditionedKNNRegressorTPU)
     assert tpu_best.n_neighbors == sk_best.n_neighbors
     assert tpu_best.weights == sk_best.weights
+    assert tpu_best.metric == sk_best.metric
     np.testing.assert_allclose(
         tpu_best.predict(Q), sk_best.predict(Q), rtol=1e-4, atol=1e-4)
 

@@ -48,26 +48,26 @@ def optimize_knn(X_train, y_train, X_val, y_val, name="KNN", model_class=None):
     print(f"\nOptimizing {name}...")
     best_mse, best_model, best_params = float("inf"), None, {}
     grid = dict(KNN_GRID)
-    if (model_class in (KNNRegressorTPU, ConditionedKNNRegressorTPU)
-            and "manhattan" in grid.get("metric", ())):
-        # the MXU distance identity is euclidean-only; the grid's manhattan
-        # points are dropped with a notice rather than erroring mid-search
-        print("  KNN_BACKEND=tpu: euclidean metric only (manhattan grid "
-              "points skipped)")
-        grid["metric"] = [m for m in grid["metric"] if m != "manhattan"]
     keys, values = zip(*grid.items())
     fused_mses = None
     if model_class in (KNNRegressorTPU, ConditionedKNNRegressorTPU):
-        # one-pass fused grid; on multi-chip hosts the training matrix
-        # row-shards over the mesh with the exact all-gather top-k merge
+        # fused grid: ONE distance pass per METRIC serves that metric's
+        # whole (k, weights) sub-grid — the reference's 16 combos cost two
+        # passes (euclidean on the MXU, manhattan on the VPU, ops/knn.py);
+        # on multi-chip hosts the training matrix row-shards over the mesh
+        # with the exact all-gather top-k merge
         # (parallel/sharded_eval.build_knn_grid_chunk)
         from vae_los_angeles_tpu.ops.knn import knn_grid_mse_tpu
 
-        fused_mses = knn_grid_mse_tpu(
-            X_train, y_train, X_val, y_val,
-            ks=grid["n_neighbors"], modes=grid["weights"],
-            conditioned=model_class is ConditionedKNNRegressorTPU,
-        )
+        fused_mses = {
+            metric: knn_grid_mse_tpu(
+                X_train, y_train, X_val, y_val,
+                ks=grid["n_neighbors"], modes=grid["weights"],
+                conditioned=model_class is ConditionedKNNRegressorTPU,
+                metric=metric,
+            )
+            for metric in grid.get("metric", ["euclidean"])
+        }
     for combo in itertools.product(*values):
         p = dict(zip(keys, combo))
         # clamp k to the training size like the reference's conditioned model
@@ -75,9 +75,10 @@ def optimize_knn(X_train, y_train, X_val, y_val, name="KNN", model_class=None):
         if "n_neighbors" in p:
             p["n_neighbors"] = min(p["n_neighbors"], len(X_train))
         if fused_mses is not None:
-            # the fused kernel already computed every combo's validation
-            # MSE in ONE distance pass — no per-combo fit/predict dispatch
-            mse = fused_mses[(p["n_neighbors"], p["weights"])]
+            # the fused kernels already computed every combo's validation
+            # MSE — no per-combo fit/predict dispatch
+            mse = fused_mses[p.get("metric", "euclidean")][
+                (p["n_neighbors"], p["weights"])]
             model = None
         else:
             model = model_class(**p)

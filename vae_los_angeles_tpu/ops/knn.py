@@ -165,9 +165,87 @@ def _exact_topk_d2(x_train, queries, idx, k: int):
     return jnp.stack(cols, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "weights", "prec"))
+L1_FEAT_BLOCK = 512  # bounds any worst-case (m, n, block) materialization
+
+
+def _l1_dists(x_train, queries, feat_block: int = L1_FEAT_BLOCK):
+    """Manhattan distance matrix Σⱼ|qⱼ − xⱼ| as (m, n), fp32.
+
+    No matmul identity exists for L1, so this is a VPU broadcast-abs-reduce,
+    scanned over feature blocks so program size and any materialized
+    intermediate stay bounded at methylome widths (XLA fuses the
+    (m, n, block) broadcast into the reduction). Zero feature padding is
+    inert (|0−0| = 0 requires BOTH sides padded with the same value — the
+    row-padding path pads x only, which is why row pads are +inf-masked by
+    the callers, never relied on to sort last). Exact-duplicate rows
+    produce exactly 0 (direct summation, no cancellation), so sklearn's
+    zero-distance rule needs no recompute pass here.
+
+    The reference grid's manhattan half
+    (`/root/reference/src/knn_comparison/run_comparison.py:62-66`) was
+    dropped by the TPU backend through round 4 — this restores all 16
+    combos."""
+    m, n = queries.shape[0], x_train.shape[0]
+    d = x_train.shape[1]
+    if d <= feat_block:
+        return jnp.sum(jnp.abs(queries[:, None, :] - x_train[None, :, :]),
+                       axis=-1)
+    nb = -(-d // feat_block)
+    pad = nb * feat_block - d
+    xs = jnp.pad(x_train, ((0, 0), (0, pad))).reshape(
+        n, nb, feat_block).transpose(1, 0, 2)
+    qs = jnp.pad(queries, ((0, 0), (0, pad))).reshape(
+        m, nb, feat_block).transpose(1, 0, 2)
+
+    def body(acc, xq):
+        xb, qb = xq
+        return acc + jnp.sum(jnp.abs(qb[:, None, :] - xb[None, :, :]),
+                             axis=-1), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((m, n), jnp.float32), (xs, qs))
+    return acc
+
+
+def _check_metric(metric: str) -> str:
+    """Normalize the sklearn metric spelling to {euclidean, manhattan}."""
+    if metric in ("minkowski", "euclidean", "l2"):
+        return "euclidean"
+    if metric in ("manhattan", "cityblock", "l1"):
+        return "manhattan"
+    raise ValueError(
+        f"unsupported metric {metric!r} (euclidean/minkowski p=2 or "
+        "manhattan/cityblock)"
+    )
+
+
+def _selection_dists(x_train, queries, metric: str, prec=None):
+    """Distance matrix in SELECTION space: squared euclidean via the MXU
+    identity, or manhattan via the blocked VPU reduction. Ranking is
+    identical to true distances (both are monotone)."""
+    if metric == "manhattan":
+        return _l1_dists(x_train, queries)
+    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+    x_sq = jnp.sum(x_train * x_train, axis=1)
+    cross = jnp.dot(queries, x_train.T,
+                    preferred_element_type=jnp.float32, precision=prec)
+    return jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
+
+
+def _winner_dists(x_train, queries, idx, sel, k: int, metric: str):
+    """TRUE distances of the k selected neighbors, for 1/d weighting and
+    the zero-distance rule. Euclidean recomputes directly (`_exact_topk_d2`
+    — the matmul identity's cancellation breaks exact zeros); manhattan
+    gathers from the already-exact selection matrix ``sel``."""
+    if metric == "manhattan":
+        finite = jnp.isfinite(sel)
+        return jnp.take_along_axis(jnp.where(finite, sel, 0.0), idx, axis=1)
+    return jnp.sqrt(_exact_topk_d2(x_train, queries, idx, k))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "weights", "prec", "metric"))
 def _knn_chunk(x_train, y_train, queries, n_valid, k: int, weights: str,
-               prec=None):
+               prec=None, metric: str = "euclidean"):
     """Neighbor-mean predictions for one fixed-size query chunk.
 
     Exact squared-Euclidean distances via the matmul identity; fp32
@@ -179,21 +257,16 @@ def _knn_chunk(x_train, y_train, queries, n_valid, k: int, weights: str,
     `ops/backend.eval_matmul_precision` (neighbor RANKING is selection,
     not arithmetic: the default 1-pass-bf16 MXU mode picks different
     neighbors than sklearn on concentrated data)."""
-    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)   # (m, 1)
-    x_sq = jnp.sum(x_train * x_train, axis=1)                  # (n,)
-    cross = jnp.dot(queries, x_train.T,
-                    preferred_element_type=jnp.float32,
-                    precision=prec)                            # (m, n) MXU
-    d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
-    d2 = jnp.where(jnp.arange(x_train.shape[0])[None, :] < n_valid,
-                   d2, jnp.inf)
-    neg_d2, idx = jax.lax.top_k(-d2, k)                        # (m, k)
+    sel = _selection_dists(x_train, queries, metric, prec)     # (m, n)
+    sel = jnp.where(jnp.arange(x_train.shape[0])[None, :] < n_valid,
+                    sel, jnp.inf)
+    neg_d2, idx = jax.lax.top_k(-sel, k)                       # (m, k)
     neighbors = jnp.take(y_train, idx, axis=0)                 # (m, k, t)
     if weights == "uniform":
         return jnp.mean(neighbors, axis=1)
     # sklearn 'distance': weight 1/d; rows containing any zero distance
     # average the zero-distance neighbors uniformly
-    d = jnp.sqrt(_exact_topk_d2(x_train, queries, idx, k))
+    d = _winner_dists(x_train, queries, idx, sel, k, metric)
     zero = d <= 0.0
     any_zero = jnp.any(zero, axis=1, keepdims=True)
     w = jnp.where(
@@ -225,10 +298,7 @@ class KNNRegressorTPU:
                  shard=None):
         if weights not in ("uniform", "distance"):
             raise ValueError(f"unsupported weights {weights!r}")
-        if metric not in ("minkowski", "euclidean"):
-            raise ValueError(
-                f"unsupported metric {metric!r} (euclidean/minkowski p=2 only)"
-            )
+        _check_metric(metric)  # fail early on unsupported metrics
         self.n_neighbors = n_neighbors
         self.weights = weights
         self.n_jobs = n_jobs
@@ -315,13 +385,14 @@ class KNNRegressorTPU:
         from vae_los_angeles_tpu.ops.backend import eval_matmul_precision
 
         prec = eval_matmul_precision()
+        metric = _check_metric(self.metric)
         if self._mesh is not None:
             from vae_los_angeles_tpu.parallel.sharded_eval import (
                 build_knn_chunk,
             )
 
             k = min(self.n_neighbors, self._n)
-            fn = build_knn_chunk(self._mesh, k, self.weights, prec)
+            fn = build_knn_chunk(self._mesh, k, self.weights, prec, metric)
             n_arr = np.int32(self._n)
         else:
             k = min(self.n_neighbors, self._n)
@@ -345,7 +416,7 @@ class KNNRegressorTPU:
                 pred = fn(self._x, self._y, n_arr, block)
             else:
                 pred = _knn_chunk(self._x, self._y, block, n_arr, k,
-                                  self.weights, prec)
+                                  self.weights, prec, metric)
             outs.append(np.asarray(jax.device_get(pred))[:n_valid])
         out = np.concatenate(outs) if outs else np.zeros(
             (0, self._y.shape[1]), np.float32
@@ -368,13 +439,14 @@ class KNNRegressorTPU:
         )
 
         prec = eval_matmul_precision()
+        metric = _check_metric(self.metric)
         ks = tuple(sorted({min(int(k), self._n) for k in ks}))
         kmax = max(ks)
         if self._mesh is not None:
             from vae_los_angeles_tpu.parallel import sharded_eval
 
             multi_fn = sharded_eval.build_knn_multi_chunk(
-                self._mesh, ks, self.weights, kmax, prec)
+                self._mesh, ks, self.weights, kmax, prec, metric)
         X = np.asarray(X, np.float32)
         chunk = min(self.chunk_size, bucket_rows(max(len(X), 1)))
         outs = {k: [] for k in ks}
@@ -389,7 +461,7 @@ class KNNRegressorTPU:
             else:
                 preds = _knn_multi_chunk(
                     self._x, self._y, jnp.asarray(block), np.int32(self._n),
-                    ks, self.weights, kmax, prec)
+                    ks, self.weights, kmax, prec, metric)
             host = np.asarray(jax.device_get(preds))[:, :n_valid]
             for i, k in enumerate(ks):
                 outs[k].append(host[i])
@@ -419,9 +491,10 @@ class KNNRegressorTPU:
         return self
 
 
-@functools.partial(jax.jit, static_argnames=("k", "weights", "prec"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "weights", "prec", "metric"))
 def _cond_knn_chunk(x_train, y_train, x_site, queries, q_site, k: int,
-                    weights: str, prec=None):
+                    weights: str, prec=None, metric: str = "euclidean"):
     """Site-conditioned neighbor means for one query chunk.
 
     TPU-first replacement for the reference's per-site model loop
@@ -430,20 +503,15 @@ def _cond_knn_chunk(x_train, y_train, x_site, queries, q_site, k: int,
     `top_k`. Per-site k clamping falls out (a site with g < k members has
     exactly g finite neighbor slots), and unseen-site queries (all +inf)
     produce all-zero weights → the reference's zero rows."""
-    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
-    x_sq = jnp.sum(x_train * x_train, axis=1)
-    cross = jnp.dot(queries, x_train.T,
-                    preferred_element_type=jnp.float32, precision=prec)
-    d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
-    d2 = jnp.where(q_site[:, None] == x_site[None, :], d2, jnp.inf)
-    neg_d2, idx = jax.lax.top_k(-d2, k)                       # (m, k)
-    d2k = -neg_d2
-    valid = jnp.isfinite(d2k)
+    sel = _selection_dists(x_train, queries, metric, prec)
+    sel = jnp.where(q_site[:, None] == x_site[None, :], sel, jnp.inf)
+    neg_d2, idx = jax.lax.top_k(-sel, k)                      # (m, k)
+    valid = jnp.isfinite(-neg_d2)
     neighbors = jnp.take(y_train, idx, axis=0)                # (m, k, t)
     if weights == "uniform":
         w = valid.astype(jnp.float32)
     else:
-        d = jnp.sqrt(_exact_topk_d2(x_train, queries, idx, k))
+        d = _winner_dists(x_train, queries, idx, sel, k, metric)
         zero = valid & (d <= 0.0)
         any_zero = jnp.any(zero, axis=1, keepdims=True)
         w = jnp.where(
@@ -469,10 +537,7 @@ class ConditionedKNNRegressorTPU:
                  chunk_size: int = 4096, shard=None):
         if weights not in ("uniform", "distance"):
             raise ValueError(f"unsupported weights {weights!r}")
-        if metric not in ("minkowski", "euclidean"):
-            raise ValueError(
-                f"unsupported metric {metric!r} (euclidean/minkowski p=2 only)"
-            )
+        _check_metric(metric)  # fail early on unsupported metrics
         self.n_neighbors = n_neighbors
         self.weights = weights
         self.metric = metric
@@ -523,13 +588,15 @@ class ConditionedKNNRegressorTPU:
         from vae_los_angeles_tpu.ops.backend import eval_matmul_precision
 
         prec = eval_matmul_precision()
+        metric = _check_metric(self.metric)
         if self._mesh is not None:
             from vae_los_angeles_tpu.parallel.sharded_eval import (
                 build_cond_knn_chunk,
             )
 
             k = min(self.n_neighbors, self._n)
-            fn = build_cond_knn_chunk(self._mesh, k, self.weights, prec)
+            fn = build_cond_knn_chunk(self._mesh, k, self.weights, prec,
+                                      metric)
             n_arr = np.int32(self._n)
         else:
             k = min(self.n_neighbors, self._n)
@@ -555,6 +622,7 @@ class ConditionedKNNRegressorTPU:
                 pred = _cond_knn_chunk(
                     self._x, self._y, self._site, jnp.asarray(fb),
                     jnp.asarray(sb, jnp.int32), k, self.weights, prec,
+                    metric,
                 )
             outs.append(np.asarray(jax.device_get(pred))[:n_valid])
         out = np.concatenate(outs) if outs else np.zeros(
@@ -632,23 +700,21 @@ def _grid_errs_from_topk(d, valid, neighbors, y_val, ks, modes):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ks", "weights", "kmax", "prec"))
+                   static_argnames=("ks", "weights", "kmax", "prec",
+                                    "metric"))
 def _knn_multi_chunk(x_train, y_train, queries, n_valid,
-                     ks: tuple, weights: str, kmax: int, prec=None):
+                     ks: tuple, weights: str, kmax: int, prec=None,
+                     metric: str = "euclidean"):
     """Predictions for EVERY k in ``ks`` from one distance pass + one
     `top_k(kmax)`: (len(ks), m, t). The CV harness sweeps n_neighbors over
     the same folds (reference `vae_cross_modality_cv.py:285-340`) — each k
     re-ran the O(m·n·dim) pass; the sorted prefix trick serves them all."""
-    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
-    x_sq = jnp.sum(x_train * x_train, axis=1)
-    cross = jnp.dot(queries, x_train.T,
-                    preferred_element_type=jnp.float32, precision=prec)
-    d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
-    d2 = jnp.where(jnp.arange(x_train.shape[0])[None, :] < n_valid,
-                   d2, jnp.inf)
-    neg_d2, idx = jax.lax.top_k(-d2, kmax)
+    sel = _selection_dists(x_train, queries, metric, prec)
+    sel = jnp.where(jnp.arange(x_train.shape[0])[None, :] < n_valid,
+                    sel, jnp.inf)
+    neg_d2, idx = jax.lax.top_k(-sel, kmax)
     valid = jnp.isfinite(-neg_d2)
-    d = jnp.sqrt(_exact_topk_d2(x_train, queries, idx, kmax))
+    d = _winner_dists(x_train, queries, idx, sel, kmax, metric)
     neighbors = jnp.take(y_train, idx, axis=0)
     return jnp.stack(list(
         _prefix_predictions(d, valid, neighbors, ks, (weights,))
@@ -656,56 +722,57 @@ def _knn_multi_chunk(x_train, y_train, queries, n_valid,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ks", "modes", "kmax", "prec"))
+                   static_argnames=("ks", "modes", "kmax", "prec",
+                                    "metric"))
 def _knn_grid_chunk(x_train, y_train, queries, y_val, n_valid,
-                    ks: tuple, modes: tuple, kmax: int, prec=None):
+                    ks: tuple, modes: tuple, kmax: int, prec=None,
+                    metric: str = "euclidean"):
     """All-(k, weights) grid predictions' per-sample MSE for one query
     chunk in ONE program: one distance matmul + one `top_k(kmax)`, then
     prefix reductions per grid point (`_grid_errs_from_topk`). Replaces
     the per-combo fit/predict loop of the comparison scripts' grid search
     (reference `src/knn_comparison/run_comparison.py:56-94`) under
     ``EVAL_BACKEND=tpu``."""
-    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
-    x_sq = jnp.sum(x_train * x_train, axis=1)
-    cross = jnp.dot(queries, x_train.T,
-                    preferred_element_type=jnp.float32, precision=prec)
-    d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
-    d2 = jnp.where(jnp.arange(x_train.shape[0])[None, :] < n_valid,
-                   d2, jnp.inf)
-    neg_d2, idx = jax.lax.top_k(-d2, kmax)
+    sel = _selection_dists(x_train, queries, metric, prec)
+    sel = jnp.where(jnp.arange(x_train.shape[0])[None, :] < n_valid,
+                    sel, jnp.inf)
+    neg_d2, idx = jax.lax.top_k(-sel, kmax)
     valid = jnp.isfinite(-neg_d2)
-    d = jnp.sqrt(_exact_topk_d2(x_train, queries, idx, kmax))
+    d = _winner_dists(x_train, queries, idx, sel, kmax, metric)
     neighbors = jnp.take(y_train, idx, axis=0)
     return _grid_errs_from_topk(d, valid, neighbors, y_val, ks, modes)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ks", "modes", "kmax", "prec"))
+                   static_argnames=("ks", "modes", "kmax", "prec",
+                                    "metric"))
 def _cond_knn_grid_chunk(x_train, y_train, x_site, queries, q_site, y_val,
-                         ks: tuple, modes: tuple, kmax: int, prec=None):
+                         ks: tuple, modes: tuple, kmax: int, prec=None,
+                         metric: str = "euclidean"):
     """Site-conditioned grid variant: cross-site pairs masked to +inf, so
     per-site k clamping and unseen-site zero rows fall out of the validity
     prefix counts (same semantics as `_cond_knn_chunk`, every grid point
     at once)."""
-    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
-    x_sq = jnp.sum(x_train * x_train, axis=1)
-    cross = jnp.dot(queries, x_train.T,
-                    preferred_element_type=jnp.float32, precision=prec)
-    d2 = jnp.maximum(q_sq - 2.0 * cross + x_sq, 0.0)
-    d2 = jnp.where(q_site[:, None] == x_site[None, :], d2, jnp.inf)
-    neg_d2, idx = jax.lax.top_k(-d2, kmax)
+    sel = _selection_dists(x_train, queries, metric, prec)
+    sel = jnp.where(q_site[:, None] == x_site[None, :], sel, jnp.inf)
+    neg_d2, idx = jax.lax.top_k(-sel, kmax)
     valid = jnp.isfinite(-neg_d2)
-    d = jnp.sqrt(_exact_topk_d2(x_train, queries, idx, kmax))
+    d = _winner_dists(x_train, queries, idx, sel, kmax, metric)
     neighbors = jnp.take(y_train, idx, axis=0)
     return _grid_errs_from_topk(d, valid, neighbors, y_val, ks, modes)
 
 
 def knn_grid_mse_tpu(X_train, y_train, X_val, y_val, ks, modes,
                      conditioned: bool = False,
-                     chunk_size: int = 512, shard=None) -> dict:
+                     chunk_size: int = 512, shard=None,
+                     metric: str = "euclidean") -> dict:
     """Mean validation MSE for every (n_neighbors, weights) grid combo via
     the fused single-pass kernels: ``{(k, mode): mse}`` with k already
     clamped to the training size (the comparison scripts' clamp).
+    ``metric`` selects the distance ("euclidean" via the MXU identity,
+    "manhattan" via the blocked VPU reduction `_l1_dists`) — one pass per
+    metric serves that metric's whole (k, weights) grid, so the reference's
+    16-combo search (`run_comparison.py:62-66`) costs exactly two passes.
 
     One O(m·n·dim) distance pass + one `top_k` serve the WHOLE grid —
     the per-combo loop pays that pass (and a relay round-trip) per grid
@@ -722,6 +789,7 @@ def knn_grid_mse_tpu(X_train, y_train, X_val, y_val, ks, modes,
     )
 
     prec = eval_matmul_precision()
+    metric = _check_metric(metric)
     mesh = _eval_mesh(shard)
     if conditioned:
         X_train = np.asarray(X_train, np.float32)
@@ -760,7 +828,7 @@ def knn_grid_mse_tpu(X_train, y_train, X_val, y_val, ks, modes,
 
         grid_fn = (sharded_eval.build_cond_knn_grid_chunk if conditioned
                    else sharded_eval.build_knn_grid_chunk)(
-            mesh, ks, modes, kmax, prec)
+            mesh, ks, modes, kmax, prec, metric)
     yv = np.asarray(y_val, np.float32).reshape(len(y_val), -1)
     m = len(q_feats)
     chunk = min(chunk_size, bucket_rows(max(m, 1)))
@@ -787,14 +855,14 @@ def knn_grid_mse_tpu(X_train, y_train, X_val, y_val, ks, modes,
                 errs = _cond_knn_grid_chunk(
                     x, y_dev, site_dev, jnp.asarray(qb),
                     jnp.asarray(sb, jnp.int32), jnp.asarray(yb),
-                    ks, modes, kmax, prec)
+                    ks, modes, kmax, prec, metric)
         elif mesh is not None:
             errs = grid_fn(x, y_dev, jnp.int32(n), jnp.asarray(qb),
                            jnp.asarray(yb))
         else:
             errs = _knn_grid_chunk(
                 x, y_dev, jnp.asarray(qb), jnp.asarray(yb), np.int32(n),
-                ks, modes, kmax, prec)
+                ks, modes, kmax, prec, metric)
         host = np.asarray(jax.device_get(errs), np.float64)[:, :n_valid]
         combo_sums += host.sum(axis=1)
     mses = combo_sums / max(m, 1)

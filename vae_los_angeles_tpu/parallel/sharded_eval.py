@@ -54,6 +54,17 @@ def _local_geometry(x_local, n):
     return offset, valid
 
 
+def _local_dists(x_local, queries, metric: str, prec=None):
+    """Local selection-space distance block by metric: squared euclidean
+    (MXU identity) or manhattan (blocked VPU reduction — no matmul identity
+    exists for L1; `ops/knn._l1_dists`)."""
+    if metric == "manhattan":
+        from vae_los_angeles_tpu.ops.knn import _l1_dists
+
+        return _l1_dists(x_local, queries)
+    return _local_d2(x_local, queries, prec=prec)
+
+
 def _local_d2(x_local, queries, compensated: bool = False, prec=None):
     if compensated:
         # blocked-Kahan accumulation for methylome-width features: the
@@ -78,7 +89,8 @@ def _merge_topk(neg_local, payload_local, k: int):
     return neg2, jnp.take_along_axis(pays, pos, axis=1)
 
 
-def _merge_candidates(x_local, n, queries, keep_extra, k: int, prec=None):
+def _merge_candidates(x_local, n, queries, keep_extra, k: int, prec=None,
+                      metric: str = "euclidean"):
     """Shared candidate-merge preamble of every sharded neighbor kernel:
     local distance block (+inf on pad rows / keep_extra-masked pairs) →
     local top-k → exact global top-k merge. Returns ``(finite, mine, lp)``:
@@ -87,7 +99,7 @@ def _merge_candidates(x_local, n, queries, keep_extra, k: int, prec=None):
     n_local = x_local.shape[0]
     k_local = min(k, n_local)
     offset, valid = _local_geometry(x_local, n)
-    d2 = _local_d2(x_local, queries, prec=prec)
+    d2 = _local_dists(x_local, queries, metric, prec)
     keep = valid[None, :] if keep_extra is None else (
         valid[None, :] & keep_extra)
     d2 = jnp.where(keep, d2, jnp.inf)
@@ -100,23 +112,30 @@ def _merge_candidates(x_local, n, queries, keep_extra, k: int, prec=None):
     return finite, mine, lp
 
 
-def _exact_winner_d(x_local, queries, lp, mine, k: int):
-    """Exact winner distances √‖q−xⱼ‖², one psum: each chip recomputes the
-    winners it owns directly (the matmul identity's cancellation would
-    break the zero-distance rule)."""
+def _exact_winner_d(x_local, queries, lp, mine, k: int,
+                    metric: str = "euclidean"):
+    """Exact winner TRUE distances, one psum: each chip recomputes the
+    winners it owns directly (for euclidean, the matmul identity's
+    cancellation would break the zero-distance rule; for manhattan the
+    direct |q−x| row sum is exact by construction)."""
     cols = []
     for j in range(k):
         xi = jnp.take(x_local, lp[:, j], axis=0)
         diff = queries - xi
-        dj = jnp.sum(diff * diff, axis=1)
+        if metric == "manhattan":
+            dj = jnp.sum(jnp.abs(diff), axis=1)
+        else:
+            dj = jnp.sum(diff * diff, axis=1)
         cols.append(jnp.where(mine[:, j], dj, 0.0))
-    return jnp.sqrt(jax.lax.psum(jnp.stack(cols, axis=1), "data"))
+    summed = jax.lax.psum(jnp.stack(cols, axis=1), "data")
+    return summed if metric == "manhattan" else jnp.sqrt(summed)
 
 
-def _exact_refined_weights(x_local, queries, lp, mine, finite, k: int):
+def _exact_refined_weights(x_local, queries, lp, mine, finite, k: int,
+                           metric: str = "euclidean"):
     """sklearn 'distance' weights from exactly-recomputed winner distances
     (`_exact_winner_d`)."""
-    d = _exact_winner_d(x_local, queries, lp, mine, k)
+    d = _exact_winner_d(x_local, queries, lp, mine, k, metric)
     zero = finite & (d <= 0.0)
     any_zero = jnp.any(zero, axis=1, keepdims=True)
     return jnp.where(
@@ -137,19 +156,21 @@ def _psum_prediction(y_local, lp, mine, w, k: int):
 
 
 def _knn_impl(x_local, y_local, n, queries, keep_extra, k: int,
-              weights: str, prec=None):
+              weights: str, prec=None, metric: str = "euclidean"):
     finite, mine, lp = _merge_candidates(x_local, n, queries, keep_extra,
-                                         k, prec)
+                                         k, prec, metric)
     if weights == "uniform":
         w = finite.astype(jnp.float32)
     else:
-        w = _exact_refined_weights(x_local, queries, lp, mine, finite, k)
+        w = _exact_refined_weights(x_local, queries, lp, mine, finite, k,
+                                   metric)
     w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
     return _psum_prediction(y_local, lp, mine, w, k)
 
 
 @functools.lru_cache(maxsize=None)
-def build_knn_chunk(mesh, k: int, weights: str, prec=None):
+def build_knn_chunk(mesh, k: int, weights: str, prec=None,
+                    metric: str = "euclidean"):
     """Jitted sharded kNN predictor for one fixed-size query chunk.
 
     Args are device arrays: ``x``/``y`` row-sharded over the mesh (padded
@@ -160,7 +181,7 @@ def build_knn_chunk(mesh, k: int, weights: str, prec=None):
 
     def impl(x_local, y_local, n, queries):
         return _knn_impl(x_local, y_local, n, queries, None, k, weights,
-                         prec)
+                         prec, metric)
 
     row = P("data", None)
     rep = P(None, None)
@@ -172,7 +193,8 @@ def build_knn_chunk(mesh, k: int, weights: str, prec=None):
 
 
 @functools.lru_cache(maxsize=None)
-def build_cond_knn_chunk(mesh, k: int, weights: str, prec=None):
+def build_cond_knn_chunk(mesh, k: int, weights: str, prec=None,
+                         metric: str = "euclidean"):
     """Sharded site-conditioned kNN: cross-site pairs masked to +inf before
     the local top-k (single-chip `_cond_knn_chunk` semantics — unseen-site
     queries psum to the reference's zero rows)."""
@@ -180,7 +202,7 @@ def build_cond_knn_chunk(mesh, k: int, weights: str, prec=None):
     def impl(x_local, y_local, x_site_local, n, queries, q_site):
         keep = q_site[:, None] == x_site_local[None, :]
         return _knn_impl(x_local, y_local, n, queries, keep, k, weights,
-                         prec)
+                         prec, metric)
 
     row = P("data", None)
     rep = P(None, None)
@@ -193,7 +215,8 @@ def build_cond_knn_chunk(mesh, k: int, weights: str, prec=None):
 
 
 def _prefix_parts(x_local, y_local, n, queries, keep_extra,
-                  ks_set, kmax: int, prec=None):
+                  ks_set, kmax: int, prec=None,
+                  metric: str = "euclidean"):
     """Shared core of the sharded fused sweeps: ONE local distance pass +
     ONE exact top-k merge, then everything a prefix reduction needs.
 
@@ -209,10 +232,10 @@ def _prefix_parts(x_local, y_local, n, queries, keep_extra,
     Returns (cum_v, cum_z, cum_w, num_at) with ``num_at[k] = (Σvf·y,
     Σzf·y, Σw⁻¹·y)`` over the k-prefix, all replicated."""
     finite, mine, lp = _merge_candidates(x_local, n, queries, keep_extra,
-                                         kmax, prec)
+                                         kmax, prec, metric)
     # exact winner distances (zero-distance rule; single-chip parity with
-    # ops/knn._exact_topk_d2)
-    d = _exact_winner_d(x_local, queries, lp, mine, kmax)
+    # ops/knn._exact_topk_d2 / the gathered L1 matrix)
+    d = _exact_winner_d(x_local, queries, lp, mine, kmax, metric)
     zero = finite & (d <= 0.0)
     w_inv = jnp.where(finite & ~zero,
                       1.0 / jnp.where(zero | ~finite, 1.0, d), 0.0)
@@ -269,12 +292,13 @@ def _prefix_pred(cum_v, cum_z, cum_w, num_at, k: int, mode: str):
 
 
 def _grid_impl(x_local, y_local, n, queries, y_val, keep_extra,
-               ks: tuple, modes: tuple, kmax: int, prec=None):
+               ks: tuple, modes: tuple, kmax: int, prec=None,
+               metric: str = "euclidean"):
     """Sharded fused (k, weights) grid search: per-sample validation MSE of
     EVERY grid combo from one `_prefix_parts` pass (the multi-chip
     counterpart of `ops/knn._knn_grid_chunk`)."""
     parts = _prefix_parts(x_local, y_local, n, queries, keep_extra,
-                          sorted(set(ks)), kmax, prec)
+                          sorted(set(ks)), kmax, prec, metric)
     # combo order must match ops/knn._grid_errs_from_topk: modes outer
     return jnp.stack([
         jnp.mean((_prefix_pred(*parts, k, mode) - y_val) ** 2, axis=1)
@@ -283,25 +307,25 @@ def _grid_impl(x_local, y_local, n, queries, y_val, keep_extra,
 
 
 def _multi_impl(x_local, y_local, n, queries, ks: tuple, weights: str,
-                kmax: int, prec=None):
+                kmax: int, prec=None, metric: str = "euclidean"):
     """Sharded multi-k predictions (len(ks), m, t) from one pass — the
     multi-chip counterpart of `ops/knn._knn_multi_chunk` (the CV harness's
     n_neighbors sweep)."""
     parts = _prefix_parts(x_local, y_local, n, queries, None,
-                          sorted(set(ks)), kmax, prec)
+                          sorted(set(ks)), kmax, prec, metric)
     return jnp.stack([_prefix_pred(*parts, k, weights) for k in ks])
 
 
 @functools.lru_cache(maxsize=None)
 def build_knn_multi_chunk(mesh, ks: tuple, weights: str, kmax: int,
-                          prec=None):
+                          prec=None, metric: str = "euclidean"):
     """Jitted sharded multi-k predictor for one fixed-size query chunk:
     x/y row-sharded, queries replicated. Each k's rows match the sharded
     `build_knn_chunk(k)` predictor up to float summation order."""
 
     def impl(x_local, y_local, n, queries):
         return _multi_impl(x_local, y_local, n, queries, ks, weights,
-                           kmax, prec)
+                           kmax, prec, metric)
 
     row = P("data", None)
     rep = P(None, None)
@@ -314,7 +338,7 @@ def build_knn_multi_chunk(mesh, ks: tuple, weights: str, kmax: int,
 
 @functools.lru_cache(maxsize=None)
 def build_knn_grid_chunk(mesh, ks: tuple, modes: tuple, kmax: int,
-                         prec=None):
+                         prec=None, metric: str = "euclidean"):
     """Jitted sharded fused grid search for one fixed-size query chunk:
     (n_combos, m) per-sample validation MSEs, x/y row-sharded, queries and
     targets replicated. Matches `ops/knn._knn_grid_chunk` up to float
@@ -322,7 +346,7 @@ def build_knn_grid_chunk(mesh, ks: tuple, modes: tuple, kmax: int,
 
     def impl(x_local, y_local, n, queries, y_val):
         return _grid_impl(x_local, y_local, n, queries, y_val, None,
-                          ks, modes, kmax, prec)
+                          ks, modes, kmax, prec, metric)
 
     row = P("data", None)
     rep = P(None, None)
@@ -335,7 +359,7 @@ def build_knn_grid_chunk(mesh, ks: tuple, modes: tuple, kmax: int,
 
 @functools.lru_cache(maxsize=None)
 def build_cond_knn_grid_chunk(mesh, ks: tuple, modes: tuple, kmax: int,
-                              prec=None):
+                              prec=None, metric: str = "euclidean"):
     """Sharded site-conditioned fused grid: cross-site pairs masked to +inf
     before the local top-k (per-site k clamping and unseen-site zero rows
     fall out of the validity prefixes, `ops/knn._cond_knn_grid_chunk`
@@ -344,7 +368,7 @@ def build_cond_knn_grid_chunk(mesh, ks: tuple, modes: tuple, kmax: int,
     def impl(x_local, y_local, x_site_local, n, queries, q_site, y_val):
         keep = q_site[:, None] == x_site_local[None, :]
         return _grid_impl(x_local, y_local, n, queries, y_val, keep,
-                          ks, modes, kmax, prec)
+                          ks, modes, kmax, prec, metric)
 
     row = P("data", None)
     rep = P(None, None)
