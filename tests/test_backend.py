@@ -16,10 +16,61 @@ def _clear(monkeypatch):
     monkeypatch.delenv("KNN_BACKEND", raising=False)
 
 
-def test_default_is_sklearn(monkeypatch):
+def test_default_is_auto(monkeypatch):
+    """auto is the default: reference-exact sklearn below the measured
+    crossover (incl. unknown scale), TPU kernels at/above it."""
+    from vae_los_angeles_tpu.ops.backend import (
+        AUTO_CROSSOVER_ROWS,
+        resolve_eval_backend,
+    )
+
     _clear(monkeypatch)
-    assert eval_backend() == "sklearn"
+    assert eval_backend() == "auto"
+    assert resolve_eval_backend() == "sklearn"          # unknown scale
+    assert resolve_eval_backend(128) == "sklearn"       # capstone small
+    assert resolve_eval_backend(890) == "sklearn"       # reference scale
+    assert resolve_eval_backend(1024) == "tpu"          # capstone large
+    assert resolve_eval_backend(AUTO_CROSSOVER_ROWS) == "tpu"
     assert not tpu_eval_backend()
+    assert not tpu_eval_backend(128)
+    assert tpu_eval_backend(4096)
+
+
+def test_forced_backends_ignore_scale(monkeypatch):
+    from vae_los_angeles_tpu.ops.backend import resolve_eval_backend
+
+    _clear(monkeypatch)
+    monkeypatch.setenv("EVAL_BACKEND", "sklearn")
+    assert resolve_eval_backend(10_000) == "sklearn"
+    monkeypatch.setenv("EVAL_BACKEND", "tpu")
+    assert resolve_eval_backend(8) == "tpu"
+
+
+def test_auto_routes_resolvers_by_scale(monkeypatch):
+    """The capstone contract: with NO backend env set, each resolver picks
+    the measured winner for its cohort scale (round-4 capstone crossover:
+    sklearn wins n=128, TPU wins n=1024)."""
+    _clear(monkeypatch)
+    from sklearn.manifold import TSNE
+    from sklearn.metrics import silhouette_score
+    from sklearn.neighbors import KNeighborsRegressor
+
+    from vae_los_angeles_tpu.ops.cluster_metrics import (
+        resolve_silhouette,
+        silhouette_score_tpu,
+    )
+    from vae_los_angeles_tpu.ops.knn import (
+        KNNRegressorTPU,
+        resolve_knn_regressor,
+    )
+    from vae_los_angeles_tpu.ops.tsne import TSNETPU, resolve_tsne
+
+    assert resolve_knn_regressor(128) is KNeighborsRegressor
+    assert resolve_knn_regressor(1024) is KNNRegressorTPU
+    assert resolve_silhouette(128) is silhouette_score
+    assert resolve_silhouette(1024) is silhouette_score_tpu
+    assert resolve_tsne(128) is TSNE
+    assert resolve_tsne(1024) is TSNETPU
 
 
 @pytest.mark.parametrize("var", ["EVAL_BACKEND", "KNN_BACKEND"])
@@ -46,7 +97,7 @@ def test_eval_backend_wins_over_alias(monkeypatch):
 def test_empty_means_default(monkeypatch):
     _clear(monkeypatch)
     monkeypatch.setenv("EVAL_BACKEND", "")
-    assert eval_backend() == "sklearn"
+    assert eval_backend() == "auto"
 
 
 @pytest.mark.parametrize("var", ["EVAL_BACKEND", "KNN_BACKEND"])

@@ -202,8 +202,9 @@ def test_sklearn_surface():
     assert m.n_neighbors == 3 and m.weights == "uniform"
     with pytest.raises(ValueError):
         KNNRegressorTPU(weights="gaussian")
+    KNNRegressorTPU(metric="manhattan")  # supported since round 5
     with pytest.raises(ValueError):
-        KNNRegressorTPU(metric="manhattan")
+        KNNRegressorTPU(metric="chebyshev")
 
 
 def test_cv_knn_sweep_with_tpu_backend(monkeypatch, tmp_path):

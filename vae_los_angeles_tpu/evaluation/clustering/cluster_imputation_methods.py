@@ -26,12 +26,13 @@ from vae_los_angeles_tpu.evaluation.clustering.common import (
 from vae_los_angeles_tpu.training import checkpoint
 
 
-def _conditioned_knn_cls():
-    """Site-conditioned kNN backend (sklearn loop by default,
-    KNN_BACKEND=tpu for the masked-distance MXU kernel, ops/knn.py)."""
+def _conditioned_knn_cls(n_rows=None):
+    """Site-conditioned kNN backend per the EVAL_BACKEND policy (auto
+    default: sklearn loop below the ~1k-row crossover, the masked-distance
+    MXU kernel above it; ops/knn.py)."""
     from vae_los_angeles_tpu.ops.knn import resolve_conditioned_knn
 
-    return resolve_conditioned_knn()
+    return resolve_conditioned_knn(n_rows)
 
 
 def _train_arrays(train_df):
@@ -72,7 +73,8 @@ def apply_knn_imputation(train_df, rna_only_df, dna_only_df, n_neighbors=5):
     """Cross-modal kNN imputation (reference :297-337)."""
     from vae_los_angeles_tpu.ops.knn import resolve_knn_regressor
 
-    KNeighborsRegressor = resolve_knn_regressor()  # KNN_BACKEND=tpu -> MXU
+    KNeighborsRegressor = resolve_knn_regressor(
+        len(train_df))  # EVAL_BACKEND policy (auto: per cohort scale)
     print(f"\nAPPLYING KNN IMPUTATION (k={n_neighbors})")
     train_rna, train_dna = _train_arrays(train_df)
 
@@ -125,7 +127,8 @@ def apply_conditioned_knn_imputation(train_df, rna_only_df, dna_only_df,
                 np.array(valid["tpm_unstranded"].tolist()).astype(np.float32)
             )
             rna_val_cond = np.hstack((rna_val, sites[:, np.newaxis]))
-            knn = _conditioned_knn_cls()(n_neighbors=n_neighbors)
+            knn = _conditioned_knn_cls(
+                len(train_rna_cond))(n_neighbors=n_neighbors)
             knn.fit(train_rna_cond, train_dna)
             valid["imputed_beta_value"] = list(knn.predict(rna_val_cond))
             rna_only_imputed = valid
@@ -139,7 +142,8 @@ def apply_conditioned_knn_imputation(train_df, rna_only_df, dna_only_df,
             sites = _encode_sites(valid)
             dna_val = np.array(valid["beta_value"].tolist()).astype(np.float32)
             dna_val_cond = np.hstack((dna_val, sites[:, np.newaxis]))
-            knn = _conditioned_knn_cls()(n_neighbors=n_neighbors)
+            knn = _conditioned_knn_cls(
+                len(train_dna_cond))(n_neighbors=n_neighbors)
             knn.fit(train_dna_cond, train_rna)
             valid["imputed_tpm_unstranded"] = list(knn.predict(dna_val_cond))
             dna_only_imputed = valid

@@ -61,10 +61,10 @@ def prepare_features(df, columns):
     return np.concatenate(features, axis=1)
 
 
-def _tpu_backend() -> bool:
+def _tpu_backend(n_rows=None) -> bool:
     from vae_los_angeles_tpu.ops.backend import tpu_eval_backend
 
-    return tpu_eval_backend()
+    return tpu_eval_backend(n_rows)
 
 
 def perform_dimensionality_reduction(features, method="both", n_components=2,
@@ -78,9 +78,9 @@ def perform_dimensionality_reduction(features, method="both", n_components=2,
     and t-SNE runs as the exact-method device program (ops/tsne.py)."""
     from vae_los_angeles_tpu.ops.tsne import resolve_tsne
 
-    TSNE = resolve_tsne()
+    TSNE = resolve_tsne(len(features))
 
-    if _tpu_backend():
+    if _tpu_backend(len(features)):
         import jax
 
         from vae_los_angeles_tpu.ops.pca import PCATPU, device_scaled_features
@@ -160,7 +160,7 @@ def cluster_scores(features, labels, pca_features, tsne_features):
     and the cold run compiles 3 metric programs instead of 6."""
     if len(np.unique(labels)) <= 1:
         return None
-    if _tpu_backend():
+    if _tpu_backend(len(features)):
         # scale on device over the same cached put as the reduction step;
         # the full-width matrix never round-trips to host (feature-sharded
         # over the chips on multi-chip hosts)

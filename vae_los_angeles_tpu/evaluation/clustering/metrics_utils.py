@@ -20,7 +20,7 @@ def calculate_neighborhood_hit(features, labels, k: int = 5) -> float:
     if len(features) < k + 1:
         return 0.0
     try:
-        if tpu_eval_backend():
+        if tpu_eval_backend(len(features)):
             # features may already be a device array (cluster_scores scales
             # on device) — the TPU path consumes it without a host round-trip
             from vae_los_angeles_tpu.ops.cluster_metrics import (

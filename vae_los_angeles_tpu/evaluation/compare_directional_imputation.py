@@ -44,7 +44,8 @@ def get_knn_predictions(train_tpm, train_beta, val_tpm, val_beta, n_neighbors=5)
     """Cross-modal kNN baselines (reference :235-254; host-side sklearn)."""
     from vae_los_angeles_tpu.ops.knn import resolve_knn_regressor
 
-    KNeighborsRegressor = resolve_knn_regressor()  # KNN_BACKEND=tpu -> MXU
+    KNeighborsRegressor = resolve_knn_regressor(
+        len(train_tpm))  # EVAL_BACKEND policy (auto: per cohort scale)
     knn_rna = KNeighborsRegressor(n_neighbors=n_neighbors, n_jobs=-1)
     knn_rna.fit(train_beta, train_tpm)
     rna_knn_pred = knn_rna.predict(val_beta)

@@ -156,7 +156,7 @@ def run_cross_validation(
             resolve_knn_regressor,
         )
 
-        if resolve_knn_regressor() is KNNRegressorTPU:
+        if resolve_knn_regressor(len(X)) is KNNRegressorTPU:
             # EVAL_BACKEND=tpu: ONE distance pass per fold serves every
             # swept k (sorted-top-k prefix reductions,
             # ops/knn.predict_multi_k; row-sharded over the mesh with an
@@ -196,7 +196,7 @@ def run_cross_validation(
         if model_type in ("mean", "knn"):
             from vae_los_angeles_tpu.ops.knn import resolve_knn_regressor
 
-            knn_cls = resolve_knn_regressor()  # KNN_BACKEND=tpu -> MXU kNN
+            knn_cls = resolve_knn_regressor(len(X))  # EVAL_BACKEND policy
             for train_index, val_index in fold_indices:
                 if model_type == "knn":
                     model = knn_cls(n_neighbors=param, n_jobs=-1)

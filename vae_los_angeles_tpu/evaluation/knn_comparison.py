@@ -44,7 +44,7 @@ def optimize_knn(X_train, y_train, X_val, y_val, name="KNN", model_class=None):
         resolve_knn_regressor,
     )
 
-    model_class = model_class or resolve_knn_regressor()
+    model_class = model_class or resolve_knn_regressor(len(X_train))
     print(f"\nOptimizing {name}...")
     best_mse, best_model, best_params = float("inf"), None, {}
     grid = dict(KNN_GRID)
@@ -147,7 +147,7 @@ def compute_and_plot_tsne(data, site_labels, title, filename_prefix,
 
     from vae_los_angeles_tpu.ops.tsne import resolve_tsne
 
-    TSNE = resolve_tsne()
+    TSNE = resolve_tsne(len(data))
     print(f"Computing t-SNE for {title}...")
     tsne = TSNE(n_components=2, random_state=42, perplexity=min(30, len(data) - 1))
     tsne_results = tsne.fit_transform(np.asarray(data))
@@ -217,7 +217,8 @@ def _run_direction(direction, X_train, y_train, X_val, y_val, site_train,
     X_val_cond = np.column_stack([X_val, site_val])
     knn_cond = optimize_knn(
         X_train_cond, y_train, X_val_cond, y_val,
-        name="KNN (Conditioned)", model_class=resolve_conditioned_knn(),
+        name="KNN (Conditioned)",
+        model_class=resolve_conditioned_knn(len(X_train_cond)),
     )
     preds = knn_cond.predict(X_val_cond)
     results["KNN (Cond)"] = np.mean((preds - y_val) ** 2, axis=1)

@@ -11,22 +11,30 @@ the full clustering-evaluation stack, so the canonical spelling is now
 ``EVAL_BACKEND`` is unset) so existing scripts keep working — see
 docs/MIGRATION.md.
 
-Values: ``sklearn`` (default; host-side, reference-exact) or ``tpu``
-(MXU kernels, sklearn-parity-tested).
+Values: ``auto`` (default — per call-site scale, see
+`resolve_eval_backend`), ``sklearn`` (host-side, reference-exact) or
+``tpu`` (MXU kernels, sklearn-parity-tested).
 """
 
 from __future__ import annotations
 
 import os
 
-_VALID = ("sklearn", "tpu")
+_VALID = ("sklearn", "tpu", "auto")
+
+# Measured crossover (RESULTS.md round-4 clustering capstone, single v5e
+# behind the relay): at n=128 cohorts sklearn's whole capstone beat the
+# warm TPU one 17.6 s vs 42.7 s (per-dispatch relay latency dominates tiny
+# problems); at n=1024 the TPU won 36.8 s vs 67.3 s and the gap widens with
+# n² work. ~1k rows is the break-even for the O(n²·dim) evaluation kernels.
+AUTO_CROSSOVER_ROWS = 1000
 
 
 def eval_backend() -> str:
     """Resolve the evaluation backend from the environment.
 
     ``EVAL_BACKEND`` wins; ``KNN_BACKEND`` is the deprecated-but-permanent
-    alias; unset/empty means ``sklearn``. Raises on any other value so typos
+    alias; unset/empty means ``auto``. Raises on any other value so typos
     never silently fall back to the host path.
     """
     raw = os.getenv("EVAL_BACKEND")
@@ -34,19 +42,40 @@ def eval_backend() -> str:
     if raw is None:
         raw = os.getenv("KNN_BACKEND")
         name = "KNN_BACKEND"
-    backend = (raw or "sklearn").lower()
+    backend = (raw or "auto").lower()
     if backend == "":
-        return "sklearn"
+        return "auto"
     if backend in _VALID:
         return backend
     raise ValueError(
-        f"{name}={backend!r}; valid: sklearn (default), tpu"
+        f"{name}={backend!r}; valid: auto (default), sklearn, tpu"
     )
 
 
-def tpu_eval_backend() -> bool:
-    """True when the TPU evaluation kernels are selected."""
-    return eval_backend() == "tpu"
+def resolve_eval_backend(n_rows=None) -> str:
+    """Concrete backend ("sklearn" | "tpu") for a call site of known scale.
+
+    ``sklearn``/``tpu`` force that backend regardless of scale. ``auto``
+    (the default) picks the MEASURED winner: host sklearn below
+    `AUTO_CROSSOVER_ROWS` (the relay's per-dispatch latency swamps tiny
+    O(n²) problems — round-4 capstone, n=128: sklearn 17.6 s vs TPU-warm
+    42.7 s), the TPU kernels at or above it (n=1024: TPU 36.8 s vs
+    67.3 s). Reference-scale cohorts (~890 samples) resolve to sklearn, so
+    ``auto`` is reference-exact at reference scale. A call site that
+    cannot state its scale (``n_rows=None``) resolves to sklearn — the
+    conservative, reference-exact side.
+    """
+    backend = eval_backend()
+    if backend != "auto":
+        return backend
+    if n_rows is None or n_rows < AUTO_CROSSOVER_ROWS:
+        return "sklearn"
+    return "tpu"
+
+
+def tpu_eval_backend(n_rows=None) -> bool:
+    """True when the TPU evaluation kernels are selected for this scale."""
+    return resolve_eval_backend(n_rows) == "tpu"
 
 
 def eval_bucket_enabled() -> bool:

@@ -437,13 +437,13 @@ def cluster_scores_tpu(features, labels, k: int = 5, chunk_size: int = 1024,
     return _silhouette_from_sums(sums, lab_idx, counts), float(fracs.mean())
 
 
-def resolve_silhouette():
-    """Silhouette backend: sklearn by default (reference-exact),
-    ``EVAL_BACKEND=tpu`` (alias ``KNN_BACKEND``) for the chunked MXU
-    distance pass."""
-    from vae_los_angeles_tpu.ops.backend import eval_backend
+def resolve_silhouette(n_rows=None):
+    """Silhouette backend per the ``EVAL_BACKEND`` policy (``auto``
+    default: host sklearn below the ~1k-row crossover, the chunked MXU
+    distance pass above — pass the cohort size as ``n_rows``)."""
+    from vae_los_angeles_tpu.ops.backend import resolve_eval_backend
 
-    if eval_backend() == "tpu":
+    if resolve_eval_backend(n_rows) == "tpu":
         return silhouette_score_tpu
     from sklearn.metrics import silhouette_score
 

@@ -18,9 +18,11 @@ oracle in tests/test_knn_tpu.py. Selection ties at the k-th distance may
 resolve differently than sklearn's argpartition (both are valid neighbor
 sets); on real-valued omics features exact ties have measure zero.
 
-Opt-in: the evaluation scripts default to sklearn (reference-exact
-behavior); set ``KNN_BACKEND=tpu`` to route their baselines through this
-implementation (`resolve_knn_regressor`).
+Backend policy (``EVAL_BACKEND``, alias ``KNN_BACKEND``): ``auto`` by
+default — the evaluation scripts resolve per cohort scale (host sklearn
+below the measured ~1k-row crossover, so reference-scale runs stay
+reference-exact; this implementation above it); ``sklearn``/``tpu`` force
+a side (`resolve_knn_regressor`, ops/backend.resolve_eval_backend).
 """
 
 from __future__ import annotations
@@ -529,8 +531,8 @@ class ConditionedKNNRegressorTPU:
 
     Drop-in for `models/conditioned_knn.ConditionedKNeighborsRegressor`
     (LAST column of X is the integer site id; zeros for unseen sites;
-    per-site k clamping; 1-D `y` predictions raveled). Euclidean metric
-    only — `resolve_conditioned_knn` keeps sklearn the default backend.
+    per-site k clamping; 1-D `y` predictions raveled; euclidean and
+    manhattan metrics).
     """
 
     def __init__(self, n_neighbors=5, weights="uniform", metric="euclidean",
@@ -875,13 +877,15 @@ def knn_grid_mse_tpu(X_train, y_train, X_val, y_val, ks, modes,
     return out
 
 
-def resolve_conditioned_knn():
-    """Backend selector for the site-conditioned baseline: sklearn-loop
-    reference implementation by default, ``EVAL_BACKEND=tpu`` (alias
-    ``KNN_BACKEND``) for the masked-distance MXU kernel."""
-    from vae_los_angeles_tpu.ops.backend import eval_backend
+def resolve_conditioned_knn(n_rows=None):
+    """Backend selector for the site-conditioned baseline: the sklearn-loop
+    reference implementation or the masked-distance MXU kernel, per the
+    ``EVAL_BACKEND`` policy (``auto`` default: host below the measured
+    ~1k-row crossover, device above — pass the training cohort size as
+    ``n_rows``; see ops/backend.resolve_eval_backend)."""
+    from vae_los_angeles_tpu.ops.backend import resolve_eval_backend
 
-    if eval_backend() == "tpu":
+    if resolve_eval_backend(n_rows) == "tpu":
         return ConditionedKNNRegressorTPU
     from vae_los_angeles_tpu.models.conditioned_knn import (
         ConditionedKNeighborsRegressor,
@@ -890,15 +894,17 @@ def resolve_conditioned_knn():
     return ConditionedKNeighborsRegressor
 
 
-def resolve_knn_regressor():
+def resolve_knn_regressor(n_rows=None):
     """The kNN class the evaluation scripts should instantiate.
 
-    sklearn by default (reference-exact); ``EVAL_BACKEND=tpu`` (alias
-    ``KNN_BACKEND``) opts into the MXU implementation (measured numbers in
+    ``EVAL_BACKEND`` policy (alias ``KNN_BACKEND``): ``auto`` default —
+    host sklearn below the measured ~1k-row crossover, the MXU
+    implementation above it (pass the training cohort size as ``n_rows``);
+    ``sklearn``/``tpu`` force a side (measured numbers in
     benchmarks/RESULTS.md)."""
-    from vae_los_angeles_tpu.ops.backend import eval_backend
+    from vae_los_angeles_tpu.ops.backend import resolve_eval_backend
 
-    if eval_backend() == "tpu":
+    if resolve_eval_backend(n_rows) == "tpu":
         return KNNRegressorTPU
     from sklearn.neighbors import KNeighborsRegressor
 

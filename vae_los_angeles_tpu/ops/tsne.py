@@ -353,13 +353,14 @@ class TSNETPU:
         return self.embedding_
 
 
-def resolve_tsne():
-    """sklearn `TSNE` by default; the device implementation under
-    ``EVAL_BACKEND=tpu`` (alias ``KNN_BACKEND``) — the same single switch
-    as the kNN baselines and clustering metrics."""
-    from vae_los_angeles_tpu.ops.backend import eval_backend
+def resolve_tsne(n_rows=None):
+    """t-SNE backend per the ``EVAL_BACKEND`` policy (alias
+    ``KNN_BACKEND``) — the same single switch as the kNN baselines and
+    clustering metrics; ``auto`` default picks per scale (pass the cohort
+    size as ``n_rows``)."""
+    from vae_los_angeles_tpu.ops.backend import resolve_eval_backend
 
-    if eval_backend() == "tpu":
+    if resolve_eval_backend(n_rows) == "tpu":
         return TSNETPU
     from sklearn.manifold import TSNE
 
