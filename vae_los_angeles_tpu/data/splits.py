@@ -25,9 +25,12 @@ def kfold_indices(n: int, n_splits: int, seed: int = 42):
     """Shared KFold indices (reference vae_cross_modality_cv.py:549-551).
 
     Fold-level vmap needs uniform shapes; the production fold batching
-    (`parallel.vmap_meta.fit_folds`) GROUPS folds by exact (train, val)
-    sizes — KFold yields at most two distinct sizes — so no padding/masking
-    layer exists here.
+    (`parallel.vmap_meta.fit_folds`, `POP_MASK_SIZES` default) pads every
+    fold's rows to bucketed maxima with the TRUE sizes as dynamic masked
+    arguments, so ALL folds — KFold's two uneven sizes included — ride ONE
+    compiled program per family (``POP_MASK_SIZES=0`` restores the round-4
+    exact-size grouping, at most two programs). Either way no
+    padding/masking layer exists HERE: the indices stay sklearn-exact.
     """
     kf = KFold(n_splits=n_splits, shuffle=True, random_state=seed)
     return list(kf.split(np.arange(n)))

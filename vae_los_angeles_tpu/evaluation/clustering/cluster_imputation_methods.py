@@ -150,17 +150,14 @@ def apply_conditioned_knn_imputation(train_df, rna_only_df, dna_only_df,
     return rna_only_imputed, dna_only_imputed
 
 
-def analyze_samples(df, label_encoder, run_timestamp, method_name, sample_type,
-                    plots_dir="plots"):
-    """Per-(method, cohort) PCA/t-SNE + silhouette/NH analysis (reference
-    :420-527)."""
-    print(f"\nANALYZING {sample_type.upper()} SAMPLES ({method_name})")
+def _analysis_inputs(df, label_encoder, sample_type):
+    """(features, labels) for one (method, cohort) table, or None —
+    the filter + feature-assembly half of `analyze_samples`."""
     if "primary_site" in df.columns:
         df = df[df["primary_site"].isin(label_encoder.classes_)].copy()
     if len(df) == 0:
         print("⚠ No samples with valid primary_site found")
         return None
-
     if sample_type == "RNA-only":
         features = prepare_features(df, ["tpm_unstranded", "imputed_beta_value"])
     else:
@@ -168,15 +165,17 @@ def analyze_samples(df, label_encoder, run_timestamp, method_name, sample_type,
     if features is None:
         print("⚠ Could not prepare features")
         return None
-    print(f"Feature matrix shape: {features.shape}")
-
     if "primary_site_encoded" in df.columns:
         labels = df["primary_site_encoded"].values
     else:
         labels = label_encoder.transform(df["primary_site"])
+    return features, labels
 
-    pca_features, tsne_features = perform_dimensionality_reduction(features)
-    scores = cluster_scores(features, labels, pca_features, tsne_features)
+
+def _report_and_plot(scores, pca_features, tsne_features, labels,
+                     label_encoder, run_timestamp, method_name, sample_type,
+                     plots_dir):
+    """The print + plot + result-dict half of `analyze_samples`."""
     if scores is None:
         print("⚠ Not enough distinct labels; skipping plots")
         return None
@@ -204,6 +203,91 @@ def analyze_samples(df, label_encoder, run_timestamp, method_name, sample_type,
         label_encoder=label_encoder,
     )
     return {"method": method_name, "cohort": sample_type, **scores}
+
+
+def analyze_samples(df, label_encoder, run_timestamp, method_name, sample_type,
+                    plots_dir="plots"):
+    """Per-(method, cohort) PCA/t-SNE + silhouette/NH analysis (reference
+    :420-527) — the sequential path; `main` batches all methods of a
+    cohort as one vmapped population when the TPU backend resolves
+    (`analyze_cohort_grouped`)."""
+    print(f"\nANALYZING {sample_type.upper()} SAMPLES ({method_name})")
+    inputs = _analysis_inputs(df, label_encoder, sample_type)
+    if inputs is None:
+        return None
+    features, labels = inputs
+    print(f"Feature matrix shape: {features.shape}")
+    pca_features, tsne_features = perform_dimensionality_reduction(features)
+    scores = cluster_scores(features, labels, pca_features, tsne_features)
+    return _report_and_plot(
+        scores, pca_features, tsne_features, labels, label_encoder,
+        run_timestamp, method_name, sample_type, plots_dir,
+    )
+
+
+def analyze_cohort_grouped(entries, label_encoder, run_timestamp, sample_type,
+                           plots_dir="plots"):
+    """All imputation methods of ONE cohort as a member-batched population
+    (round-4 verdict item #4): the methods share the cohort's rows/labels
+    and feature shape, so scaler→PCA→t-SNE→fused-metrics run as vmapped
+    populations — one dispatch per stage for the whole method axis instead
+    of a sequential per-method loop
+    (`evaluation/clustering/common.analyze_cohort_population`).
+
+    ``entries``: [(method_name, df), ...]. Falls back to the sequential
+    `analyze_samples` when shapes/labels diverge across methods (a method
+    that filtered different rows), when fewer than 2 methods are eligible,
+    or when the backend resolves to sklearn for this cohort scale
+    (``CLUSTER_VMAP=0`` forces the sequential path)."""
+    from vae_los_angeles_tpu.ops.backend import resolve_eval_backend
+
+    prepared = []
+    for method_name, df in entries:
+        print(f"\nANALYZING {sample_type.upper()} SAMPLES ({method_name})")
+        inputs = _analysis_inputs(df, label_encoder, sample_type)
+        if inputs is None:
+            prepared.append((method_name, None))
+        else:
+            print(f"Feature matrix shape: {inputs[0].shape}")
+            prepared.append((method_name, inputs))
+    live = [(m, f, l) for m, x in prepared if x is not None for f, l in [x]]
+    same_shape = len({f.shape for _, f, _ in live}) == 1 if live else False
+    same_labels = same_shape and all(
+        np.array_equal(l, live[0][2]) for _, _, l in live
+    )
+    use_pop = (
+        os.getenv("CLUSTER_VMAP", "1") != "0"
+        and len(live) >= 2
+        and same_labels
+        and resolve_eval_backend(len(live[0][2])) == "tpu"
+    )
+    results = []
+    if use_pop:
+        from vae_los_angeles_tpu.evaluation.clustering.common import (
+            analyze_cohort_population,
+        )
+
+        print(f"\n[{sample_type}] batching {len(live)} methods as one "
+              "vmapped population (CLUSTER_VMAP=0 for the sequential path)")
+        pop = analyze_cohort_population([f for _, f, _ in live], live[0][2])
+        for (method_name, _, labels), (pca2, tsne2, scores) in zip(live, pop):
+            results.append(_report_and_plot(
+                scores, pca2, tsne2, labels, label_encoder, run_timestamp,
+                method_name, sample_type, plots_dir,
+            ))
+        return results
+    for method_name, inputs in prepared:
+        if inputs is None:
+            results.append(None)
+            continue
+        features, labels = inputs
+        pca_features, tsne_features = perform_dimensionality_reduction(features)
+        scores = cluster_scores(features, labels, pca_features, tsne_features)
+        results.append(_report_and_plot(
+            scores, pca_features, tsne_features, labels, label_encoder,
+            run_timestamp, method_name, sample_type, plots_dir,
+        ))
+    return results
 
 
 def main(cfg: Optional[Config] = None):
@@ -236,25 +320,28 @@ def main(cfg: Optional[Config] = None):
             ),
         ),
     ]
-    for method_name, (rna_imp, dna_imp) in methods:
-        if rna_imp is not None and len(rna_imp) > 0:
-            results.append(
-                analyze_samples(
-                    rna_imp, label_encoder, run_timestamp, method_name,
-                    "RNA-only", cfg.plots_dir,
-                )
-            )
-        if (
-            dna_imp is not None
-            and len(dna_imp) > 0
-            and "primary_site" in dna_imp.columns
-        ):
-            results.append(
-                analyze_samples(
-                    dna_imp, label_encoder, run_timestamp, method_name,
-                    "DNA-only", cfg.plots_dir,
-                )
-            )
+    # one grouped call per cohort: the methods batch into vmapped
+    # populations when the TPU backend resolves (analyze_cohort_grouped
+    # falls back to the sequential per-method path otherwise)
+    rna_entries = [
+        (name, rna_imp) for name, (rna_imp, _) in methods
+        if rna_imp is not None and len(rna_imp) > 0
+    ]
+    dna_entries = [
+        (name, dna_imp) for name, (_, dna_imp) in methods
+        if dna_imp is not None and len(dna_imp) > 0
+        and "primary_site" in dna_imp.columns
+    ]
+    if rna_entries:
+        results.extend(analyze_cohort_grouped(
+            rna_entries, label_encoder, run_timestamp, "RNA-only",
+            cfg.plots_dir,
+        ))
+    if dna_entries:
+        results.extend(analyze_cohort_grouped(
+            dna_entries, label_encoder, run_timestamp, "DNA-only",
+            cfg.plots_dir,
+        ))
     print("\nVisualization analysis complete!")
     return [r for r in results if r is not None]
 

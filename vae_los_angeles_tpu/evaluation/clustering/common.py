@@ -118,6 +118,90 @@ def perform_dimensionality_reduction(features, method="both", n_components=2,
     return results[method]
 
 
+def analyze_cohort_population(features_list, labels, n_components: int = 2,
+                              random_state: int = 42):
+    """Member-batched reduction + scoring for M same-shaped feature spaces
+    of ONE cohort (the capstone's imputation methods): scaler → PCA(2)
+    (+PCA-50 t-SNE preprocessing) → t-SNE → fused silhouette+NH on
+    orig/PCA/t-SNE, every stage vmapped over the member axis so the whole
+    cohort costs ONE dispatch per stage instead of one per method
+    (round-4 verdict item #4; reference
+    `src/clustering_evaluation/cluster_imputation_methods.py:479-522` runs
+    the methods as a sequential host loop). TPU backend only — callers
+    gate on `resolve_eval_backend` and fall back to the sequential path.
+
+    Returns ``[(pca_2d, tsne_2d, scores_dict), ...]`` per member, scores
+    in `cluster_scores`' key format."""
+    import jax
+    import numpy as np_  # shadow-proof alias inside the vmapped path
+
+    from vae_los_angeles_tpu.ops.backend import (
+        bucket_rows,
+        eval_matmul_precision,
+    )
+    from vae_los_angeles_tpu.ops.cluster_metrics import (
+        cluster_scores_tpu_members,
+    )
+    from vae_los_angeles_tpu.ops.pca import (
+        pca_scores_members,
+        standardize_members,
+    )
+    from vae_los_angeles_tpu.ops.tsne import tsne_fit_transform_members
+
+    import jax.numpy as jnp
+
+    from vae_los_angeles_tpu.ops.knn import _row_padded_put
+
+    m = len(features_list)
+    n, d = (int(v) for v in np_.shape(features_list[0]))
+    n_pad = bucket_rows(n)
+    # per-member padded puts ride the device-put cache (a repeated call on
+    # the same host matrices — the A/B pattern — re-transfers nothing; a
+    # raw host stack re-shipped ~29 MB over the relay per call and cost
+    # more than the batching saved)
+    stacked = jnp.stack([
+        _row_padded_put(
+            f if isinstance(f, (np_.ndarray, jax.Array)) else np_.asarray(
+                f, np_.float32),
+            n_pad)
+        for f in features_list
+    ])
+    prec = eval_matmul_precision()
+    scaled = standardize_members(stacked, np_.int32(n))  # (M, n_pad, d)
+
+    k2 = min(n_components, n, d)
+    pca2, evr = pca_scores_members(scaled, np_.int32(n), k2, prec)
+    pca2 = np_.asarray(jax.device_get(pca2))[:, :n]
+    for i, r in enumerate(np_.asarray(jax.device_get(evr))):
+        print(f"  PCA explained variance (member {i}): {r.sum():.4f}")
+
+    scaled_true = scaled[:, :n]
+    if d > 50:
+        n_pre = min(50, n, d)
+        pre, _ = pca_scores_members(scaled, np_.int32(n), n_pre, prec)
+        tsne_in = pre[:, :n]  # stays on device — no host round-trip
+    else:
+        tsne_in = scaled_true
+    tsne2, _kl = tsne_fit_transform_members(
+        tsne_in, n_components=n_components,
+        perplexity=min(30, n - 1),
+    )
+
+    if len(np_.unique(labels)) <= 1:
+        return [(pca2[i], tsne2[i], None) for i in range(m)]
+    orig = cluster_scores_tpu_members(list(scaled_true), labels)
+    pca_s = cluster_scores_tpu_members(list(pca2), labels)
+    tsne_s = cluster_scores_tpu_members(list(tsne2), labels)
+    out = []
+    for i in range(m):
+        out.append((pca2[i], tsne2[i], {
+            "orig_silhouette": orig[i][0], "orig_nh": orig[i][1],
+            "pca_silhouette": pca_s[i][0], "pca_nh": pca_s[i][1],
+            "tsne_silhouette": tsne_s[i][0], "tsne_nh": tsne_s[i][1],
+        }))
+    return out
+
+
 def plot_clusters_2d(features_2d, labels, title, filename, label_encoder=None,
                      figsize=(12, 10), marker_size=50, alpha=0.7):
     """Scatter plot of a 2D embedding colored by primary site."""

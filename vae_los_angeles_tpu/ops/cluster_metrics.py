@@ -437,6 +437,97 @@ def cluster_scores_tpu(features, labels, k: int = 5, chunk_size: int = 1024,
     return _silhouette_from_sums(sums, lab_idx, counts), float(fracs.mean())
 
 
+@functools.partial(jax.jit, static_argnames=("k", "compensated", "prec"))
+def _scores_chunk_members(x, x_sq, lab, onehot, block, block_lab,
+                          row_offset, n_valid, k: int, compensated=False,
+                          prec=None):
+    """`_scores_chunk` over a leading member axis: the capstone's methods
+    score the same cohort (same labels/onehot/chunk grid), so one dispatch
+    sweeps every member's distance block."""
+    return jax.vmap(
+        lambda xm, xsqm, blkm: _scores_chunk(
+            xm, xsqm, lab, onehot, blkm, block_lab, row_offset, n_valid,
+            k, compensated, prec)
+    )(x, x_sq, block)
+
+
+def cluster_scores_tpu_members(features_members, labels, k: int = 5,
+                               chunk_size: int = 1024, compensated=None):
+    """Fused silhouette + NH for a POPULATION of feature spaces sharing one
+    cohort: ``[(sil, nh), ...]`` per member, each bit-comparable to
+    `cluster_scores_tpu` on that member alone (the vmapped chunk kernel
+    computes the identical per-member math; only XLA's batched lowering
+    differs). Single-chip batching — multi-chip hosts should call the
+    sharded per-member path instead (the member axis is tiny: 3 methods).
+
+    This is round-4 verdict item #4: the capstone's 3 methods × 2 cohorts
+    ran a sequential host loop firing ~13 real kernel dispatches; the
+    method axis now batches into the dispatch, cutting the per-capstone
+    dispatch count ~3× per cohort
+    (`/root/reference/src/clustering_evaluation/
+    cluster_imputation_methods.py:479-522`)."""
+    labels = np.asarray(labels)
+    members = len(features_members)
+    n = int(features_members[0].shape[0])
+    dim = int(features_members[0].shape[1])
+    uniq, lab_idx = np.unique(labels, return_inverse=True)
+    n_labels = len(uniq)
+    if not 1 < n_labels < n:
+        raise ValueError(
+            f"Number of labels is {n_labels}; valid values are 2..{n - 1}"
+        )
+    if n < k + 1:
+        return [
+            (silhouette_score_tpu(f, labels, chunk_size, False, compensated),
+             0.0)
+            for f in features_members
+        ]
+    comp = _resolve_compensated(compensated, dim)
+    counts = np.bincount(lab_idx, minlength=n_labels).astype(np.float64)
+    lab_host = lab_idx.astype(np.int32)
+    from vae_los_angeles_tpu.ops.backend import (
+        bucket_rows,
+        eval_matmul_precision,
+    )
+
+    prec = eval_matmul_precision()
+    n_pad = bucket_rows(n)
+    x = jnp.stack([
+        _row_padded_put(np.asarray(f, np.float32) if not isinstance(
+            f, jax.Array) else f, n_pad)
+        for f in features_members
+    ])
+    x_sq = jnp.sum(x * x, axis=2)
+    onehot_host = np.zeros((n_pad, n_labels), np.float32)
+    onehot_host[np.arange(n), lab_idx] = 1.0  # pad rows: zero onehot
+    onehot = jnp.asarray(onehot_host)
+    lab = _row_padded_put(lab_host, n_pad, dtype=np.int32)
+    n_arr = np.int32(n)
+    chunk = min(chunk_size, n_pad)
+    sums = np.empty((members, n, n_labels), np.float64)
+    fracs = np.empty((members, n), np.float64)
+    for start in _chunk_starts(n, chunk):
+        stop = min(start + chunk, n)
+        block = x[:, start:stop]
+        block_lab = lab[start:stop]
+        n_valid = int(block.shape[1])
+        if n_valid < chunk:
+            block = jnp.pad(block, ((0, 0), (0, chunk - n_valid), (0, 0)))
+            block_lab = jnp.pad(block_lab, (0, chunk - n_valid))
+        s_out, f_out = _scores_chunk_members(
+            x, x_sq, lab, onehot, block, block_lab, start, n_arr, k,
+            compensated=comp, prec=prec)
+        sums[:, start:start + n_valid] = np.asarray(
+            jax.device_get(s_out))[:, :n_valid]
+        fracs[:, start:start + n_valid] = np.asarray(
+            jax.device_get(f_out))[:, :n_valid]
+    return [
+        (_silhouette_from_sums(sums[m], lab_idx, counts),
+         float(fracs[m].mean()))
+        for m in range(members)
+    ]
+
+
 def resolve_silhouette(n_rows=None):
     """Silhouette backend per the ``EVAL_BACKEND`` policy (``auto``
     default: host sklearn below the ~1k-row crossover, the chunked MXU

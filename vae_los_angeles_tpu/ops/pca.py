@@ -141,6 +141,24 @@ def _pca_gram(x, n_valid, n_components: int, prec=None):
     return scores, lam / total
 
 
+@functools.partial(jax.jit, static_argnames=("n_components", "prec"))
+def pca_scores_members(x_members, n_valid, n_components: int, prec=None):
+    """`_pca_gram` over a leading MEMBER axis: (M, n_pad, d) → ((M, n_pad,
+    k), (M, k)). The clustering capstone's methods share one cohort shape
+    after imputation, so their reductions batch into ONE dispatch (the
+    batched Gram matmuls ride the MXU together; eigh batches natively).
+    Same masked bucket-padding semantics as `_pca_gram`."""
+    return jax.vmap(
+        lambda xm: _pca_gram(xm, n_valid, n_components, prec)
+    )(x_members)
+
+
+@jax.jit
+def standardize_members(x_members, n_valid):
+    """`standardize_tpu` over a leading member axis in one dispatch."""
+    return jax.vmap(lambda xm: standardize_tpu(xm, n_valid))(x_members)
+
+
 class PCATPU:
     """sklearn-`PCA` surface for the fit_transform-only way the clustering
     scripts use it; `random_state` accepted for call-site compatibility

@@ -353,6 +353,66 @@ class TSNETPU:
         return self.embedding_
 
 
+@functools.partial(jax.jit, static_argnames=("max_iter", "dof", "n_components", "prec"))
+def _tsne_members_program(x_members, perplexity, lr, early_exaggeration,
+                          max_iter: int, dof: float, n_components: int,
+                          prec=None):
+    """The whole exact-t-SNE pipeline (PCA init → affinities → descent)
+    over a leading member axis, ONE program: (M, n, d) → ((M, n, C), (M,))."""
+    n = x_members.shape[1]
+
+    def one(xm):
+        y0 = _pca_init(xm, jnp.int32(n), min(n_components, n),
+                       n_components, prec)
+        p = _joint_probabilities(_sq_distances(xm, prec), perplexity)
+        return _optimize(p, y0, lr, early_exaggeration,
+                         max_iter=max_iter, dof=dof, prec=prec)
+
+    return jax.vmap(one)(x_members)
+
+
+def tsne_fit_transform_members(x_members, *, n_components: int = 2,
+                               perplexity: float = 30.0,
+                               early_exaggeration: float = 12.0,
+                               learning_rate="auto", max_iter: int = 1000):
+    """Member-batched exact t-SNE: embed M same-shaped feature spaces (the
+    capstone's methods over one cohort) as ONE device program instead of M
+    sequential descents (round-4 verdict item #4). PCA init (sklearn's
+    default at these call sites); exact row count — no bucketing (the
+    descent core has no pad masking; a cohort-size change recompiles).
+    Per-member math is identical to `TSNETPU(shard=False)`; only XLA's
+    batched lowering differs, and 1000 descent iterations amplify that
+    lowering noise, so member embeddings are STATISTICALLY equivalent to
+    the sequential ones (same KL/trustworthiness regime), not bitwise —
+    the same caveat as changing BLAS backends under sklearn.
+
+    Returns (embeddings (M, n, n_components), kl (M,)) as numpy."""
+    if isinstance(x_members, jax.Array):
+        x = x_members.astype(jnp.float32)  # already on device: no round-trip
+    else:
+        x = jnp.asarray(np.asarray(x_members, np.float32))
+    m, n = int(x.shape[0]), int(x.shape[1])
+    if n <= 1:
+        raise ValueError("t-SNE requires at least 2 samples")
+    if perplexity >= n:
+        raise ValueError(
+            f"perplexity ({perplexity}) must be less than n_samples ({n})")
+    if learning_rate == "auto":  # sklearn TSNE._fit
+        lr = max(n / early_exaggeration / 4.0, 50.0)
+    else:
+        lr = float(learning_rate)
+    from vae_los_angeles_tpu.ops.backend import eval_matmul_precision
+
+    emb, kl = _tsne_members_program(
+        x, jnp.float32(perplexity), jnp.float32(lr),
+        jnp.float32(early_exaggeration), max_iter=max_iter,
+        dof=float(max(n_components - 1, 1)), n_components=n_components,
+        prec=eval_matmul_precision(),
+    )
+    return (np.asarray(jax.device_get(emb)),
+            np.asarray(jax.device_get(kl)))
+
+
 def resolve_tsne(n_rows=None):
     """t-SNE backend per the ``EVAL_BACKEND`` policy (alias
     ``KNN_BACKEND``) — the same single switch as the kNN baselines and

@@ -8,12 +8,18 @@ function gives one XLA computation that trains the whole population
 simultaneously, batching every matmul across the population axis on the MXU.
 
 Shape discipline (SURVEY hard-part #4):
-  * folds are grouped by (train-size, val-size) — KFold yields at most two
-    distinct sizes, so at most two compiled executables, each vmapping the
-    folds of identical shape. No masking, exact per-fold reference semantics.
+  * folds ride ONE executable per family: row counts pad to
+    `ops.backend.bucket_rows` maxima and the true sizes are dynamic masked
+    arguments (`POP_MASK_SIZES`, default on — the downstream classifier's
+    recipe applied to the engine, engine.build_fit_fn(masked_sizes=True)),
+    so KFold's uneven sizes AND re-sized cohorts share the compiled
+    program. ``POP_MASK_SIZES=0`` restores round-4's exact-(train, val)
+    grouping (at most two executables, no masking).
   * trials vmap over the shape-free hyperparameters (lr, weight-decay,
     beta_start, gamma). Shape-carrying ones (latent_dim, embed_dim) select
-    the executable; trials sharing them batch together.
+    the executable; trials sharing them batch together — and the shared
+    train/val tables row-pad to buckets under the same masked mode, so a
+    ``--subset`` re-size compiles nothing.
 
 Multi-chip scaling: pass ``mesh`` (or let the CLIs build one when more than
 one device is visible) and the POPULATION axis is sharded over the mesh's

@@ -281,8 +281,28 @@ def run_training(
     print(f"Train set size: {len(tr_idx)}")
     print(f"Validation set size: {len(va_idx)}")
 
+    # Bench-grade wall decomposition (bench.py's stderr split, so CLI
+    # walls can be adjudicated against the RESULTS.md compile ledger):
+    # backend init (relay-dependent, 150-250 s measured cold) and data
+    # placement are timed apart from compile+run; a steady-state re-run
+    # probe after training splits compile from execution (WALL_DETAIL=0
+    # skips the probe; it is skipped automatically off-TPU where a rerun
+    # costs minutes, and under --profile).
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    float(jax.device_get(jnp.zeros((8, 128)).sum()))
+    init_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     arrays = dataset.to_device()
     train_arrays, val_arrays = arrays.take(tr_idx), arrays.take(va_idx)
+    for tbl in (train_arrays, val_arrays):
+        # force ALL six arrays: a pending transfer would otherwise leak
+        # into the compile timer (same discipline as bench.py)
+        for leaf in (tbl.tpm, tbl.beta, tbl.site):
+            float(jax.device_get(leaf[0] if leaf.ndim == 1 else leaf[0, 0]))
+    place_s = time.perf_counter() - t0
 
     class_weights = None
     if use_class_weights:
@@ -420,6 +440,34 @@ def run_training(
         float(jax.device_get(result.best_val_loss))
         result = jax.device_get(result)
     wall = time.perf_counter() - t0
+    # steady-state probe: one extra dispatch of the already-compiled
+    # program (sub-second at reference scale on the chip) turns the CLI
+    # wall into the same compile/steady split bench.py reports
+    steady_s = None
+    if (jax.default_backend() == "tpu" and args.replicates == 1
+            and not args.profile and os.getenv("WALL_DETAIL", "1") != "0"):
+        t0 = time.perf_counter()
+        probe = engine.fit(
+            task_name, cfg, train_arrays, val_arrays,
+            jax.random.PRNGKey(seed), n_sites, num_epochs=num_epochs,
+            class_weights=class_weights, resume_carry=resume_carry,
+            start_epoch=start_epoch, fused_step=fused_step,
+            fused_epoch=fused_epoch, mesh=mesh,
+        )
+        float(jax.device_get(probe.best_val_loss))
+        steady_s = time.perf_counter() - t0
+        print(
+            f"backend init: {init_s:.2f}s | data placement: {place_s:.2f}s"
+            f" | compile: {max(0.0, wall - steady_s):.2f}s | compile+run: "
+            f"{wall:.2f}s | steady-state run: {steady_s:.2f}s",
+            file=sys.stderr,
+        )
+    else:
+        print(
+            f"backend init: {init_s:.2f}s | data placement: {place_s:.2f}s"
+            f" | compile+run: {wall:.2f}s (steady probe skipped)",
+            file=sys.stderr,
+        )
     if args.profile:
         print(f"Profiler trace written to {args.profile}")
 
@@ -503,6 +551,12 @@ def run_training(
         f"Wall-clock: {wall:.2f}s for {n_ran} epochs, incl. compile "
         f"({samples_per_sec:,.0f} samples/sec)"
     )
+    if steady_s is not None and steady_s > 0:
+        print(
+            f"Steady-state: {steady_s:.2f}s "
+            f"({n_ran * trained_per_epoch / steady_s:,.0f} samples/sec "
+            "excl. compile)"
+        )
     print("=" * 50)
     return result, run_id, wall
 
