@@ -358,10 +358,15 @@ def run_training(
     if reduced and (fused_step or fused_epoch):
         # same graceful downgrade as --dp below: the Pallas kernels are fp32
         # AdamW programs, so an explicit reduced-precision/alt-optimizer
-        # request routes to the XLA path
+        # request routes to the XLA path. Measured (RESULTS.md round-5
+        # megakernel×bf16 A/B): at reference dims the fp32 megakernel beats
+        # XLA-bf16 2.6× (0.62 s vs 1.63 s / 200 epochs) — if you set these
+        # knobs for SPEED at reference scale, unset them and keep
+        # USE_PALLAS; they exist for the wide regime.
         req = ", ".join(f"{k}={v}" for k, v in reduced.items())
         print(f"{req}: using the XLA path (Pallas kernels are fp32 AdamW "
-              "programs)")
+              "programs; at reference dims the fp32 megakernel is 2.6x "
+              "FASTER than XLA-bf16 — RESULTS.md round-5 A/B)")
         fused_step = fused_epoch = False
     mesh = None
     if args.dp:

@@ -218,9 +218,13 @@ def build_fit_fn(
     if fwd_dtype != jnp.float32 and (fused_step or fused_epoch):
         raise ValueError(
             "compute_dtype='bfloat16' applies to the XLA paths only — the "
-            "Pallas fused kernels are fp32 programs (at the reference dims "
-            "they are latency-bound, so bf16 matmuls buy nothing there; the "
-            "bf16 win is the WIDE/batched XLA regime, benchmarks/bench_wide.py)"
+            "Pallas fused kernels are fp32 programs. Measured on the chip "
+            "(RESULTS.md round-5 megakernel×bf16 A/B): the fp32 megakernel "
+            "runs the 200-epoch reference recipe in 0.62 s vs 1.63 s for "
+            "XLA-bf16, and bf16 buys 1.4% over XLA-fp32 at batch 32 — a "
+            "bf16 megakernel has no bytes to save (state is VMEM-resident "
+            "fp32 masters by design); the bf16 win is the WIDE/batched XLA "
+            "regime, benchmarks/bench_wide.py"
         )
 
     def train_loss_fn(params, state, key, batch, beta_kl, class_weights, gamma):
