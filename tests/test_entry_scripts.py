@@ -82,6 +82,11 @@ def test_bench_dp_mode(monkeypatch, capsys, spelling):
     payload = json.loads(lines[0])
     assert payload["metric"] == "rna2dna_200epoch_wallclock"
     assert payload["unit"] == "s"
+    # round-5 trend-worthiness contract: run count + [min, max] spread ride
+    # the JSON line so a cross-round swing is classifiable at a glance
+    assert payload["runs"] >= 2
+    lo, hi = payload["spread_s"]
+    assert lo <= payload["value"] <= hi or payload["runs"] < 3
     assert "dp mesh" in out.err and "mode=dp" in out.err
 
 
