@@ -198,7 +198,7 @@ def main():
     # min/max spread rides the JSON line so a swing is classifiable as
     # noise or regression at a glance. BENCH_RUNS overrides N (the CPU
     # fallback drops to 2 — each run is ~390 s there).
-    n_runs = int(os.getenv("BENCH_RUNS", "2" if cpu_fallback else "5"))
+    n_runs = max(1, int(os.getenv("BENCH_RUNS", "2" if cpu_fallback else "5")))
     walls = []
     for seed in range(1, n_runs + 1):
         t0 = time.perf_counter()

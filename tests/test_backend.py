@@ -18,7 +18,12 @@ def _clear(monkeypatch):
 
 def test_default_is_auto(monkeypatch):
     """auto is the default: reference-exact sklearn below the measured
-    crossover (incl. unknown scale), TPU kernels at/above it."""
+    crossover (incl. unknown scale), TPU kernels at/above it — but only
+    when a TPU is actually the backend (the crossover is a chip
+    measurement; a CPU-only host must never auto-route to the device
+    kernels)."""
+    import jax
+
     from vae_los_angeles_tpu.ops.backend import (
         AUTO_CROSSOVER_ROWS,
         resolve_eval_backend,
@@ -26,6 +31,10 @@ def test_default_is_auto(monkeypatch):
 
     _clear(monkeypatch)
     assert eval_backend() == "auto"
+    # the test suite runs on the CPU backend: auto must resolve sklearn
+    # at EVERY scale here
+    assert resolve_eval_backend(4096) == "sklearn"
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert resolve_eval_backend() == "sklearn"          # unknown scale
     assert resolve_eval_backend(128) == "sklearn"       # capstone small
     assert resolve_eval_backend(890) == "sklearn"       # reference scale
@@ -49,8 +58,12 @@ def test_forced_backends_ignore_scale(monkeypatch):
 def test_auto_routes_resolvers_by_scale(monkeypatch):
     """The capstone contract: with NO backend env set, each resolver picks
     the measured winner for its cohort scale (round-4 capstone crossover:
-    sklearn wins n=128, TPU wins n=1024)."""
+    sklearn wins n=128, TPU wins n=1024). TPU backend simulated — on a
+    CPU-only host auto resolves sklearn at every scale."""
+    import jax
+
     _clear(monkeypatch)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     from sklearn.manifold import TSNE
     from sklearn.metrics import silhouette_score
     from sklearn.neighbors import KNeighborsRegressor

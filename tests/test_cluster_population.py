@@ -136,6 +136,12 @@ def test_analyze_cohort_grouped_routes_and_falls_back(monkeypatch, tmp_path):
 
     monkeypatch.setenv("EVAL_BACKEND", "tpu")
     monkeypatch.setenv("CLUSTER_VMAP", "1")
+    # the member kernels are single-device programs: simulate a single-chip
+    # host (the CI suite runs an 8-device virtual mesh, where the grouped
+    # path correctly defers to the sequential auto-sharded kernels)
+    from vae_los_angeles_tpu.parallel import vmap_meta
+
+    monkeypatch.setattr(vmap_meta, "population_mesh", lambda devices=None: None)
     grouped = cim.analyze_cohort_grouped(
         entries, _LE(), "ts", "RNA-only", plots_dir=str(tmp_path))
     monkeypatch.setenv("CLUSTER_VMAP", "0")

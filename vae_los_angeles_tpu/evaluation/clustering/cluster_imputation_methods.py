@@ -240,6 +240,7 @@ def analyze_cohort_grouped(entries, label_encoder, run_timestamp, sample_type,
     or when the backend resolves to sklearn for this cohort scale
     (``CLUSTER_VMAP=0`` forces the sequential path)."""
     from vae_los_angeles_tpu.ops.backend import resolve_eval_backend
+    from vae_los_angeles_tpu.parallel.vmap_meta import population_mesh
 
     prepared = []
     for method_name, df in entries:
@@ -260,6 +261,11 @@ def analyze_cohort_grouped(entries, label_encoder, run_timestamp, sample_type,
         and len(live) >= 2
         and same_labels
         and resolve_eval_backend(len(live[0][2])) == "tpu"
+        # the member kernels are single-device programs; multi-chip hosts
+        # keep the sequential path, whose kernels ROW-SHARD the O(n²·dim)
+        # metric passes and the t-SNE state over the mesh — concentrating
+        # M members' n² state on one chip would undo that
+        and population_mesh() is None
     )
     results = []
     if use_pop:

@@ -3,11 +3,14 @@ reduction, 2D scatter plotting, silhouette+NH scoring.
 
 Factored out of the two reference scripts, which duplicate this logic
 (``cluster_reconstructed.py:100-253`` and
-``cluster_imputation_methods.py:96-255``). Everything defaults to
-host-side sklearn (reference-exact); ``KNN_BACKEND=tpu`` routes the
-silhouette/NH O(n²·dim) distance passes (ops/cluster_metrics.py), the
-scaler→PCA reduction (ops/pca.py) AND the t-SNE embedding (ops/tsne.py,
-SURVEY hard-part #7) through the MXU.
+``cluster_imputation_methods.py:96-255``). The silhouette/NH O(n²·dim)
+distance passes (ops/cluster_metrics.py), the scaler→PCA reduction
+(ops/pca.py) AND the t-SNE embedding (ops/tsne.py, SURVEY hard-part #7)
+route through the MXU per the ``EVAL_BACKEND`` policy (alias ``KNN_BACKEND``):
+``auto`` by default — host sklearn below the measured ~1k-row crossover
+(reference scale stays reference-exact) and on non-TPU hosts, the device
+kernels above it on the chip; ``sklearn``/``tpu`` force a side
+(ops/backend.resolve_eval_backend).
 """
 
 from __future__ import annotations

@@ -7,10 +7,14 @@ on the shared validation split (reference :56-94), the same grid for the
 site-`ConditionedKNeighborsRegressor` (site index appended as the last
 feature column, :272-284), and the loaded directional VAE — compared on
 per-sample MSE with matplotlib+plotly boxplots and t-SNE scatter plots of
-the predictions colored by site (:138-232). kNN and t-SNE default to
-host-side sklearn (reference-exact baselines); ``KNN_BACKEND=tpu`` routes
-the kNN grids through the MXU distance kernels (ops/knn.py) and the t-SNE
-through the exact-method device program (ops/tsne.py, SURVEY hard-part #7).
+the predictions colored by site (:138-232). The kNN grids (MXU distance
+kernels + blocked-L1 manhattan, ops/knn.py — all 16 reference combos as
+two fused passes) and the t-SNE (exact-method device program, ops/tsne.py,
+SURVEY hard-part #7) route per the ``EVAL_BACKEND`` policy (alias ``KNN_BACKEND``):
+``auto`` by default — host sklearn below the measured ~1k-row crossover
+(reference scale stays reference-exact) and on non-TPU hosts, the device
+kernels above it on the chip; ``sklearn``/``tpu`` force a side
+(ops/backend.resolve_eval_backend).
 The per-sample MSE and VAE predictions always run on device.
 """
 

@@ -70,6 +70,13 @@ def resolve_eval_backend(n_rows=None) -> str:
         return backend
     if n_rows is None or n_rows < AUTO_CROSSOVER_ROWS:
         return "sklearn"
+    import jax
+
+    # the crossover is a TPU measurement: on hosts without an accelerator
+    # the device kernels run on the XLA CPU backend where sklearn wins at
+    # every scale — auto must never route there (forced `tpu` still can)
+    if jax.default_backend() != "tpu":
+        return "sklearn"
     return "tpu"
 
 

@@ -200,9 +200,8 @@ def silhouette_score_tpu(features, labels, chunk_size: int = 1024,
 
         n_pad = _padded_rows(n, mesh)
         x = _row_sharded_put(features, mesh, n_pad)
-        onehot_host = np.zeros((n_pad, n_labels), np.float32)
-        onehot_host[np.arange(n), lab_idx] = 1.0  # padded rows: zero onehot
-        oh = _row_sharded_put(onehot_host, mesh, n_pad)
+        oh = _row_sharded_put(_label_onehot(lab_idx, n, n_pad, n_labels),
+                              mesh, n_pad)
         fn = build_silhouette_chunk(mesh, comp, prec)
         run = lambda block, start: fn(x, oh, block, np.int32(start))
     else:
@@ -211,9 +210,7 @@ def silhouette_score_tpu(features, labels, chunk_size: int = 1024,
         n_pad = bucket_rows(n)  # near-sized cohorts share the executable
         x = _row_padded_put(features, n_pad)
         x_sq = jnp.sum(x * x, axis=1)
-        onehot_host = np.zeros((n_pad, n_labels), np.float32)
-        onehot_host[np.arange(n), lab_idx] = 1.0  # pad rows: zero onehot
-        onehot = jnp.asarray(onehot_host)
+        onehot = jnp.asarray(_label_onehot(lab_idx, n, n_pad, n_labels))
         run = lambda block, start: _silhouette_chunk(
             x, x_sq, block, start, onehot, compensated=comp, prec=prec)
     # key the chunk shape on the PADDED length so near-sized cohorts in
@@ -348,6 +345,31 @@ def neighborhood_hit_tpu(features, labels, k: int = 5,
     return float(fracs.mean())
 
 
+def _scores_preamble(labels, n: int, dim: int, compensated):
+    """Shared host-side setup of the fused-scores paths (single-chip,
+    sharded and member-batched): silhouette's label-count contract,
+    label indexing, per-class counts and the compensated-width policy —
+    one place, so the variants cannot drift on semantics."""
+    labels = np.asarray(labels)
+    uniq, lab_idx = np.unique(labels, return_inverse=True)
+    n_labels = len(uniq)
+    if not 1 < n_labels < n:
+        raise ValueError(
+            f"Number of labels is {n_labels}; valid values are 2..{n - 1}"
+        )
+    comp = _resolve_compensated(compensated, dim)
+    counts = np.bincount(lab_idx, minlength=n_labels).astype(np.float64)
+    return lab_idx, n_labels, counts, comp
+
+
+def _label_onehot(lab_idx, n: int, n_pad: int, n_labels: int) -> np.ndarray:
+    """(n_pad, n_labels) one-hot rows; bucket-pad rows carry all-zeros
+    (inert in the per-cluster sums)."""
+    onehot = np.zeros((n_pad, n_labels), np.float32)
+    onehot[np.arange(n), lab_idx] = 1.0
+    return onehot
+
+
 def cluster_scores_tpu(features, labels, k: int = 5, chunk_size: int = 1024,
                        shard=None, compensated=None):
     """Silhouette AND neighborhood hit in one fused pass: ``(sil, nh)``.
@@ -363,22 +385,15 @@ def cluster_scores_tpu(features, labels, k: int = 5, chunk_size: int = 1024,
     silhouette's 2..n-1 label requirement applies, NH returns 0.0 below
     k+1 samples (matching the standalone guard).
     """
-    labels = np.asarray(labels)
     n = len(features)
-    uniq, lab_idx = np.unique(labels, return_inverse=True)
-    n_labels = len(uniq)
-    if not 1 < n_labels < n:
-        raise ValueError(
-            f"Number of labels is {n_labels}; valid values are 2..{n - 1}"
-        )
+    lab_idx, n_labels, counts, comp = _scores_preamble(
+        labels, n, int(features.shape[1]), compensated)
     if n < k + 1:
         return (
             silhouette_score_tpu(features, labels, chunk_size, shard,
                                  compensated),
             0.0,
         )
-    comp = _resolve_compensated(compensated, int(features.shape[1]))
-    counts = np.bincount(lab_idx, minlength=n_labels).astype(np.float64)
     lab_host = lab_idx.astype(np.int32)
     from vae_los_angeles_tpu.ops.backend import eval_matmul_precision
 
@@ -391,9 +406,8 @@ def cluster_scores_tpu(features, labels, k: int = 5, chunk_size: int = 1024,
 
         n_pad = _padded_rows(n, mesh)
         x = _row_sharded_put(features, mesh, n_pad)
-        onehot_host = np.zeros((n_pad, n_labels), np.float32)
-        onehot_host[np.arange(n), lab_idx] = 1.0  # padded rows: zero onehot
-        oh = _row_sharded_put(onehot_host, mesh, n_pad)
+        oh = _row_sharded_put(_label_onehot(lab_idx, n, n_pad, n_labels),
+                              mesh, n_pad)
         lab_sh = _row_sharded_put(lab_host, mesh, n_pad, dtype=np.int32)
         lab = jnp.asarray(lab_host)
         fn = build_scores_chunk(mesh, k, comp, prec)
@@ -406,9 +420,7 @@ def cluster_scores_tpu(features, labels, k: int = 5, chunk_size: int = 1024,
         n_pad = bucket_rows(n)
         x = _row_padded_put(features, n_pad)
         x_sq = jnp.sum(x * x, axis=1)
-        onehot_host = np.zeros((n_pad, n_labels), np.float32)
-        onehot_host[np.arange(n), lab_idx] = 1.0  # pad rows: zero onehot
-        onehot = jnp.asarray(onehot_host)
+        onehot = jnp.asarray(_label_onehot(lab_idx, n, n_pad, n_labels))
         # lab is a kernel arg: pad it too so the executable keys on n_pad
         lab = _row_padded_put(lab_host, n_pad, dtype=np.int32)
         n_arr = np.int32(n)
@@ -470,20 +482,14 @@ def cluster_scores_tpu_members(features_members, labels, k: int = 5,
     members = len(features_members)
     n = int(features_members[0].shape[0])
     dim = int(features_members[0].shape[1])
-    uniq, lab_idx = np.unique(labels, return_inverse=True)
-    n_labels = len(uniq)
-    if not 1 < n_labels < n:
-        raise ValueError(
-            f"Number of labels is {n_labels}; valid values are 2..{n - 1}"
-        )
+    lab_idx, n_labels, counts, comp = _scores_preamble(
+        labels, n, dim, compensated)
     if n < k + 1:
         return [
             (silhouette_score_tpu(f, labels, chunk_size, False, compensated),
              0.0)
             for f in features_members
         ]
-    comp = _resolve_compensated(compensated, dim)
-    counts = np.bincount(lab_idx, minlength=n_labels).astype(np.float64)
     lab_host = lab_idx.astype(np.int32)
     from vae_los_angeles_tpu.ops.backend import (
         bucket_rows,
@@ -498,9 +504,7 @@ def cluster_scores_tpu_members(features_members, labels, k: int = 5,
         for f in features_members
     ])
     x_sq = jnp.sum(x * x, axis=2)
-    onehot_host = np.zeros((n_pad, n_labels), np.float32)
-    onehot_host[np.arange(n), lab_idx] = 1.0  # pad rows: zero onehot
-    onehot = jnp.asarray(onehot_host)
+    onehot = jnp.asarray(_label_onehot(lab_idx, n, n_pad, n_labels))
     lab = _row_padded_put(lab_host, n_pad, dtype=np.int32)
     n_arr = np.int32(n)
     chunk = min(chunk_size, n_pad)

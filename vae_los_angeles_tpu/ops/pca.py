@@ -21,8 +21,11 @@ randomized-solver factors). Downstream consumers (scatter plots, t-SNE
 preprocessing, silhouette on embeddings) are sign-invariant; the parity
 tests align signs before comparing.
 
-Default stays host sklearn (reference-exact); ``KNN_BACKEND=tpu`` — the
-repo's single evaluation-backend switch — opts in.
+Routed by the ``EVAL_BACKEND`` policy (alias ``KNN_BACKEND``):
+``auto`` by default — host sklearn below the measured ~1k-row crossover
+(reference scale stays reference-exact) and on non-TPU hosts, the device
+kernels above it on the chip; ``sklearn``/``tpu`` force a side
+(ops/backend.resolve_eval_backend).
 """
 
 from __future__ import annotations

@@ -36,9 +36,11 @@ binary search, and the full embedding quality-tests via trustworthiness /
 embedding-space silhouette against a live sklearn run
 (tests/test_tsne_tpu.py).
 
-Opt-in via the evaluation-backend switch ``EVAL_BACKEND=tpu`` (alias
-``KNN_BACKEND``; `resolve_tsne`); default stays host sklearn,
-reference-exact.
+Routed by the ``EVAL_BACKEND`` policy (alias ``KNN_BACKEND``):
+``auto`` by default — host sklearn below the measured ~1k-row crossover
+(reference scale stays reference-exact) and on non-TPU hosts, the device
+kernels above it on the chip; ``sklearn``/``tpu`` force a side
+(ops/backend.resolve_eval_backend). (`resolve_tsne`).
 """
 
 from __future__ import annotations

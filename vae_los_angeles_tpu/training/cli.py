@@ -447,10 +447,19 @@ def run_training(
     wall = time.perf_counter() - t0
     # steady-state probe: one extra dispatch of the already-compiled
     # program (sub-second at reference scale on the chip) turns the CLI
-    # wall into the same compile/steady split bench.py reports
+    # wall into the same compile/steady split bench.py reports. The probe
+    # re-executes the WHOLE run, so by default it only fires when the
+    # first run was cheap (< WALL_DETAIL_MAX_S, default 300 s — at
+    # reference scale execution is <1 s of that); WALL_DETAIL=1 forces it
+    # for expensive runs, WALL_DETAIL=0 disables.
     steady_s = None
+    detail = os.getenv("WALL_DETAIL", "")
+    probe_ok = detail == "1" or (
+        detail != "0"
+        and wall < float(os.getenv("WALL_DETAIL_MAX_S", "300"))
+    )
     if (jax.default_backend() == "tpu" and args.replicates == 1
-            and not args.profile and os.getenv("WALL_DETAIL", "1") != "0"):
+            and not args.profile and probe_ok):
         t0 = time.perf_counter()
         probe = engine.fit(
             task_name, cfg, train_arrays, val_arrays,
