@@ -261,3 +261,21 @@ def test_exact_mode_opt_out(monkeypatch):
                               num_epochs=EPOCHS)
     assert len(res) == len(ftr)
     assert all(np.isfinite(float(r.best_val_loss)) for r in res)
+
+
+def test_masked_population_survives_debug_nans():
+    """DEBUG_NANS mode re-runs the program op-by-op on any NaN: a healthy
+    masked population must produce NONE — inactive trailing batches go
+    through BatchNorm with an all-masked row set, which would divide by a
+    zero count without the row-0 safety (ops.nn.batchnorm_apply), and
+    post-stop rows must fill +inf, not NaN (stop_fill_inf)."""
+    ftr, fva = _uneven_folds(n=110, seed=9)
+    jax.config.update("jax_debug_nans", True)
+    try:
+        res = vmap_meta.fit_folds(
+            "rna2dna", CFG, ftr, fva, jax.random.PRNGKey(2), N_SITES,
+            num_epochs=2, mask_sizes=True,
+        )
+    finally:
+        jax.config.update("jax_debug_nans", False)
+    assert all(np.isfinite(float(r.best_val_loss)) for r in res)
