@@ -80,11 +80,16 @@ def parse_args(argv=None):
 
 def resolve_unified_families(explicit=None) -> bool:
     """CV_UNIFIED_FAMILIES policy: '1'/'0' force, 'auto' (default) keys on
-    where compilation happens. On the CPU backend (tests, CI, local dev)
-    compiles are the user's own and family unification is a measured
-    1.71× program-cost cut → ON; on the axon relay the end-to-end win is
-    swamped by relay compile variance (RESULTS.md round-3 measurement) →
-    OFF unless asked. An explicit CLI flag always wins."""
+    the compile regime. On the CPU backend (tests, CI, local dev) family
+    unification is a measured 1.71× program-cost cut → ON. On the relay
+    the round-3 measurement said the win was swamped by compile variance
+    — but that was against the EXACT-shape 8-program stack; under the
+    masked fold populations (POP_MASK_SIZES, round 5) the whole CV demo
+    is 2 programs unified vs 4 separate, measured SAME-session at
+    round-5 HEAD: 158.6 s (unified, first-ever compiles) vs 218.8 s
+    (separate, relay-warm programs — a handicap AGAINST unified) → ON.
+    Only the exact-shape mode on an accelerator keeps the round-3
+    conclusion. An explicit CLI flag always wins."""
     if explicit is not None:
         return bool(explicit)
     env = os.getenv("CV_UNIFIED_FAMILIES", "auto").strip().lower()
@@ -98,7 +103,9 @@ def resolve_unified_families(explicit=None) -> bool:
         )
     import jax
 
-    return jax.default_backend() == "cpu"
+    from vae_los_angeles_tpu.parallel.vmap_meta import mask_sizes_enabled
+
+    return jax.default_backend() == "cpu" or mask_sizes_enabled()
 
 
 def load_data(data_path, subset=1.0):
