@@ -8,6 +8,8 @@ trajectories must agree to fp32 tolerance (bit-identical on CPU), padded
 rows must be provably inert, and the scenario aggregates must match.
 """
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -394,20 +396,30 @@ def test_grouped_task_compiles_one_program_per_width_bucket():
         "wide": np.tile(x, (1, 6))[:, :160],
     }
 
-    built = {}
-    orig = mc._build_classifier_fit_folds.__wrapped__
+    def count_execs():
+        built = {}
+        orig = mc._build_classifier_fit_folds.__wrapped__
 
-    @functools.lru_cache(maxsize=None)
-    def tracking(*args):
-        fn = orig(*args)
-        built[args] = fn
-        return fn
+        @functools.lru_cache(maxsize=None)
+        def tracking(*args):
+            fn = orig(*args)
+            built[args] = fn
+            return fn
 
-    old = mc._build_classifier_fit_folds
-    mc._build_classifier_fit_folds = tracking
+        old = mc._build_classifier_fit_folds
+        mc._build_classifier_fit_folds = tracking
+        try:
+            run_scenarios_grouped(scenarios, labels, N_CLASSES, le, n_folds=3)
+            return sum(f._cache_size() for f in built.values())
+        finally:
+            mc._build_classifier_fit_folds = old
+
+    # default: one population per width bucket (merging the buckets into
+    # one global-width program is a measured compile anti-result — RESULTS
+    # round-5 downstream note — kept as an opt-in knob below)
+    assert count_execs() == 2
+    os.environ["DOWNSTREAM_UNIFY_WIDTHS"] = "1"
     try:
-        run_scenarios_grouped(scenarios, labels, N_CLASSES, le, n_folds=3)
-        execs = sum(f._cache_size() for f in built.values())
+        assert count_execs() == 1  # mixed-width merge stays bit-exact
     finally:
-        mc._build_classifier_fit_folds = old
-    assert execs == 2, f"expected 1 executable per width bucket, got {execs}"
+        os.environ.pop("DOWNSTREAM_UNIFY_WIDTHS", None)

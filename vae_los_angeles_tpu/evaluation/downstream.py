@@ -230,11 +230,26 @@ def run_scenarios_grouped(scenarios, labels, n_classes, le_new,
         fold_cws.append(cw_full)
     n_val_max = max(len(va) for _, va in splits)
 
-    by_width = {}
-    for name in names:
-        by_width.setdefault(
-            feature_bucket(scenarios[name].shape[1]), []
-        ).append(name)
+    if os.getenv("DOWNSTREAM_UNIFY_WIDTHS", "0") == "1":
+        # Measured ANTI-RESULT (round 5, kept as an opt-in knob): padding
+        # every scenario to the global width bucket merges the two width
+        # populations into ONE program — bit-exact by the
+        # fit_classifier_folds mixed-width contract — but the single
+        # 40-member × 2432-wide program compiled SLOWER than the two
+        # thinner ones it replaces (same-session on the chip: 622.0 s vs
+        # 460.9 s cold) and warm walls were identical (5.8 vs 5.9 s: two
+        # dispatches were never the binding cost here). Program COUNT
+        # only wins when the merged program isn't proportionally bigger —
+        # see benchmarks/RESULTS.md round-5 downstream note. Default OFF.
+        global_bucket = feature_bucket(
+            max(s.shape[1] for s in scenarios.values()))
+        by_width = {global_bucket: list(names)}
+    else:
+        by_width = {}
+        for name in names:
+            by_width.setdefault(
+                feature_bucket(scenarios[name].shape[1]), []
+            ).append(name)
 
     metrics_dict = {}
     for width, group in by_width.items():
