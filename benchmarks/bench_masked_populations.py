@@ -16,7 +16,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from vae_los_angeles_tpu.config import Config
 from vae_los_angeles_tpu.data.dataset import MultiModalArrays
@@ -57,6 +56,25 @@ def main(n=890, folds=3, epochs=10, rounds=3):
         w = sorted(walls[mask])
         print(f"mask={mask} warm median {w[len(w) // 2]:.3f}s "
               f"walls {['%.3f' % x for x in walls[mask]]}")
+
+    # the headline regression check: a RE-SIZED cohort in the same
+    # bucket_rows buckets must reuse the masked program (data staging +
+    # dispatch only — a multi-minute wall here is a recompile regression)
+    n2 = n + 2
+    tpm2, beta2, site2 = generate_synthetic_arrays(
+        n_samples=n2, dim_a=cfg.input_dim_a, dim_b=cfg.input_dim_b,
+        n_sites=24, seed=1)
+    arr2 = MultiModalArrays(jnp.asarray(tpm2), jnp.asarray(beta2),
+                            jnp.asarray(site2))
+    idx2 = kfold_indices(n2, folds)
+    t0 = time.time()
+    vmap_meta.fit_folds(
+        "rna2dna", cfg, [arr2.take(tr) for tr, _ in idx2],
+        [arr2.take(va) for _, va in idx2], key, 24, num_epochs=epochs,
+        mask_sizes=True,
+    )
+    print(f"re-sized cohort (n={n2}, same buckets): "
+          f"{time.time() - t0:.1f}s  (must be seconds, not minutes)")
 
 
 if __name__ == "__main__":

@@ -322,11 +322,15 @@ def test_row_bucketing_inert_and_shares_executables(monkeypatch):
     assert fit_fn._cache_size() == size_before
 
 
-def test_grouped_scenarios_match_per_scenario():
-    """`run_scenarios_grouped` (one population per bucketed width, members =
-    scenario × fold) reproduces `run_classification_scenario` exactly for
-    every scenario — same splits, same per-fold class weights, same
-    PRNGKey(fold) seeding."""
+@pytest.mark.parametrize("unify", ["0", "1"])
+def test_grouped_scenarios_match_per_scenario(monkeypatch, unify):
+    """`run_scenarios_grouped` reproduces `run_classification_scenario`
+    exactly for every scenario — same splits, same per-fold class weights,
+    same PRNGKey(fold) seeding — in BOTH width policies: the default
+    per-bucket populations (128 + 256 here) and the opt-in
+    DOWNSTREAM_UNIFY_WIDTHS=1 global-bucket merge (mixed member widths in
+    one program; the compile anti-result keeps it opt-in, but its
+    numerics must stay bit-exact)."""
     from sklearn.preprocessing import LabelEncoder
 
     from vae_los_angeles_tpu.evaluation.downstream import (
@@ -334,13 +338,14 @@ def test_grouped_scenarios_match_per_scenario():
         run_scenarios_grouped,
     )
 
+    monkeypatch.setenv("DOWNSTREAM_UNIFY_WIDTHS", unify)
     x, y = _fixture(n=120, dim=24, seed=11)
     le = LabelEncoder().fit(np.array(["A", "B", "C", "D"])[y])
     labels = le.transform(np.array(["A", "B", "C", "D"])[y]).astype(np.int64)
     scenarios = {
-        "narrow": x[:, :10],            # bucket 128 (joins the others)
+        "narrow": x[:, :10],            # bucket 128 (joins "full")
         "full": x,
-        "doubled": np.concatenate([x, x * 0.5], axis=1),
+        "wide": np.tile(x, (1, 7))[:, :160],   # bucket 256: 2nd width
     }
     grouped = run_scenarios_grouped(
         scenarios, labels, N_CLASSES, le, n_folds=3
@@ -374,7 +379,7 @@ def test_group_env_toggle(monkeypatch):
     assert _group_scenarios_default() is False
 
 
-def test_grouped_task_compiles_one_program_per_width_bucket():
+def test_grouped_task_compiles_one_program_per_width_bucket(monkeypatch):
     """The round-4 program-count contract: a whole multi-scenario task
     compiles exactly ONE fold-population executable per bucketed feature
     width — scenarios and cohort paddings all reuse them."""
@@ -418,8 +423,5 @@ def test_grouped_task_compiles_one_program_per_width_bucket():
     # one global-width program is a measured compile anti-result — RESULTS
     # round-5 downstream note — kept as an opt-in knob below)
     assert count_execs() == 2
-    os.environ["DOWNSTREAM_UNIFY_WIDTHS"] = "1"
-    try:
-        assert count_execs() == 1  # mixed-width merge stays bit-exact
-    finally:
-        os.environ.pop("DOWNSTREAM_UNIFY_WIDTHS", None)
+    monkeypatch.setenv("DOWNSTREAM_UNIFY_WIDTHS", "1")
+    assert count_execs() == 1  # numerics pinned in the parity test

@@ -270,6 +270,7 @@ def test_masked_population_survives_debug_nans():
     zero count without the row-0 safety (ops.nn.batchnorm_apply), and
     post-stop rows must fill +inf, not NaN (stop_fill_inf)."""
     ftr, fva = _uneven_folds(n=110, seed=9)
+    prior = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", True)
     try:
         res = vmap_meta.fit_folds(
@@ -277,5 +278,5 @@ def test_masked_population_survives_debug_nans():
             num_epochs=2, mask_sizes=True,
         )
     finally:
-        jax.config.update("jax_debug_nans", False)
+        jax.config.update("jax_debug_nans", prior)
     assert all(np.isfinite(float(r.best_val_loss)) for r in res)
