@@ -207,6 +207,25 @@ def test_cross_modality_cv_unified_families(workspace):
     # auto policy: compile cost is local on CPU → unified is the default
     assert resolve_unified_families(None) is True
     assert resolve_unified_families(False) is False
+    # round-5 rule: on an accelerator, auto keys on the masked-population
+    # mode (unified halves the 4-program masked stack; measured 158.6 s vs
+    # 218.8 s same-session — RESULTS.md), keeping round-3's OFF only for
+    # the exact-shape mode
+    import jax
+
+    import vae_los_angeles_tpu.evaluation.cross_modality_cv as cvmod
+
+    orig_backend = jax.default_backend
+    jax.default_backend = lambda: "tpu"
+    try:
+        assert resolve_unified_families(None) is True  # masked default
+        os.environ["POP_MASK_SIZES"] = "0"
+        try:
+            assert resolve_unified_families(None) is False  # exact shapes
+        finally:
+            os.environ.pop("POP_MASK_SIZES", None)
+    finally:
+        jax.default_backend = orig_backend
 
     argv = ["--folds", "2", "--epochs", "2", "--neighbors", "3",
             "--data_path", "data/processed_data.pkl"]
